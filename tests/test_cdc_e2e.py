@@ -1,0 +1,168 @@
+"""Golden replay-equality tests for the full CDC pipeline
+(SURVEY.md §5.2 item 2): engine output vs sequential replay oracle,
+with duplicates, out-of-order delivery, schema evolution, hot-key skew,
+incremental epochs, crash-resume and double-commit replay."""
+
+import glob
+import json
+import os
+
+import pyarrow as pa
+import pytest
+
+from wprdc_etl_ray.gen import generate_change_log, replay_oracle_pandas, write_wal
+from wprdc_etl_ray.pipelines.cdc import (
+    CDCConfig,
+    CDCPipeline,
+    read_transcripts_arrow,
+    run_ingest,
+)
+from wprdc_etl_ray.state.manifest import load_manifest
+
+N = 8000
+
+
+@pytest.fixture(scope="module")
+def log():
+    return generate_change_log(N, seed=42)
+
+
+def check_equal(table_root, log):
+    got = read_transcripts_arrow(table_root)
+    oracle = replay_oracle_pandas(log)
+    got = got.select(oracle.schema.names).cast(oracle.schema)
+    assert got.num_rows == oracle.num_rows
+    assert got.equals(oracle), "materialized table != sequential replay oracle"
+
+
+def test_batch_ingest_matches_oracle(ray_session, tmp_path, log):
+    write_wal(str(tmp_path), log, segment_rows=2000)
+    res = run_ingest(str(tmp_path / "wal"), str(tmp_path / "t"), CDCConfig(num_partitions=8))
+    assert res.events_read == N
+    check_equal(str(tmp_path / "t"), log)
+
+
+def test_salted_ingest_matches_oracle(ray_session, tmp_path, log):
+    write_wal(str(tmp_path), log, segment_rows=2000)
+    run_ingest(
+        str(tmp_path / "wal"),
+        str(tmp_path / "t"),
+        CDCConfig(num_partitions=8, salt=4),
+    )
+    check_equal(str(tmp_path / "t"), log)
+
+
+def test_schema_evolution_mid_stream(ray_session, tmp_path, log):
+    write_wal(str(tmp_path), log, segment_rows=2000, evolve_at=0.5)
+    run_ingest(str(tmp_path / "wal"), str(tmp_path / "t"), CDCConfig(num_partitions=8))
+    check_equal(str(tmp_path / "t"), log)
+    got = read_transcripts_arrow(str(tmp_path / "t"))
+    assert "tool_call_id" in got.schema.names  # evolved columns surfaced
+    assert got.schema.field("turn_idx").type == pa.int64()  # widened
+
+
+def test_incremental_epochs_match_full_replay(ray_session, tmp_path, log):
+    """Apply the WAL in two epochs; final table must equal one-shot replay."""
+    write_wal(str(tmp_path), log, segment_rows=1000)
+    segs = sorted(glob.glob(str(tmp_path / "wal" / "seg-*.parquet")))
+    half = len(segs) // 2
+    wal1, wal2 = str(tmp_path / "w1"), str(tmp_path / "w2")
+    os.makedirs(wal1), os.makedirs(wal2)
+    for s in segs[:half]:
+        os.link(s, os.path.join(wal1, os.path.basename(s)))
+    for s in segs:  # second dir holds ALL segments: watermark must skip the first half
+        os.link(s, os.path.join(wal2, os.path.basename(s)))
+    root = str(tmp_path / "t")
+    r1 = run_ingest(wal1, root, CDCConfig(num_partitions=8))
+    assert r1.epoch == 1
+    r2 = run_ingest(wal2, root, CDCConfig(num_partitions=8))
+    assert r2.epoch == 2
+    assert r2.events_read == N - r1.events_read  # first half skipped via watermark
+    check_equal(root, log)
+
+
+def test_double_commit_replay_is_noop(ray_session, tmp_path, log):
+    write_wal(str(tmp_path), log, segment_rows=2000)
+    root = str(tmp_path / "t")
+    run_ingest(str(tmp_path / "wal"), root, CDCConfig(num_partitions=8))
+    m1 = load_manifest(root)
+    res = run_ingest(str(tmp_path / "wal"), root, CDCConfig(num_partitions=8))
+    assert res.skipped
+    m2 = load_manifest(root)
+    assert m1 == m2  # manifest untouched
+    check_equal(root, log)
+
+
+def test_crash_before_commit_then_resume(ray_session, tmp_path, log):
+    """Epoch-2 data files written but manifest flip missed (simulated crash):
+    the table still reads at epoch 1, and a retry converges to the truth."""
+    write_wal(str(tmp_path), log, segment_rows=1000)
+    segs = sorted(glob.glob(str(tmp_path / "wal" / "seg-*.parquet")))
+    wal1 = str(tmp_path / "w1")
+    os.makedirs(wal1)
+    for s in segs[: len(segs) // 2]:
+        os.link(s, os.path.join(wal1, os.path.basename(s)))
+    root = str(tmp_path / "t")
+    run_ingest(wal1, root, CDCConfig(num_partitions=8))
+    m1 = load_manifest(root)
+
+    # simulate a crashed epoch 2: orphan data files exist, manifest does not move
+    orphan_dir = os.path.join(root, "data", "epoch=000002")
+    os.makedirs(orphan_dir, exist_ok=True)
+    with open(os.path.join(orphan_dir, "part-00000.parquet"), "wb") as f:
+        f.write(b"torn write")
+    assert load_manifest(root) == m1  # readers unaffected by orphans
+
+    # retry applies the full WAL; commit succeeds and equals the oracle
+    run_ingest(str(tmp_path / "wal"), root, CDCConfig(num_partitions=8))
+    check_equal(root, log)
+
+
+def test_deterministic_output_files(ray_session, tmp_path, log):
+    """Same WAL into two fresh tables ⇒ byte-identical partition files."""
+    write_wal(str(tmp_path), log, segment_rows=2000)
+    ra, rb = str(tmp_path / "a"), str(tmp_path / "b")
+    run_ingest(str(tmp_path / "wal"), ra, CDCConfig(num_partitions=8))
+    run_ingest(str(tmp_path / "wal"), rb, CDCConfig(num_partitions=8))
+    fa = sorted(glob.glob(os.path.join(ra, "data", "**", "*.parquet"), recursive=True))
+    fb = sorted(glob.glob(os.path.join(rb, "data", "**", "*.parquet"), recursive=True))
+    assert [os.path.relpath(p, ra) for p in fa] == [os.path.relpath(p, rb) for p in fb]
+    for a, b in zip(fa, fb):
+        with open(a, "rb") as f1, open(b, "rb") as f2:
+            assert f1.read() == f2.read(), f"{a} differs"
+
+
+def test_manifest_lineage_metrics(ray_session, tmp_path, log):
+    write_wal(str(tmp_path), log, segment_rows=2000)
+    root = str(tmp_path / "t")
+    run_ingest(str(tmp_path / "wal"), root, CDCConfig(num_partitions=8))
+    m = load_manifest(root)
+    assert m["epoch"] == 1
+    assert m["global_watermark"] == N - 1
+    assert len(m["partitions"]) == 8
+    tot = sum(e["events_applied"] for e in m["partitions"].values())
+    assert tot == N
+    for e in m["partitions"].values():
+        assert e["rows"] == e["live_rows"] + e["tombstones"]
+        assert 0 <= e["watermark"] <= N - 1
+    # history file exists per epoch
+    assert os.path.exists(os.path.join(root, "manifest", "epoch-000001.json"))
+
+
+def test_fluent_builder_parity(ray_session, tmp_path, log):
+    """Reference Pipeline fluent-API parity: stage setters chain; missing
+    stage raises (wprdc-etl enforce_full_pipeline behavior)."""
+    from wprdc_etl_ray.errors import InvalidConfigError
+
+    with pytest.raises(InvalidConfigError):
+        CDCPipeline("t").run()
+    write_wal(str(tmp_path), log, segment_rows=4000)
+    res = (
+        CDCPipeline("transcripts")
+        .source(str(tmp_path / "wal"))
+        .partitions(8)
+        .sink(str(tmp_path / "t"))
+        .run()
+    )
+    assert res.epoch == 1
+    check_equal(str(tmp_path / "t"), log)

@@ -1,0 +1,424 @@
+"""The flagship pipeline: WAL tail → LSM upsert → exactly-once Parquet commit.
+
+Ray-Data-native rewrite of the reference's ``Pipeline`` lifecycle
+(wprdc-etl pipeline/pipeline.py::Pipeline.run — connect → extract →
+schema-validate → keyed-upsert load with a duplicate guard and status
+bookkeeping), per SURVEY.md §3.4:
+
+    driver: list WAL segments > watermark               (X1)
+      → ray.data.read_parquet(segments)                 [read tasks]
+      → map_batches(decode/validate/evolve + watermark) (X2,X3)
+      → map_batches(add part/salt keys)                 (X4)
+      → groupby(part[,salt]).map_groups(merge)          (X5)  [shuffle]
+      → merge task writes its partition Parquet         (X6,X7)
+    driver: collect tiny per-partition stats → atomic manifest commit
+
+Everything wide stays inside Ray Data: one all-to-all shuffle
+(``groupby``) per epoch; the merge task itself writes the partition's
+output file so merged rows never take a second hop. The driver only
+ever holds per-partition stat rows (B rows), never data.
+
+Scale notes (100 TB / 10^10 events): ``num_partitions`` bounds the
+per-task merge working set — size it so (events-per-epoch + snapshot
+partition) / B fits a worker heap; cold partitions are carried forward
+in the manifest without a rewrite; the watermark filter prunes whole
+segments at plan time (driver metadata only) and rows inside straddling
+segments vectorized at read time.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray.data
+
+from ..errors import InvalidConfigError, SchemaValidationError
+from ..schema import (
+    KEY_COLUMNS,
+    VALID_OPS,
+    normalize_batch,
+    unify_schemas,
+    validate_batch,
+)
+from ..stages.merge import lww_merge, merge_with_snapshot, snapshot_as_events
+from ..stages.partition import add_partition_cols
+from ..state.manifest import (
+    commit_manifest,
+    load_manifest,
+    public_schema,
+)
+
+CHANGE_META_COLS = ("offset", "op")
+INTERNAL_COLS = ("_offset", "_deleted")
+
+
+@dataclass
+class CDCConfig:
+    """Engine knobs. Defaults target the 32-CPU single-node sandbox but
+    every knob is the thing you would turn on a 256-node cluster."""
+
+    table_name: str = "transcripts"
+    num_partitions: int = 64  # B ≈ 2–4 × total CPUs; bounds merge working set
+    salt: int = 1  # >1 splits hot conversations across sub-groups (X4)
+    batch_size: int = 65536
+    strict: bool = True  # invalid rows: raise (reference behavior) vs drop
+    required: tuple[str, ...] = ("offset", "op", "conv_id", "turn_idx", "ts")
+
+
+@dataclass
+class CommitResult:
+    epoch: int
+    global_watermark: int
+    events_read: int
+    partitions_updated: int
+    manifest: dict
+    skipped: bool = False
+
+
+# --- X1: segment planning (driver-side metadata only) ------------------------
+
+
+def list_segments(wal_dir: str) -> list[str]:
+    return sorted(glob.glob(os.path.join(wal_dir, "seg-*.parquet")))
+
+
+def segment_offset_range(path: str) -> tuple[int, int]:
+    """(min, max) offset of a segment from Parquet row-group statistics —
+    no data read (X1: resume decisions are metadata-only)."""
+    md = pq.ParquetFile(path).metadata
+    idx = None
+    lo, hi = None, None
+    for rg in range(md.num_row_groups):
+        row_group = md.row_group(rg)
+        if idx is None:
+            for i in range(row_group.num_columns):
+                if row_group.column(i).path_in_schema == "offset":
+                    idx = i
+                    break
+            if idx is None:
+                raise SchemaValidationError(f"segment {path} has no offset column")
+        st = row_group.column(idx).statistics
+        if st is None or not st.has_min_max:  # fall back: read the column
+            col = pq.read_table(path, columns=["offset"]).column("offset")
+            return pc.min(col).as_py(), pc.max(col).as_py()
+        lo = st.min if lo is None else min(lo, st.min)
+        hi = st.max if hi is None else max(hi, st.max)
+    if lo is None:
+        return (0, -1)
+    return int(lo), int(hi)
+
+
+def plan_segments(
+    wal_dir: str, watermark: int
+) -> tuple[list[str], int, list[list[str]]]:
+    """Select segments with events beyond the watermark; group them by
+    file schema (segments of different schema versions cannot share one
+    ``read_parquet`` — each group is read separately then normalized to
+    the unified schema before the union)."""
+    chosen: list[str] = []
+    hi_all = watermark
+    for path in list_segments(wal_dir):
+        lo, hi = segment_offset_range(path)
+        if hi > watermark:
+            chosen.append(path)
+            hi_all = max(hi_all, hi)
+    groups: dict[bytes, list[str]] = {}
+    for path in chosen:
+        fp = pq.read_schema(path).serialize().to_pybytes()
+        groups.setdefault(fp, []).append(path)
+    return chosen, hi_all, list(groups.values())
+
+
+# --- X5/X6/X7 merge-and-write task -------------------------------------------
+
+
+class _MergeWrite:
+    """Per-partition merge + write, used as the ``map_groups`` function.
+
+    Plain function semantics (stateless task) — state that must persist
+    across batches lives in the manifest, not here. Reads the prior
+    snapshot partition from inside the task (task-side IO scales with
+    the cluster; the driver ships only the small {part: path} dict)."""
+
+    def __init__(
+        self,
+        root: str,
+        epoch: int,
+        prior_files: dict[int, str],
+        target_schema: pa.Schema,
+        drop_cols: tuple[str, ...],
+    ):
+        self.root = root
+        self.epoch = epoch
+        self.prior_files = prior_files
+        self.target_schema = target_schema
+        self.drop_cols = drop_cols
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        part = group.column("part")[0].as_py()
+        events = group.drop_columns([c for c in self.drop_cols if c in group.schema.names])
+        prior = None
+        prior_path = self.prior_files.get(part)
+        if prior_path is not None:
+            prior = pq.read_table(os.path.join(self.root, prior_path))
+        merged = merge_with_snapshot(events, prior)
+        merged = normalize_batch(merged, self.target_schema)
+
+        rel = os.path.join("data", f"epoch={self.epoch:06d}", f"part-{part:05d}.parquet")
+        abs_path = os.path.join(self.root, rel)
+        os.makedirs(os.path.dirname(abs_path), exist_ok=True)
+        pq.write_table(merged, abs_path)
+
+        deleted = merged.column("_deleted")
+        n_tomb = pc.sum(pc.cast(deleted, pa.int64())).as_py()
+        n_tomb = 0 if n_tomb is None else n_tomb
+        wm_part = pc.max(merged.column("_offset")).as_py()
+        wm_part = -1 if wm_part is None else wm_part
+        return pa.table(
+            {
+                "part": pa.array([part], pa.int32()),
+                "path": pa.array([rel]),
+                "rows": pa.array([merged.num_rows], pa.int64()),
+                "live_rows": pa.array([merged.num_rows - n_tomb], pa.int64()),
+                "tombstones": pa.array([n_tomb], pa.int64()),
+                "watermark": pa.array([wm_part], pa.int64()),
+                "events_applied": pa.array([events.num_rows], pa.int64()),
+                "bytes": pa.array([os.path.getsize(abs_path)], pa.int64()),
+            }
+        )
+
+
+# --- the engine --------------------------------------------------------------
+
+
+def run_ingest(
+    wal_dir: str,
+    table_root: str,
+    config: CDCConfig | None = None,
+) -> CommitResult:
+    """Apply all WAL events beyond the committed watermark; one epoch.
+
+    Exactly-once: replaying an already-committed segment set is a no-op
+    (plan finds nothing above the watermark); a crash before the final
+    manifest flip leaves the table at the previous epoch, and the retry
+    recomputes byte-identical partition files (deterministic merge).
+    """
+    cfg = config or CDCConfig()
+    manifest = load_manifest(table_root)
+    wm = manifest["global_watermark"] if manifest else -1
+    chosen, new_wm, schema_groups = plan_segments(wal_dir, wm)
+    if not chosen:
+        return CommitResult(
+            epoch=manifest["epoch"] if manifest else 0,
+            global_watermark=wm,
+            events_read=0,
+            partitions_updated=0,
+            manifest=manifest or {},
+            skipped=True,
+        )
+
+    # X3: unified change schema = all segment schemas + (on incremental
+    # epochs) the columns already committed — widening only.
+    seg_schemas = [pq.read_schema(g[0]) for g in schema_groups]
+    prior_public = public_schema(manifest) if manifest else None
+    to_unify = list(seg_schemas)
+    if prior_public is not None:
+        to_unify.append(
+            pa.schema([f for f in prior_public if f.name not in INTERNAL_COLS])
+        )
+    unified_change = unify_schemas(to_unify)
+    # public transcript schema = change schema minus (offset, op)
+    unified_public = pa.schema(
+        [f for f in unified_change if f.name not in CHANGE_META_COLS]
+    )
+    snapshot_target = pa.schema(
+        list(unified_public)
+        + [pa.field("_offset", pa.int64()), pa.field("_deleted", pa.bool_())]
+    )
+
+    required = cfg.required
+    strict = cfg.strict
+    B, S = cfg.num_partitions, cfg.salt
+
+    def decode(batch: pa.Table) -> pa.Table:
+        # X2: validate + coerce + watermark filter, vectorized
+        batch = validate_batch(batch, unified_change, required=required, strict=strict)
+        ok_op = pc.is_in(batch.column("op"), value_set=pa.array(VALID_OPS))
+        if not pc.all(ok_op).as_py():
+            if strict:
+                raise SchemaValidationError("invalid op value in change batch")
+            batch = batch.filter(ok_op)
+        if wm >= 0:
+            batch = batch.filter(pc.greater(batch.column("offset"), wm))
+        return add_partition_cols(batch, B, S)
+
+    parts_ds = []
+    for grp in schema_groups:
+        parts_ds.append(
+            ray.data.read_parquet(grp).map_batches(
+                decode, batch_format="pyarrow", batch_size=cfg.batch_size
+            )
+        )
+    ds = parts_ds[0]
+    for other in parts_ds[1:]:
+        ds = ds.union(other)
+
+    prior_files = {}
+    if manifest:
+        prior_files = {int(k): v["path"] for k, v in manifest["partitions"].items()}
+
+    epoch = (manifest["epoch"] if manifest else 0) + 1
+    writer = _MergeWrite(
+        root=table_root,
+        epoch=epoch,
+        prior_files=prior_files,
+        target_schema=snapshot_target,
+        drop_cols=("part", "salt"),
+    )
+    def merge_write(group: pa.Table) -> pa.Table:
+        return writer(group)
+
+    if S > 1:
+        # X4/X5 salted two-stage: partial per-(part,salt) merges shrink
+        # hot groups before the per-partition pass (all events of one
+        # (conv_id, turn_idx) key share a salt, so partials are complete
+        # per key).
+        partial = ds.groupby(["part", "salt"]).map_groups(
+            _partial_merge, batch_format="pyarrow"
+        )
+        stats_ds = partial.groupby("part").map_groups(
+            merge_write, batch_format="pyarrow"
+        )
+    else:
+        stats_ds = ds.groupby("part").map_groups(merge_write, batch_format="pyarrow")
+
+    stats = stats_ds.take_all()  # B tiny rows — the only driver materialization
+
+    updated = {
+        str(r["part"]): {
+            "path": r["path"],
+            "rows": int(r["rows"]),
+            "live_rows": int(r["live_rows"]),
+            "tombstones": int(r["tombstones"]),
+            "watermark": int(r["watermark"]),
+            "events_applied": int(r["events_applied"]),
+            "bytes": int(r["bytes"]),
+            "epoch": epoch,
+        }
+        for r in stats
+    }
+    events_read = sum(int(r["events_applied"]) for r in stats)
+    new_manifest = commit_manifest(
+        table_root,
+        manifest,
+        table=cfg.table_name,
+        num_partitions=B,
+        schema=snapshot_target,
+        new_watermark=new_wm,
+        updated_partitions=updated,
+        metrics={
+            "epoch_events_applied": events_read,
+            "segments": [os.path.basename(p) for p in chosen],
+            "salt": S,
+        },
+    )
+    return CommitResult(
+        epoch=epoch,
+        global_watermark=new_wm,
+        events_read=events_read,
+        partitions_updated=len(updated),
+        manifest=new_manifest,
+    )
+
+
+def _partial_merge(group: pa.Table) -> pa.Table:
+    merged = lww_merge(group.drop_columns(["salt"]))
+    return snapshot_as_events(merged)  # back to event form for the final pass
+
+
+# --- read path ---------------------------------------------------------------
+
+
+def read_transcripts(
+    table_root: str, columns: list[str] | None = None
+) -> ray.data.Dataset:
+    """Committed transcripts as a Dataset: manifest-resolved files, tombstones
+    filtered, internal columns dropped, per-batch schema normalization so
+    pre-evolution partitions surface the unified schema."""
+    manifest = load_manifest(table_root)
+    if manifest is None or not manifest["partitions"]:
+        return ray.data.from_arrow(
+            pa.table({"conv_id": pa.array([], pa.string())})
+        ).limit(0)
+    files = [
+        os.path.join(table_root, e["path"])
+        for e in manifest["partitions"].values()
+        if e.get("rows")
+    ]
+    target = public_schema(manifest)
+    pub = pa.schema([f for f in target if f.name not in INTERNAL_COLS])
+    want = [f.name for f in pub] if columns is None else columns
+
+    def clean(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.equal(batch.column("_deleted"), False))
+        batch = normalize_batch(batch, target)
+        return batch.select(want)
+
+    return ray.data.read_parquet(files).map_batches(clean, batch_format="pyarrow")
+
+
+def read_transcripts_arrow(table_root: str) -> pa.Table:
+    """Small-scale convenience: the full committed table, sorted by key."""
+    t = read_transcripts(table_root).to_arrow_refs()
+    import ray as _ray
+
+    tables = [b for b in _ray.get(t)]
+    tables = [tb for tb in tables if tb.num_rows]
+    if not tables:
+        return pa.table({})
+    target = unify_schemas([tb.schema for tb in tables])
+    out = pa.concat_tables([normalize_batch(tb, target) for tb in tables])
+    return out.sort_by([(KEY_COLUMNS[0], "ascending"), (KEY_COLUMNS[1], "ascending")])
+
+
+# --- fluent builder (reference Pipeline parity, SURVEY.md §2.1 C1) -----------
+
+
+class CDCPipeline:
+    """Fluent builder mirroring the reference's user API
+    (``Pipeline(...).connect(...).extract(...).schema(...).load(...).run()``,
+    wprdc-etl pipeline/pipeline.py): each stage setter returns self;
+    ``run()`` validates that the pipeline is fully specified
+    (reference: ``enforce_full_pipeline`` → InvalidConfigException)."""
+
+    def __init__(self, name: str, config: CDCConfig | None = None):
+        self.name = name
+        self.config = config or CDCConfig(table_name=name)
+        self._wal_dir: str | None = None
+        self._table_root: str | None = None
+
+    def source(self, wal_dir: str) -> "CDCPipeline":
+        self._wal_dir = wal_dir
+        return self
+
+    def sink(self, table_root: str) -> "CDCPipeline":
+        self._table_root = table_root
+        return self
+
+    def partitions(self, num_partitions: int, salt: int = 1) -> "CDCPipeline":
+        self.config.num_partitions = num_partitions
+        self.config.salt = salt
+        return self
+
+    def run(self) -> CommitResult:
+        if not self._wal_dir or not self._table_root:
+            raise InvalidConfigError(
+                "pipeline incomplete: need .source(wal_dir) and .sink(table_root)"
+            )
+        return run_ingest(self._wal_dir, self._table_root, self.config)

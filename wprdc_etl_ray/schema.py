@@ -88,6 +88,55 @@ def snapshot_schema(public: pa.Schema) -> pa.Schema:
     return pa.schema(fields)
 
 
+# --- schema (de)serialization ------------------------------------------------
+
+_TYPE_PARSERS: dict[str, pa.DataType] = {
+    "string": pa.string(),
+    "large_string": pa.large_string(),
+    "binary": pa.binary(),
+    "bool": pa.bool_(),
+    "int8": pa.int8(),
+    "int16": pa.int16(),
+    "int32": pa.int32(),
+    "int64": pa.int64(),
+    "float": pa.float32(),
+    "float32": pa.float32(),
+    "double": pa.float64(),
+    "float64": pa.float64(),
+    "date32[day]": pa.date32(),
+    "timestamp[s]": pa.timestamp("s"),
+    "timestamp[ms]": pa.timestamp("ms"),
+    "timestamp[us]": pa.timestamp("us"),
+    "timestamp[ns]": pa.timestamp("ns"),
+    "list<item: float>": pa.list_(pa.float32()),
+    "list<item: double>": pa.list_(pa.float64()),
+}
+
+
+def schema_to_fields(schema: pa.Schema) -> list[dict]:
+    """Serialize an Arrow schema to a JSON-able field list.
+
+    Reference parity: ``BaseSchema.serialize_to_ckan_fields`` (wprdc-etl
+    pipeline/schema.py) converts the declared marshmallow schema into
+    CKAN datastore DDL dicts ``[{'id': …, 'type': …}, …]``; here the
+    target "DDL" is the manifest's schema record.
+    """
+    return [
+        {"id": f.name, "type": str(f.type), "nullable": f.nullable} for f in schema
+    ]
+
+
+def fields_to_schema(fields: list[dict]) -> pa.Schema:
+    """Inverse of :func:`schema_to_fields`."""
+    out = []
+    for f in fields:
+        t = _TYPE_PARSERS.get(f["type"])
+        if t is None:
+            raise SchemaEvolutionError(f"unknown serialized type {f['type']!r}")
+        out.append(pa.field(f["id"], t, nullable=f.get("nullable", True)))
+    return pa.schema(out)
+
+
 # --- evolution ---------------------------------------------------------------
 
 _WIDENINGS: dict[str, set[str]] = {

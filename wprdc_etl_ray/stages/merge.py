@@ -1,0 +1,112 @@
+"""LSM-style last-writer-wins upsert merge (SURVEY.md §2.3 X5/X6).
+
+The reference's heart is ``CKANDatastoreLoader.load`` →
+``datastore_upsert(method='upsert')`` — a keyed merge on ``key_fields``
+(wprdc-etl pipeline/loaders.py). Here that merge is a **vectorized
+arg-max** over Arrow tables: sort the group by
+``(conv_id, turn_idx, ts, offset)`` and keep the last row per key —
+last-writer-wins on ``ts``, ties broken by ``offset`` (a deterministic
+total order, so retried tasks and replayed segments produce identical
+bytes). ``delete`` events become tombstones (``_deleted=true``) that are
+*kept* in the snapshot so a late-arriving older update cannot resurrect
+a deleted key; public reads filter them out.
+
+No Python row loop anywhere: the per-key "last" selection is a numpy
+boundary mask over dictionary-encoded keys.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _key_codes(table: pa.Table) -> np.ndarray:
+    """Encode (conv_id, turn_idx) into one int64 key per row (vectorized)."""
+    conv = table.column("conv_id")
+    if isinstance(conv, pa.ChunkedArray):
+        conv = conv.combine_chunks()
+    codes = pc.dictionary_encode(conv)
+    if isinstance(codes, pa.ChunkedArray):
+        codes = codes.combine_chunks()
+    conv_codes = codes.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    turn = table.column("turn_idx").to_numpy(zero_copy_only=False).astype(np.int64)
+    # conv codes < 2^31 (distinct convs per group), turn_idx < 2^31
+    return (conv_codes << np.int64(31)) | turn
+
+
+def lww_merge(events: pa.Table) -> pa.Table:
+    """Arg-max merge of change events for one group.
+
+    Input: change-schema rows (op, conv_id, turn_idx, payload…, ts,
+    offset) — any mix of inserts/updates/deletes/duplicates, any order.
+    Output: one row per key — the (ts, offset)-max event — sorted by
+    (conv_id, turn_idx), with ``_deleted`` = (winning op == 'delete')
+    and ``_offset`` = winning offset. Payload columns of tombstones are
+    null. Deterministic and idempotent: the same multiset of events
+    yields byte-identical output regardless of delivery order or
+    duplication (SURVEY.md §2.3 X9).
+    """
+    t = events.sort_by(
+        [
+            ("conv_id", "ascending"),
+            ("turn_idx", "ascending"),
+            ("ts", "ascending"),
+            ("offset", "ascending"),
+        ]
+    ).combine_chunks()
+    if t.num_rows == 0:
+        return _empty_like(t)
+    key = _key_codes(t)
+    last = np.empty(len(key), dtype=bool)
+    last[-1] = True
+    np.not_equal(key[1:], key[:-1], out=last[:-1])
+    t = t.filter(pa.array(last))
+
+    deleted = pc.equal(t.column("op"), "delete")
+    out = t.drop_columns(["op", "offset"])
+    out = out.append_column("_offset", t.column("offset").cast(pa.int64()))
+    out = out.append_column("_deleted", deleted.combine_chunks() if isinstance(deleted, pa.ChunkedArray) else deleted)
+    return out
+
+
+def _empty_like(t: pa.Table) -> pa.Table:
+    out = t.drop_columns(["op", "offset"])
+    out = out.append_column("_offset", pa.nulls(0, pa.int64()))
+    out = out.append_column("_deleted", pa.nulls(0, pa.bool_()))
+    return out
+
+
+def snapshot_as_events(snapshot: pa.Table) -> pa.Table:
+    """Re-express committed snapshot rows as pseudo-events so an
+    incremental epoch can merge them with new events on equal footing.
+
+    ``_deleted`` tombstones become op='delete'; live rows op='insert';
+    ``_offset`` becomes the event offset (so LWW tie-breaks still hold
+    across epochs)."""
+    op = pc.if_else(
+        snapshot.column("_deleted"),
+        pa.scalar("delete"),
+        pa.scalar("insert"),
+    )
+    t = snapshot.drop_columns(["_deleted"])
+    t = t.rename_columns(
+        ["offset" if c == "_offset" else c for c in t.schema.names]
+    )
+    return t.append_column("op", op)
+
+
+def merge_with_snapshot(events: pa.Table, snapshot: pa.Table | None) -> pa.Table:
+    """Merge new events with the prior snapshot of the same partition."""
+    if snapshot is not None and snapshot.num_rows:
+        prior = snapshot_as_events(snapshot)
+        # normalize column order/presence differences (schema evolution
+        # across epochs): promote both to the union schema
+        from ..schema import normalize_batch, unify_schemas
+
+        target = unify_schemas([prior.schema, events.schema])
+        events = pa.concat_tables(
+            [normalize_batch(prior, target), normalize_batch(events, target)]
+        )
+    return lww_merge(events)
