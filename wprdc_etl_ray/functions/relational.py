@@ -1,0 +1,195 @@
+"""Generic relational operator layer over ray.data.Dataset (SURVEY.md §2.3 X12).
+
+The reference has no relational operators (confirm-absent, SURVEY.md
+§2.1) — these exist because the north rule's correctness harness
+exercises filters, projections, grouped aggregates, sorts/top-k, hash
+joins, distinct, windowed aggregation and latest-event-wins over the
+driver testdata tables. Every operator here is built scale-first:
+
+- vectorized Arrow/pandas kernels inside ``map_batches`` (no row loops),
+- broadcast (``ray.put``) small sides instead of shuffling big sides,
+- partial pre-aggregation before ``groupby`` where it shrinks the
+  shuffle,
+- one explicit bucket key when keys must be co-located.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from ..stages.partition import hash_strings
+
+
+def read_table(
+    sf_dir: str, name: str, columns: list[str] | None = None
+) -> ray.data.Dataset:
+    """Column-pruned parquet read (only requested columns leave storage)."""
+    return ray.data.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+def filter_batches(ds: ray.data.Dataset, predicate) -> ray.data.Dataset:
+    """Vectorized filter: ``predicate(pa.Table) -> BooleanArray``.
+
+    Preferred over ``ds.filter(row_fn)`` which calls Python per row."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return batch.filter(predicate(batch))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def broadcast_join(
+    ds: ray.data.Dataset,
+    small: pd.DataFrame,
+    on: list[str] | str,
+    how: str = "inner",
+    right_on: list[str] | str | None = None,
+) -> ray.data.Dataset:
+    """Join a Dataset against a SMALL table without a shuffle: the small
+    side is ``ray.put`` once and merged per batch (dimension tables,
+    lookup maps). The big side streams; nothing is co-located."""
+    ref = ray.put(small)
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        s = ray.get(ref)
+        if right_on is not None:
+            out = batch.merge(s, how=how, left_on=on, right_on=right_on)
+            drop = [c for c in (right_on if isinstance(right_on, list) else [right_on]) if c not in (on if isinstance(on, list) else [on])]
+            return out.drop(columns=drop)
+        return batch.merge(s, how=how, on=on)
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def semi_join(
+    ds: ray.data.Dataset, keys: np.ndarray | set, column: str, anti: bool = False
+) -> ray.data.Dataset:
+    """Semi/anti join by broadcasting the key SET and filtering per batch.
+
+    At 100 TB the broadcast side is a Bloom filter or sorted key array
+    per executor; here an exact key set (``np.isin`` over Arrow-backed
+    numpy) — same plumbing, no shuffle of the big side."""
+    key_arr = np.asarray(sorted(keys)) if isinstance(keys, set) else np.unique(keys)
+    ref = ray.put(key_arr)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ks = ray.get(ref)
+        col = batch.column(column).to_numpy(zero_copy_only=False)
+        mask = np.isin(col, ks)
+        if anti:
+            mask = ~mask
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def hash_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: str | tuple[str, ...],
+    right_on: str | tuple[str, ...] | None = None,
+    join_type: str = "inner",
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Partitioned hash join of two large Datasets (``Dataset.join`` —
+    hash-partitioned on the key, Ray 2.49)."""
+    on_t = (on,) if isinstance(on, str) else tuple(on)
+    r_t = None if right_on is None else ((right_on,) if isinstance(right_on, str) else tuple(right_on))
+    return left.join(
+        right,
+        join_type=join_type,
+        num_partitions=num_partitions,
+        on=on_t,
+        right_on=r_t,
+    )
+
+
+def add_bucket(
+    ds: ray.data.Dataset, column: str, num_buckets: int, bucket_col: str = "_bucket"
+) -> ray.data.Dataset:
+    """Append a deterministic hash-bucket column (the ONE partitioning
+    key reused across co-location-sensitive stages)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        col = batch.column(column)
+        if pa.types.is_integer(col.type):
+            b = (
+                col.to_numpy(zero_copy_only=False).astype(np.uint64)
+                * np.uint64(0x9E3779B97F4A7C15)
+            ) % np.uint64(num_buckets)
+        else:
+            b = hash_strings(col) % np.uint64(num_buckets)
+        return batch.append_column(bucket_col, pa.array(b.astype(np.int32)))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def argmax_per_key(
+    table: pa.Table, key_cols: list[str], order_cols: list[str]
+) -> pa.Table:
+    """Keep the (order_cols)-max row per key — vectorized sort + boundary
+    mask, the same kernel shape as the CDC LWW merge (stages/merge.py)."""
+    sort_keys = [(c, "ascending") for c in key_cols + order_cols]
+    t = table.sort_by(sort_keys).combine_chunks()
+    n = t.num_rows
+    if n == 0:
+        return t
+    last = np.ones(n, dtype=bool)
+    for c in key_cols:
+        col = t.column(c)
+        if pa.types.is_integer(col.type):
+            v = col.to_numpy(zero_copy_only=False)
+            neq = v[1:] != v[:-1]
+        else:
+            arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            codes = pc.dictionary_encode(arr)
+            if isinstance(codes, pa.ChunkedArray):
+                codes = codes.combine_chunks()
+            v = codes.indices.to_numpy(zero_copy_only=False)
+            neq = v[1:] != v[:-1]
+        if c == key_cols[0]:
+            boundary = neq
+        else:
+            boundary = boundary | neq
+    last[:-1] = boundary
+    return t.filter(pa.array(last))
+
+
+def latest_per_key(
+    ds: ray.data.Dataset,
+    key_cols: list[str],
+    order_cols: list[str],
+    num_buckets: int = 16,
+) -> ray.data.Dataset:
+    """Distributed latest-event-wins: bucket by the first key column,
+    then a per-bucket vectorized arg-max (one shuffle). Pre-reduces each
+    batch before the shuffle so only per-batch winners move — the
+    partial-aggregation pattern applied to arg-max."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return argmax_per_key(batch, key_cols, order_cols)
+
+    pre = ds.map_batches(partial, batch_format="pyarrow")
+    bucketed = add_bucket(pre, key_cols[0], num_buckets)
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        return argmax_per_key(group, key_cols, order_cols).drop_columns(["_bucket"])
+
+    return bucketed.groupby("_bucket").map_groups(per_bucket, batch_format="pyarrow")
+
+
+def distinct_sorted(ds: ray.data.Dataset, column: str) -> pa.Table:
+    """Distinct values of one column: per-batch unique (combiner) →
+    global unique — the shuffle carries only distinct values."""
+
+    def uniq(batch: pa.Table) -> pa.Table:
+        return pa.table({column: pc.unique(batch.column(column))})
+
+    vals = ds.map_batches(uniq, batch_format="pyarrow").unique(column)
+    return pa.table({column: pa.array(sorted(vals))})

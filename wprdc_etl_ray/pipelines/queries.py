@@ -1,0 +1,695 @@
+"""Driver correctness-harness queries (SURVEY.md §2.3 X12) + DuckDB oracles.
+
+One entry per implemented operator/pipeline; each callable takes
+``sf_dir`` and returns a Dataset / pandas DataFrame / pyarrow Table.
+Column names are IDENTICAL between the Ray implementation and the
+oracle SQL (the driver's value-hash sorts columns by name).
+
+Precision policy (engine-agnostic float comparison): float aggregates
+are exported as FIXED-POINT BIGINT — sums in cents via
+``floor(x*100 + 0.5)``, means/ratios/cosines in micro-units, with
+means computed by exact integer division from the cents sum
+(``cents * 10^4 // n``). Raw per-row doubles (no re-aggregation) are
+kept as doubles: identical IEEE ops give bit-identical values. Cosines
+are computed in float64 on BOTH sides (DuckDB list_cosine_similarity
+is cast to DOUBLE[]).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from ..functions.dedup import (
+    embedding_near_dups,
+    exact_dedup,
+    minhash_lsh_candidates,
+    simhash_signatures,
+)
+from ..functions.multimodal import multimodal_features
+from ..functions.relational import (
+    broadcast_join,
+    distinct_sorted,
+    filter_batches,
+    hash_join,
+    latest_per_key,
+    read_table,
+    semi_join,
+)
+from ..functions.similarity import all_pairs_nn, brute_force_topk, ivf_topk
+from ..functions.text import fingerprint, lang_id, quality, token_stats
+
+# --- helpers -----------------------------------------------------------------
+
+
+def _fp_cols(spec: dict[str, int]):
+    """Fixed-point conversion floor(x*scale + 0.5) -> int64 — the
+    engine-agnostic way to compare float aggregates (identical integer
+    definition on the DuckDB side; no double-representation mismatch)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        for col, scale in spec.items():
+            i = batch.schema.get_field_index(col)
+            v = pc.floor(
+                pc.add(pc.multiply(batch.column(col).cast(pa.float64()), float(scale)), 0.5)
+            ).cast(pa.int64())
+            batch = batch.set_column(i, col, v)
+        return batch
+
+    return fn
+
+
+def _avg_micro(batch: pa.Table, out_col: str, cents_col: str, n_col: str) -> pa.Table:
+    """avg in micro-units from integer pieces: cents*10^4 // n (exact)."""
+    cents = batch.column(cents_col).to_numpy(zero_copy_only=False)
+    n = batch.column(n_col).to_numpy(zero_copy_only=False)
+    val = (cents * 10000) // n
+    return batch.append_column(out_col, pa.array(val, pa.int64()))
+
+
+def _as_int64(cols: list[str]):
+    def fn(batch: pa.Table) -> pa.Table:
+        for col in cols:
+            i = batch.schema.get_field_index(col)
+            batch = batch.set_column(i, col, batch.column(col).cast(pa.int64()))
+        return batch
+
+    return fn
+
+
+# --- flagship CDC pipeline as a driver-checked query -------------------------
+
+CDC_TMP = "/tmp/graft_cdc_oracle"
+
+
+def _sf_of(sf_dir: str) -> float:
+    name = os.path.basename(os.path.normpath(sf_dir))
+    return float(name.replace("sf", "")) if name.startswith("sf") else 0.01
+
+
+def cdc_wal_dir(sf_dir: str) -> str:
+    """Deterministic WAL for the flagship query, cached per scale factor.
+    Generated with evolve_at=None so the oracle SQL sees one schema."""
+    sf = _sf_of(sf_dir)
+    n_events = max(2000, int(6_000_000 * sf))
+    out = os.path.join(CDC_TMP, os.path.basename(os.path.normpath(sf_dir)))
+    wal = os.path.join(out, "wal")
+    marker = os.path.join(out, f".complete-{n_events}")
+    if not os.path.exists(marker):
+        from ..gen import generate_change_log, write_wal
+
+        log = generate_change_log(n_events, seed=42)
+        write_wal(out, log, segment_rows=max(1000, n_events // 24))
+        with open(marker, "w") as f:
+            f.write(str(n_events))
+    return wal
+
+
+def q_cdc_flagship(sf_dir: str):
+    """WAL tail → LWW upsert merge → exactly-once commit → read back.
+    The whole engine in one query; oracle = the A5 window SQL over the
+    same WAL files."""
+    from .cdc import CDCConfig, read_transcripts, run_ingest
+
+    wal = cdc_wal_dir(sf_dir)
+    root = os.path.join(os.path.dirname(wal), "table")
+    run_ingest(wal, root, CDCConfig(num_partitions=32))
+    return read_transcripts(root)
+
+
+def _cdc_oracle_sql() -> str:
+    wal = cdc_wal_dir("/root/testdata/sf0.01")  # driver compares at sf0.01
+    glob_path = os.path.join(wal, "seg-*.parquet")
+    return f"""
+WITH ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY conv_id, turn_idx
+      ORDER BY ts DESC, "offset" DESC) AS rn
+  FROM read_parquet('{glob_path}')
+)
+SELECT conv_id, turn_idx, role, text, tool, ts
+FROM ranked WHERE rn = 1 AND op <> 'delete'
+"""
+
+
+# --- relational / aggregate queries ------------------------------------------
+
+
+def q_pricing_summary(sf_dir: str):
+    """TPC-H Q1 shape: filter + grouped aggregates (Sum/Mean/Count with
+    tree-combine inside Ray Data's aggregate)."""
+    ds = read_table(
+        sf_dir,
+        "lineitem",
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_shipdate",
+        ],
+    )
+    ds = filter_batches(
+        ds, lambda t: pc.less_equal(t.column("l_shipdate"), pa.scalar(pd.Timestamp("1998-09-02")))
+    )
+
+    def revenue(t: pa.Table) -> pa.Table:
+        disc = pc.multiply(
+            t.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), t.column("l_discount"))
+        )
+        return t.append_column("disc_price", disc)
+
+    ds = ds.map_batches(revenue, batch_format="pyarrow")
+    out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity", alias_name="sum_qty"),
+        Sum("l_extendedprice", alias_name="sum_base_price"),
+        Sum("disc_price", alias_name="sum_disc_price"),
+        Sum("l_discount", alias_name="_sum_disc"),
+        Count(alias_name="count_order"),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = _fp_cols({"sum_qty": 100, "sum_base_price": 100, "sum_disc_price": 100, "_sum_disc": 100})(t)
+        t = _as_int64(["count_order"])(t)
+        t = _avg_micro(t, "avg_qty", "sum_qty", "count_order")
+        t = _avg_micro(t, "avg_disc", "_sum_disc", "count_order")
+        return t.drop_columns(["_sum_disc"])
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       CAST(FLOOR(SUM(l_quantity) * 100 + 0.5) AS BIGINT)                      AS sum_qty,
+       CAST(FLOOR(SUM(l_extendedprice) * 100 + 0.5) AS BIGINT)                 AS sum_base_price,
+       CAST(FLOOR(SUM(l_extendedprice * (1 - l_discount)) * 100 + 0.5) AS BIGINT) AS sum_disc_price,
+       CAST(COUNT(*) AS BIGINT)                                                AS count_order,
+       CAST(FLOOR(SUM(l_quantity) * 100 + 0.5) AS BIGINT) * 10000 // COUNT(*)  AS avg_qty,
+       CAST(FLOOR(SUM(l_discount) * 100 + 0.5) AS BIGINT) * 10000 // COUNT(*)  AS avg_disc
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_filter_revenue(sf_dir: str):
+    """Vectorized filter + projection with a computed column (per-row
+    IEEE arithmetic — bit-identical across engines, no rounding)."""
+    ds = read_table(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1997-01-01")
+    ds = filter_batches(
+        ds,
+        lambda t: pc.and_(
+            pc.greater_equal(t.column("l_shipdate"), pa.scalar(lo)),
+            pc.less(t.column("l_shipdate"), pa.scalar(hi)),
+        ),
+    )
+
+    def proj(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            t.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), t.column("l_discount"))
+        )
+        return pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "l_linenumber": t.column("l_linenumber"),
+                "revenue": rev,
+            }
+        )
+
+    return ds.map_batches(proj, batch_format="pyarrow")
+
+
+SQL_FILTER_REVENUE = """
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice * (1 - l_discount) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+"""
+
+
+def q_topk_orders(sf_dir: str):
+    """Global sort + top-k with a deterministic tiebreak."""
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice", "o_orderdate"])
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+
+
+SQL_TOPK_ORDERS = """
+SELECT o_orderkey, o_totalprice, o_orderdate
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+def q_segment_revenue(sf_dir: str):
+    """Partitioned hash join (Dataset.join) orders ⋈ customer → grouped sum."""
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    j = hash_join(orders, cust, on="o_custkey", right_on="c_custkey", num_partitions=8)
+    out = j.groupby("c_mktsegment").aggregate(
+        Sum("o_totalprice", alias_name="total_revenue"),
+        Count(alias_name="n_orders"),
+    )
+    return out.map_batches(_fp_cols({"total_revenue": 100}), batch_format="pyarrow").map_batches(
+        _as_int64(["n_orders"]), batch_format="pyarrow"
+    )
+
+
+SQL_SEGMENT_REVENUE = """
+SELECT c_mktsegment,
+       CAST(FLOOR(SUM(o_totalprice) * 100 + 0.5) AS BIGINT) AS total_revenue,
+       CAST(COUNT(*) AS BIGINT)                             AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_region_customers(sf_dir: str):
+    """Broadcast join: dimension chain nation⋈region merged driver-side
+    (tiny), ray.put once, merged per customer batch — no shuffle."""
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    region = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    dim = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")[
+        ["n_nationkey", "r_name"]
+    ]
+    cust = read_table(sf_dir, "customer", columns=["c_nationkey", "c_acctbal"])
+    j = broadcast_join(cust, dim, on="c_nationkey", right_on="n_nationkey")
+    out = j.groupby("r_name").aggregate(
+        Count(alias_name="n_customers"),
+        Sum("c_acctbal", alias_name="_sum_bal"),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = _fp_cols({"_sum_bal": 100})(t)
+        t = _as_int64(["n_customers"])(t)
+        t = _avg_micro(t, "avg_acctbal", "_sum_bal", "n_customers")
+        return t.drop_columns(["_sum_bal"])
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_REGION_CUSTOMERS = """
+SELECT r_name,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(FLOOR(SUM(c_acctbal) * 100 + 0.5) AS BIGINT) * 10000 // COUNT(*) AS avg_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q_distinct_event_types(sf_dir: str):
+    ds = read_table(sf_dir, "events", columns=["event_type"])
+    return distinct_sorted(ds, "event_type")
+
+
+SQL_DISTINCT_EVENT_TYPES = "SELECT DISTINCT event_type FROM events"
+
+
+def q_event_windows(sf_dir: str):
+    """Tumbling event-time window (1 day) per event_type: the engine's
+    windowed-aggregate op (floor_temporal + groupby)."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(t.column("ts"), unit="day")
+        return pa.table(
+            {"event_type": t.column("event_type"), "day": day, "value": t.column("value")}
+        )
+
+    out = (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby(["event_type", "day"])
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+    )
+    return out.map_batches(_fp_cols({"sum_value": 100}), batch_format="pyarrow").map_batches(
+        _as_int64(["n"]), batch_format="pyarrow"
+    )
+
+
+SQL_EVENT_WINDOWS = """
+SELECT event_type, date_trunc('day', ts) AS day,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(FLOOR(SUM(value) * 100 + 0.5) AS BIGINT) AS sum_value
+FROM events GROUP BY event_type, date_trunc('day', ts)
+"""
+
+
+def q_latest_event_per_user(sf_dir: str):
+    """Latest-event-wins per user — the CDC arg-max kernel over the
+    driver's events table (per-batch partial arg-max, bucket shuffle,
+    per-bucket final arg-max)."""
+    ds = read_table(sf_dir, "events")
+    out = latest_per_key(ds, ["user_id"], ["ts", "event_id"], num_buckets=8)
+    return out.select_columns(["user_id", "event_id", "event_type", "value", "ts"])
+
+
+SQL_LATEST_EVENT = """
+WITH ranked AS (
+  SELECT user_id, event_id, event_type, value, ts,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+  FROM events)
+SELECT user_id, event_id, event_type, value, ts FROM ranked WHERE rn = 1
+"""
+
+
+def q_sessionize(sf_dir: str):
+    """Gap-based sessionization (30 min) per user: sorted per-group
+    window logic in map_groups — Ray Data's answer to stream windows."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        gaps = g["ts"].diff() > pd.Timedelta(minutes=30)
+        return pd.DataFrame(
+            {"user_id": [g["user_id"].iloc[0]], "n_sessions": [int(1 + gaps.sum())]}
+        )
+
+    out = ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return out.map_batches(_as_int64(["n_sessions"]), batch_format="pyarrow")
+
+
+SQL_SESSIONIZE = """
+WITH d AS (
+  SELECT user_id, ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events)
+SELECT user_id,
+       CAST(1 + SUM(CASE WHEN gap > INTERVAL 30 MINUTE THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+FROM d GROUP BY user_id
+"""
+
+
+def q_semi_join_parts(sf_dir: str):
+    """Semi join via broadcast key set (no shuffle of the big side)."""
+    import pyarrow.parquet as pq
+
+    parts = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_size"])
+    keys = parts.filter(pc.greater(parts.column("p_size"), 40)).column("p_partkey")
+    ds = read_table(sf_dir, "lineitem", columns=["l_partkey", "l_returnflag", "l_quantity"])
+    f = semi_join(ds, keys.to_numpy(), "l_partkey")
+    out = f.groupby("l_returnflag").aggregate(
+        Count(alias_name="n"), Sum("l_quantity", alias_name="sum_qty")
+    )
+    return out.map_batches(_fp_cols({"sum_qty": 100}), batch_format="pyarrow").map_batches(
+        _as_int64(["n"]), batch_format="pyarrow"
+    )
+
+
+SQL_SEMI_JOIN_PARTS = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(FLOOR(SUM(l_quantity) * 100 + 0.5) AS BIGINT) AS sum_qty
+FROM lineitem
+WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size > 40)
+GROUP BY l_returnflag
+"""
+
+
+def q_anti_join_customers(sf_dir: str):
+    """Anti join via broadcast key set: customers with no high-value
+    order (the NOT IN set is built from a filtered scan)."""
+    import pyarrow.parquet as pq
+
+    ot = pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    okeys = ot.filter(pc.greater(ot.column("o_totalprice"), 300000.0)).column("o_custkey")
+    ds = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    f = semi_join(ds, okeys.to_numpy(), "c_custkey", anti=True)
+    out = f.groupby("c_mktsegment").aggregate(Count(alias_name="n_customers"))
+    return out.map_batches(_as_int64(["n_customers"]), batch_format="pyarrow")
+
+
+SQL_ANTI_JOIN_CUSTOMERS = """
+SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+GROUP BY c_mktsegment
+"""
+
+
+def q_order_priority(sf_dir: str):
+    """TPC-H Q4 shape: EXISTS semi-join expressed as join+distinct+count."""
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+    orders = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_orderdate", "o_orderpriority"]
+    )
+    j = hash_join(li, orders, on="l_orderkey", right_on="o_orderkey", num_partitions=8)
+    j = filter_batches(
+        j, lambda t: pc.greater(t.column("l_shipdate"), t.column("o_orderdate"))
+    )
+    distinct_orders = j.groupby(["l_orderkey", "o_orderpriority"]).aggregate(
+        Count(alias_name="_c")
+    )
+    out = distinct_orders.groupby("o_orderpriority").aggregate(
+        Count(alias_name="n_orders")
+    )
+    return out.map_batches(_as_int64(["n_orders"]), batch_format="pyarrow")
+
+
+SQL_ORDER_PRIORITY = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+"""
+
+
+def q_user_value_stats(sf_dir: str):
+    ds = read_table(sf_dir, "events", columns=["user_id", "value"])
+    out = ds.groupby("user_id").aggregate(
+        Count(alias_name="n"),
+        Sum("value", alias_name="sum_value"),
+        Min("value", alias_name="min_value"),
+        Max("value", alias_name="max_value"),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = _fp_cols({"sum_value": 100})(t)
+        t = _as_int64(["n"])(t)
+        return _avg_micro(t, "avg_value", "sum_value", "n")
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_USER_VALUE_STATS = """
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(FLOOR(SUM(value) * 100 + 0.5) AS BIGINT) AS sum_value,
+       MIN(value)               AS min_value,
+       MAX(value)               AS max_value,
+       CAST(FLOOR(SUM(value) * 100 + 0.5) AS BIGINT) * 10000 // COUNT(*) AS avg_value
+FROM events GROUP BY user_id
+"""
+
+
+# --- dedup / text / similarity / multimodal ----------------------------------
+
+
+def q_dedup_exact(sf_dir: str):
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return exact_dedup(ds)
+
+
+SQL_DEDUP_EXACT = """
+SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id FROM documents GROUP BY text
+"""
+
+
+def q_token_stats(sf_dir: str):
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(token_stats, batch_format="pyarrow")
+
+
+SQL_TOKEN_STATS = r"""
+SELECT doc_id,
+       CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+       CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS BIGINT) * 1000000
+         // GREATEST(len(regexp_split_to_array(trim(text), '\s+')), 1) AS avg_token_len
+FROM documents
+"""
+
+_STOPWORDS = "the and of a to in is it that for on with as are this".split()
+
+
+def q_quality(sf_dir: str):
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return quality(ds)
+
+
+SQL_QUALITY = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents)
+SELECT doc_id,
+       CAST(len(t) AS BIGINT) AS n_tokens,
+       CAST(len(list_filter(t, x -> list_contains({stop}, x))) AS BIGINT) * 1000000
+         // GREATEST(len(t), 1) AS stopword_ratio
+FROM toks
+""".replace("{stop}", "[" + ",".join(f"'{w}'" for w in _STOPWORDS) + "]")
+
+
+def q_multimodal_features(sf_dir: str):
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return multimodal_features(ds)
+
+
+SQL_MULTIMODAL = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS content_md5
+FROM documents
+"""
+
+
+def q_knn_all(sf_dir: str):
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return all_pairs_nn(ds)
+
+
+SQL_KNN_ALL = """
+WITH sims AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS nn_id,
+         list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                CAST(b.embedding AS DOUBLE[])) AS c
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, nn_id) rn
+  FROM sims)
+SELECT vec_id, nn_id, CAST(FLOOR(c * 1000000 + 0.5) AS BIGINT) AS cosine
+FROM ranked WHERE rn = 1
+"""
+
+
+def q_cosine_topk(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qvec = np.asarray(
+        emb.filter(pc.equal(emb.column("vec_id"), 0)).column("embedding")[0].as_py(),
+        dtype=np.float64,
+    )
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return brute_force_topk(ds, qvec, k=5, exclude=0)
+
+
+SQL_COSINE_TOPK = """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id = 0)
+SELECT b.vec_id AS vec_id,
+       CAST(FLOOR(list_cosine_similarity(CAST(b.embedding AS DOUBLE[]), (SELECT e FROM q)) * 1000000 + 0.5) AS BIGINT) AS cosine
+FROM embeddings b WHERE b.vec_id <> 0
+ORDER BY list_cosine_similarity(CAST(b.embedding AS DOUBLE[]), (SELECT e FROM q)) DESC, b.vec_id
+LIMIT 5
+"""
+
+
+# rows-only checks (non-SQL-expressible or heuristic)
+
+
+def q_lang_id(sf_dir: str):
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return lang_id(ds).select_columns(["doc_id", "lang_pred"])
+
+
+def q_fingerprint(sf_dir: str):
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(fingerprint, batch_format="pyarrow")
+
+
+def q_minhash_pairs(sf_dir: str):
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return minhash_lsh_candidates(ds)
+
+
+def q_simhash(sf_dir: str):
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return simhash_signatures(ds)
+
+
+def q_embedding_near_dups(sf_dir: str):
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return embedding_near_dups(ds, threshold=0.2)
+
+
+def q_ivf_topk(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qvec = np.asarray(
+        emb.filter(pc.equal(emb.column("vec_id"), 0)).column("embedding")[0].as_py(),
+        dtype=np.float64,
+    )
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return ivf_topk(ds, qvec, k=5)
+
+
+# --- registry ----------------------------------------------------------------
+
+
+def queries():
+    return {
+        "cdc_flagship": q_cdc_flagship,
+        "pricing_summary": q_pricing_summary,
+        "filter_revenue": q_filter_revenue,
+        "topk_orders": q_topk_orders,
+        "segment_revenue": q_segment_revenue,
+        "region_customers": q_region_customers,
+        "distinct_event_types": q_distinct_event_types,
+        "event_windows": q_event_windows,
+        "latest_event_per_user": q_latest_event_per_user,
+        "sessionize": q_sessionize,
+        "semi_join_parts": q_semi_join_parts,
+        "anti_join_customers": q_anti_join_customers,
+        "order_priority": q_order_priority,
+        "user_value_stats": q_user_value_stats,
+        "dedup_exact": q_dedup_exact,
+        "token_stats": q_token_stats,
+        "quality_score": q_quality,
+        "multimodal_features": q_multimodal_features,
+        "knn_all": q_knn_all,
+        "cosine_topk": q_cosine_topk,
+        # rows-only (heuristic / not SQL-expressible)
+        "lang_id": q_lang_id,
+        "doc_fingerprint": q_fingerprint,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash": q_simhash,
+        "embedding_near_dups": q_embedding_near_dups,
+        "ivf_topk": q_ivf_topk,
+    }
+
+
+def oracle_sql():
+    return {
+        "cdc_flagship": _cdc_oracle_sql(),
+        "pricing_summary": SQL_PRICING,
+        "filter_revenue": SQL_FILTER_REVENUE,
+        "topk_orders": SQL_TOPK_ORDERS,
+        "segment_revenue": SQL_SEGMENT_REVENUE,
+        "region_customers": SQL_REGION_CUSTOMERS,
+        "distinct_event_types": SQL_DISTINCT_EVENT_TYPES,
+        "event_windows": SQL_EVENT_WINDOWS,
+        "latest_event_per_user": SQL_LATEST_EVENT,
+        "sessionize": SQL_SESSIONIZE,
+        "semi_join_parts": SQL_SEMI_JOIN_PARTS,
+        "anti_join_customers": SQL_ANTI_JOIN_CUSTOMERS,
+        "order_priority": SQL_ORDER_PRIORITY,
+        "user_value_stats": SQL_USER_VALUE_STATS,
+        "dedup_exact": SQL_DEDUP_EXACT,
+        "token_stats": SQL_TOKEN_STATS,
+        "quality_score": SQL_QUALITY,
+        "multimodal_features": SQL_MULTIMODAL,
+        "knn_all": SQL_KNN_ALL,
+        "cosine_topk": SQL_COSINE_TOPK,
+    }
