@@ -1,0 +1,190 @@
+"""Benchmark harness (BASELINE.md).
+
+Headline: change-events/sec end-to-end for the flagship CDC pipeline
+(WAL tail → validate → hash-partition → LWW upsert merge → per-partition
+Parquet write → two-phase manifest commit) on a deterministic synthetic
+WAL sized to the scale factor, plus per-query timings for the main
+operator pipelines over $GRAFT_SF_DIR tables.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": sec, "unit": "sec", "queries": {...},
+   "sf": ..., "num_cpus": N, "events": N, "events_per_sec": N}
+
+--scaling: runs the same job in two fresh processes at num_cpus=8 and
+num_cpus=32 (the sandbox proxy for the north rule's N vs 4N node
+criterion) and reports both throughputs + scaling efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+os.chdir(REPO)
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_TMP = "/tmp/graft_bench"
+
+
+def _sf_of(sf_dir: str) -> float:
+    name = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def prepare_wal(sf: float) -> tuple[str, int]:
+    """Deterministic WAL for the headline run, cached across bench runs.
+    GRAFT_BENCH_EVENTS overrides the sf-derived size (used by --scaling
+    to make the job long enough that compute dominates fixed overhead)."""
+    from wprdc_etl_ray.gen import generate_change_log, write_wal
+
+    n_events = int(os.environ.get("GRAFT_BENCH_EVENTS", 0)) or max(
+        20_000, int(6_000_000 * sf)
+    )
+    out = os.path.join(BENCH_TMP, f"wal-{n_events}")
+    marker = os.path.join(out, ".complete")
+    if not os.path.exists(marker):
+        shutil.rmtree(out, ignore_errors=True)
+        log = generate_change_log(n_events, seed=42)
+        write_wal(out, log, segment_rows=max(25_000, n_events // 32), evolve_at=0.6)
+        with open(marker, "w") as f:
+            f.write(str(n_events))
+    return os.path.join(out, "wal"), n_events
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from wprdc_etl_ray.pipelines.cdc import CDCConfig, run_ingest
+    from wprdc_etl_ray.pipelines import queries as Q
+
+    sf = _sf_of(SF_DIR)
+    wal, n_events = prepare_wal(sf)
+
+    # warm the page cache (untimed pass over the WAL + tables)
+    import pyarrow.parquet as pq
+    import glob as _glob
+
+    for p in _glob.glob(os.path.join(wal, "*.parquet")):
+        pq.read_table(p)
+    for t in ("lineitem", "orders", "customer", "events", "documents", "embeddings"):
+        pq.read_table(os.path.join(SF_DIR, f"{t}.parquet"))
+
+    # warm the Ray worker pool (untimed): throughput should measure the
+    # pipeline, not one-time worker process spin-up
+    import ray.data as rd
+
+    rd.range(NUM_CPUS * 8, override_num_blocks=NUM_CPUS * 2).map_batches(
+        lambda b: b, batch_format="pyarrow"
+    ).materialize()
+
+    # headline: full CDC ingest into a fresh table (includes commit).
+    # min of 2 runs — the sandbox VM shows a few % CPU steal, and the
+    # min is the steadiest estimator of pipeline cost under that noise.
+    cfg = CDCConfig(num_partitions=max(2 * NUM_CPUS, 16), salt=8)
+    cdc_sec = float("inf")
+    for _ in range(2):
+        table_root = os.path.join(BENCH_TMP, f"table-{NUM_CPUS}")
+        shutil.rmtree(table_root, ignore_errors=True)
+        t0 = time.perf_counter()
+        res = run_ingest(wal, table_root, cfg)
+        cdc_sec = min(cdc_sec, time.perf_counter() - t0)
+        assert res.events_read == n_events, (res.events_read, n_events)
+
+    timings: dict[str, float] = {"cdc_ingest": round(cdc_sec, 3)}
+
+    def timed(name: str, fn):
+        t0 = time.perf_counter()
+        out = fn(SF_DIR)
+        # force execution
+        import ray.data as rd
+
+        if isinstance(out, rd.Dataset):
+            out.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    timed("pricing_summary", Q.q_pricing_summary)
+    timed("segment_revenue", Q.q_segment_revenue)
+    timed("latest_event_per_user", Q.q_latest_event_per_user)
+    timed("event_windows", Q.q_event_windows)
+    timed("dedup_exact", Q.q_dedup_exact)
+    timed("token_stats", Q.q_token_stats)
+    timed("knn_all", Q.q_knn_all)
+    timed("minhash_pairs", Q.q_minhash_pairs)
+
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "cdc_ingest_plus_operator_suite",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "num_cpus": NUM_CPUS,
+        "events": n_events,
+        "events_per_sec": round(n_events / cdc_sec, 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    """Same headline job at 8 and 32 CPUs in fresh processes (north-rule
+    N vs 4N proxy; see BASELINE.md)."""
+    outs = {}
+    scaling_events = os.environ.get("GRAFT_SCALING_EVENTS", "24000000")
+    for ncpu in (8, 32):
+        env = dict(
+            os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_EVENTS=scaling_events
+        )
+        proc = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+        outs[ncpu] = json.loads(proc.stdout.strip().splitlines()[-1])
+        time.sleep(10)  # let the previous raylet fully tear down
+    t8 = outs[8]["queries"]["cdc_ingest"]
+    t32 = outs[32]["queries"]["cdc_ingest"]
+    eff = (t8 / t32) / (32 / 8)
+    return {
+        "metric": "cdc_ingest_scaling",
+        "unit": "sec",
+        "sec_8": t8,
+        "sec_32": t32,
+        "events": outs[8]["events"],
+        "events_per_sec_8": round(outs[8]["events"] / t8, 1),
+        "events_per_sec_32": round(outs[32]["events"] / t32, 1),
+        "scaling_efficiency": round(eff, 3),
+        "total_suite_sec_8": outs[8]["value"],
+        "total_suite_sec_32": outs[32]["value"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -1,0 +1,81 @@
+"""Source-connector parity tests (SURVEY.md §5.1: the reference's
+connector/extractor test coverage — checksum, headers, delimiter,
+mid-file header skip, coercion — re-expressed over Arrow batches)."""
+
+import hashlib
+
+import pyarrow as pa
+import pytest
+
+from wprdc_etl_ray.errors import ConnectorError, SchemaValidationError
+from wprdc_etl_ray.sources.connectors import (
+    file_checksum,
+    http_connector,
+    normalize_header,
+    read_csv_source,
+    remote_file_connector,
+)
+
+SCHEMA = pa.schema(
+    [
+        pa.field("id", pa.int64()),
+        pa.field("name", pa.string()),
+        pa.field("amount", pa.float64()),
+    ]
+)
+
+
+@pytest.fixture()
+def csv_file(tmp_path):
+    p = tmp_path / "data.csv"
+    p.write_text("Id, Name ,Amount\n1,alpha,1.5\n2,beta,2.5\n")
+    return str(p)
+
+
+def test_file_checksum(csv_file):
+    with open(csv_file, "rb") as f:
+        expect = hashlib.md5(f.read()).hexdigest()
+    assert file_checksum(csv_file) == expect
+
+
+def test_normalize_header():
+    assert normalize_header(" Order Key ") == "order_key"
+    assert normalize_header("Weird-Name (x)") == "weird_name_x"
+
+
+def test_csv_headers_normalized_and_coerced(ray_session, csv_file):
+    out = read_csv_source(csv_file, schema=SCHEMA).take_all()
+    assert out[0] == {"id": 1, "name": "alpha", "amount": 1.5}
+    assert out[1]["id"] == 2
+
+
+def test_csv_mid_file_repeated_header_skipped(ray_session, tmp_path):
+    # two concatenated exports: the second header line must be dropped
+    p = tmp_path / "cat.csv"
+    p.write_text("id,name,amount\n1,alpha,1.5\nid,name,amount\n2,beta,2.5\n")
+    out = read_csv_source(str(p), schema=SCHEMA).take_all()
+    assert [r["id"] for r in out] == [1, 2]
+
+
+def test_csv_custom_headers_and_delimiter(ray_session, tmp_path):
+    p = tmp_path / "d.csv"
+    p.write_text("1|alpha|1.5\n2|beta|2.5\n")
+    out = read_csv_source(
+        str(p), schema=SCHEMA, headers=["id", "name", "amount"], delimiter="|"
+    ).take_all()
+    assert [r["name"] for r in out] == ["alpha", "beta"]
+
+
+def test_csv_required_null_strict_raises(ray_session, tmp_path):
+    p = tmp_path / "bad.csv"
+    p.write_text("id,name,amount\n1,alpha,1.5\n,beta,2.5\n")
+    with pytest.raises(Exception) as ei:
+        read_csv_source(str(p), schema=SCHEMA, required=("id",)).take_all()
+    assert "required" in str(ei.value) or "SchemaValidation" in str(ei.value)
+
+
+def test_offline_connectors_raise():
+    with pytest.raises(ConnectorError):
+        remote_file_connector("https://example.org/x.csv")
+    with pytest.raises(ConnectorError):
+        http_connector("https://example.org/api")

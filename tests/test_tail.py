@@ -1,0 +1,115 @@
+"""Tail-mode (stateful merger actor pool) tests: byte-equivalence with
+the batch path, incremental polls, crash-restart replay (SURVEY.md §7
+step 6: "actor path must produce byte-identical tables")."""
+
+import glob
+import os
+
+import pyarrow as pa
+import pytest
+
+from wprdc_etl_ray.gen import generate_change_log, replay_oracle_pandas, write_wal
+from wprdc_etl_ray.pipelines.cdc import (
+    CDCConfig,
+    read_transcripts_arrow,
+    run_ingest,
+)
+from wprdc_etl_ray.pipelines.tail import TailSession
+from wprdc_etl_ray.state.manifest import load_manifest
+
+N = 6000
+
+
+@pytest.fixture(scope="module")
+def log():
+    return generate_change_log(N, seed=11)
+
+
+def equal_tables(root_a, root_b):
+    a, b = read_transcripts_arrow(root_a), read_transcripts_arrow(root_b)
+    return a.equals(b.select(a.schema.names).cast(a.schema))
+
+
+def test_tail_matches_batch_and_oracle(ray_session, tmp_path, log):
+    write_wal(str(tmp_path), log, segment_rows=1500)
+    wal = str(tmp_path / "wal")
+    batch_root, tail_root = str(tmp_path / "batch"), str(tmp_path / "tail")
+    run_ingest(wal, batch_root, CDCConfig(num_partitions=8))
+
+    sess = TailSession(wal, tail_root, CDCConfig(num_partitions=8), num_actors=2)
+    applied = sess.poll()
+    assert applied == N
+    res = sess.commit()
+    assert res.epoch == 1 and res.events_read == N
+    sess.shutdown()
+
+    assert equal_tables(batch_root, tail_root)
+    oracle = replay_oracle_pandas(log)
+    got = read_transcripts_arrow(tail_root).select(oracle.schema.names).cast(oracle.schema)
+    assert got.equals(oracle)
+
+
+def test_tail_incremental_polls(ray_session, tmp_path, log):
+    write_wal(str(tmp_path / "full"), log, segment_rows=1000)
+    segs = sorted(glob.glob(str(tmp_path / "full" / "wal" / "seg-*.parquet")))
+    wal = str(tmp_path / "wal")
+    os.makedirs(wal)
+    tail_root = str(tmp_path / "t")
+
+    sess = TailSession(wal, tail_root, CDCConfig(num_partitions=8), num_actors=2)
+    total = 0
+    # segments arrive over time; poll+commit per delivery wave
+    for i, seg in enumerate(segs):
+        os.link(seg, os.path.join(wal, os.path.basename(seg)))
+        if i % 2 == 1:
+            total += sess.poll()
+            sess.commit()
+    total += sess.poll()
+    res = sess.commit()
+    sess.shutdown()
+    assert total == N
+    assert res.global_watermark == N - 1
+
+    oracle = replay_oracle_pandas(log)
+    got = read_transcripts_arrow(tail_root).select(oracle.schema.names).cast(oracle.schema)
+    assert got.equals(oracle)
+    # epochs advanced per commit wave
+    m = load_manifest(tail_root)
+    assert m["epoch"] >= 3
+    assert m["metrics"]["mode"] == "tail"
+
+
+def test_tail_crash_restart_replays_uncommitted(ray_session, tmp_path, log):
+    """Events applied to actors but NOT committed are lost on crash; a
+    fresh session reloads the committed snapshot + watermark and
+    replays them to the identical final table (exactly-once)."""
+    write_wal(str(tmp_path), log, segment_rows=1500)
+    wal = str(tmp_path / "wal")
+    root = str(tmp_path / "t")
+
+    sess = TailSession(wal, root, CDCConfig(num_partitions=8), num_actors=2)
+    sess.poll()
+    # no commit — simulate crash
+    sess.shutdown()
+    assert load_manifest(root) is None  # nothing published
+
+    sess2 = TailSession(wal, root, CDCConfig(num_partitions=8), num_actors=2)
+    assert sess2.poll() == N  # everything replays (watermark still -1)
+    sess2.commit()
+    sess2.shutdown()
+    oracle = replay_oracle_pandas(log)
+    got = read_transcripts_arrow(root).select(oracle.schema.names).cast(oracle.schema)
+    assert got.equals(oracle)
+
+
+def test_tail_poll_noop_and_commit_noop(ray_session, tmp_path, log):
+    write_wal(str(tmp_path), log, segment_rows=3000)
+    wal = str(tmp_path / "wal")
+    root = str(tmp_path / "t")
+    sess = TailSession(wal, root, CDCConfig(num_partitions=8), num_actors=2)
+    sess.poll()
+    sess.commit()
+    assert sess.poll() == 0  # watermark filters everything
+    res = sess.commit()
+    assert res.skipped
+    sess.shutdown()

@@ -1,0 +1,235 @@
+"""CLI entry points (reference parity: ``manage.py``, wprdc-etl repo
+root — bootstrap + maintenance commands; SURVEY.md §2.1 C7).
+
+Commands:
+  init     <table_root>                   create table root + empty manifest
+  gen      <out_dir> --events N [...]     write a deterministic CDC WAL
+  ingest   <wal_dir> <table_root> [...]   batch-apply new segments (one epoch)
+  tail     <wal_dir> <table_root> [...]   poll+commit loop (stateful actors)
+  show     <table_root>                   manifest summary (epoch, watermark, lineage)
+  read     <table_root> [--limit N]       print committed rows
+  check    <table_root> <wal_dir>         verify table == replay oracle (DuckDB)
+
+Owns its Ray session (guarded init) — the ONLY library-adjacent place
+allowed to call ray.init besides bench.py and the test fixture.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _ray():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "8")),
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    return ray
+
+
+def cmd_init(args):
+    from .state.manifest import commit_manifest
+    from .schema import TRANSCRIPT_SCHEMA, snapshot_schema
+
+    os.makedirs(args.table_root, exist_ok=True)
+    m = commit_manifest(
+        args.table_root,
+        None,
+        table=args.name,
+        num_partitions=args.partitions,
+        schema=snapshot_schema(TRANSCRIPT_SCHEMA),
+        new_watermark=-1,
+        updated_partitions={},
+        metrics={"salt": args.salt},
+    )
+    print(json.dumps({"table_root": args.table_root, "epoch": m["epoch"]}))
+
+
+def cmd_gen(args):
+    from .gen import generate_wal
+
+    paths = generate_wal(
+        args.out_dir,
+        n_events=args.events,
+        seed=args.seed,
+        segment_rows=args.segment_rows,
+        evolve_at=args.evolve_at,
+    )
+    print(json.dumps({"segments": len(paths), "wal": os.path.join(args.out_dir, "wal")}))
+
+
+def cmd_ingest(args):
+    _ray()
+    from .pipelines.cdc import CDCConfig, run_ingest
+
+    res = run_ingest(
+        args.wal_dir,
+        args.table_root,
+        CDCConfig(num_partitions=args.partitions, salt=args.salt),
+    )
+    print(
+        json.dumps(
+            {
+                "epoch": res.epoch,
+                "watermark": res.global_watermark,
+                "events": res.events_read,
+                "partitions_updated": res.partitions_updated,
+                "skipped": res.skipped,
+            }
+        )
+    )
+
+
+def cmd_tail(args):
+    import time
+
+    _ray()
+    from .pipelines.cdc import CDCConfig
+    from .pipelines.tail import TailSession
+
+    sess = TailSession(
+        args.wal_dir,
+        args.table_root,
+        CDCConfig(num_partitions=args.partitions),
+        num_actors=args.actors,
+    )
+    try:
+        for _ in range(args.polls) if args.polls else iter(int, 1):
+            n = sess.poll()
+            if n:
+                res = sess.commit()
+                print(
+                    json.dumps(
+                        {"epoch": res.epoch, "events": n, "watermark": res.global_watermark}
+                    ),
+                    flush=True,
+                )
+            time.sleep(args.interval)
+    except KeyboardInterrupt:
+        pass
+    finally:
+        sess.shutdown()
+
+
+def cmd_show(args):
+    from .state.manifest import load_manifest
+
+    m = load_manifest(args.table_root)
+    if m is None:
+        print(json.dumps({"error": "no manifest"}))
+        sys.exit(1)
+    print(
+        json.dumps(
+            {
+                "table": m["table"],
+                "epoch": m["epoch"],
+                "global_watermark": m["global_watermark"],
+                "num_partitions": m["num_partitions"],
+                "partitions": len(m["partitions"]),
+                "rows": sum(e["rows"] for e in m["partitions"].values()),
+                "live_rows": sum(e["live_rows"] for e in m["partitions"].values()),
+                "tombstones": sum(e["tombstones"] for e in m["partitions"].values()),
+                "metrics": m.get("metrics", {}),
+            },
+            indent=1,
+        )
+    )
+
+
+def cmd_read(args):
+    _ray()
+    from .pipelines.cdc import read_transcripts
+
+    ds = read_transcripts(args.table_root)
+    for row in ds.limit(args.limit).take_all():
+        print(json.dumps(row, default=str))
+
+
+def cmd_check(args):
+    import duckdb
+
+    _ray()
+    from .gen import ORACLE_SQL
+    from .pipelines.cdc import read_transcripts_arrow
+
+    got = read_transcripts_arrow(args.table_root)
+    con = duckdb.connect()
+    sql = ORACLE_SQL.format(
+        changes=f"read_parquet('{os.path.join(args.wal_dir, 'seg-*.parquet')}')"
+    )
+    want = con.execute(sql).arrow()
+    got_cmp = got.select([c for c in want.schema.names]).cast(
+        want.schema
+    )
+    ok = got_cmp.equals(want)
+    print(json.dumps({"rows": got.num_rows, "oracle_rows": want.num_rows, "equal": ok}))
+    sys.exit(0 if ok else 1)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="wprdc_etl_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("init")
+    sp.add_argument("table_root")
+    sp.add_argument("--name", default="transcripts")
+    sp.add_argument("--partitions", type=int, default=64)
+    sp.add_argument("--salt", type=int, default=1)
+    sp.set_defaults(fn=cmd_init)
+
+    sp = sub.add_parser("gen")
+    sp.add_argument("out_dir")
+    sp.add_argument("--events", type=int, default=100_000)
+    sp.add_argument("--seed", type=int, default=42)
+    sp.add_argument("--segment-rows", type=int, default=100_000)
+    sp.add_argument("--evolve-at", type=float, default=None)
+    sp.set_defaults(fn=cmd_gen)
+
+    sp = sub.add_parser("ingest")
+    sp.add_argument("wal_dir")
+    sp.add_argument("table_root")
+    sp.add_argument("--partitions", type=int, default=64)
+    sp.add_argument("--salt", type=int, default=1)
+    sp.set_defaults(fn=cmd_ingest)
+
+    sp = sub.add_parser("tail")
+    sp.add_argument("wal_dir")
+    sp.add_argument("table_root")
+    sp.add_argument("--partitions", type=int, default=64)
+    sp.add_argument("--actors", type=int, default=8)
+    sp.add_argument("--interval", type=float, default=2.0)
+    sp.add_argument("--polls", type=int, default=0, help="0 = loop forever")
+    sp.set_defaults(fn=cmd_tail)
+
+    sp = sub.add_parser("show")
+    sp.add_argument("table_root")
+    sp.set_defaults(fn=cmd_show)
+
+    sp = sub.add_parser("read")
+    sp.add_argument("table_root")
+    sp.add_argument("--limit", type=int, default=20)
+    sp.set_defaults(fn=cmd_read)
+
+    sp = sub.add_parser("check")
+    sp.add_argument("table_root")
+    sp.add_argument("wal_dir")
+    sp.set_defaults(fn=cmd_check)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -24,6 +24,7 @@ import pyarrow.compute as pc
 import ray.data
 
 from ..stages.partition import hash_strings
+from .relational import bucketed_group_map
 
 # --- exact dedup -------------------------------------------------------------
 
@@ -43,11 +44,12 @@ def exact_dedup(
 
     hashed = ds.map_batches(add_hash, batch_format="pyarrow")
 
-    def keep_first(group: pd.DataFrame) -> pd.DataFrame:
-        rep = group.groupby(text_col, sort=False)[id_col].min().reset_index()
+    def keep_first(bucket: pd.DataFrame) -> pd.DataFrame:
+        rep = bucket.groupby(text_col, sort=False)[id_col].min().reset_index()
         return rep[[id_col]]
 
-    return hashed.groupby("_h").map_groups(keep_first, batch_format="pandas")
+    # one task per hash bucket (not per distinct text) — vectorized inside
+    return bucketed_group_map(hashed, ["_h"], keep_first, num_buckets=64)
 
 
 # --- MinHash + LSH -----------------------------------------------------------
@@ -56,38 +58,87 @@ _MERSENNE = np.uint64((1 << 61) - 1)
 
 
 class MinHasher:
-    """Per-batch MinHash signatures over word shingles (actor-pool stage).
+    """Per-batch MinHash signatures over word 3-shingles (actor-pool stage).
 
-    ``__init__`` draws the permutation coefficients once per actor from
-    a FIXED seed (signatures must agree across actors); ``__call__`` is
-    vectorized: shingle hashing via pandas/np, the (a*x+b) mod p
-    min-reduction via one numpy outer product per batch."""
+    ``__init__`` draws the permutation coefficients once per actor from a
+    FIXED seed (signatures must agree across actors). ``__call__`` is
+    fully batch-vectorized — NO per-document Python loop:
+
+    1. split all texts, hash the flat word array once (SipHash),
+    2. shingle hash = rolling polynomial combine of k adjacent word
+       hashes over the flat array (invalid cross-doc positions sliced
+       out per doc via boundary arithmetic),
+    3. the (a*x + b) permutation family is one (num_perm × n_shingles)
+       outer product in uint64 (wraparound ≡ mod 2^64 — a valid hash
+       family; min is dominated by high bits),
+    4. per-doc min via ``np.minimum.reduceat`` at doc boundaries.
+    """
+
+    _C1 = np.uint64(0x9E3779B97F4A7C15)
+    _C2 = np.uint64(0xC2B2AE3D27D4EB4F)
+    _C3 = np.uint64(0x165667B19E3779F9)
 
     def __init__(self, num_perm: int = 64, shingle_len: int = 3, seed: int = 1234):
         rng = np.random.default_rng(seed)
         self.a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
         self.b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
         self.num_perm = num_perm
+        if shingle_len != 3:
+            raise ValueError("vectorized path implements k=3 shingles")
         self.k = shingle_len
 
-    def shingle_hashes(self, text: str) -> np.ndarray:
-        words = text.split()
-        if len(words) < self.k:
-            grams = [" ".join(words)] if words else [""]
+    def _shingles_flat(self, texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+        """All docs' shingle hashes concatenated + per-doc counts."""
+        words_per_doc = texts.fillna("").str.split()
+        lens = words_per_doc.map(len).to_numpy(dtype=np.int64)
+        flat = np.concatenate(
+            [np.asarray(w, dtype=object) for w in words_per_doc if w]
+            or [np.array([], dtype=object)]
+        )
+        wh = (
+            pd.util.hash_array(flat).astype(np.uint64)
+            if len(flat)
+            else np.array([], dtype=np.uint64)
+        )
+        k = self.k
+        # rolling combine over the flat array; positions crossing doc
+        # boundaries are excluded by the per-doc index ranges below
+        if len(wh) >= k:
+            sh_global = wh[: -(k - 1)] * self._C1 + wh[1:-1] * self._C2 + wh[2:] * self._C3
         else:
-            grams = [" ".join(words[i : i + self.k]) for i in range(len(words) - self.k + 1)]
-        return pd.util.hash_array(np.asarray(grams, dtype=object)).astype(np.uint64)
-
-    def signature(self, text: str) -> np.ndarray:
-        x = np.unique(self.shingle_hashes(text))
-        # (num_perm, n_shingles) affine transform mod Mersenne prime
-        v = (np.outer(self.a, x) + self.b[:, None]) % _MERSENNE
-        return v.min(axis=1)
+            sh_global = np.array([], dtype=np.uint64)
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        m = np.where(lens >= k, lens - k + 1, 1)  # ≥1 shingle per doc
+        # gather indices: for doc i, positions starts[i] .. starts[i]+m[i]-1
+        idx = np.repeat(starts, m) + (
+            np.arange(int(m.sum())) - np.repeat(np.concatenate([[0], np.cumsum(m)[:-1]]), m)
+        )
+        small = np.repeat(lens < k, m)  # fallback shingle for short docs
+        sh = np.empty(int(m.sum()), dtype=np.uint64)
+        ok = ~small
+        if ok.any():
+            sh[ok] = sh_global[idx[ok]]
+        if small.any():
+            # short doc: single shingle = wraparound sum of its word
+            # hashes (reduceat over clipped doc starts; empty docs → 0)
+            fb_per_doc = np.zeros(len(lens), dtype=np.uint64)
+            if len(wh):
+                seg_sums = np.add.reduceat(wh, np.minimum(starts, len(wh) - 1))
+                nonempty = lens > 0
+                fb_per_doc[nonempty] = seg_sums[nonempty]
+            doc_of = np.repeat(np.arange(len(lens)), m)
+            sh[small] = fb_per_doc[doc_of[small]]
+        return sh, m
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        sigs = np.stack([self.signature(t or "") for t in batch["text"]])
+        sh, m = self._shingles_flat(batch["text"])
+        # one outer product for the whole batch, then per-doc min
+        v = self.a[:, None] * sh[None, :] + self.b[:, None]  # (P, S) mod 2^64
+        bounds = np.concatenate([[0], np.cumsum(m)[:-1]])
+        sigs = np.minimum.reduceat(v, bounds, axis=1)  # (P, n_docs)
+        sigs = sigs.T.astype(np.int64)
         return pd.DataFrame(
-            {"doc_id": batch["doc_id"].to_numpy(), "sig": list(sigs.astype(np.int64))}
+            {"doc_id": batch["doc_id"].to_numpy(), "sig": list(sigs)}
         )
 
 
@@ -129,20 +180,38 @@ def minhash_lsh_candidates(
 
     banded = sigs.map_batches(explode_bands, batch_format="pandas")
 
-    def pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = np.unique(group["doc_id"].to_numpy())
-        if len(ids) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": []}).astype("int64")
-        a, b = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"doc_a": ids[a], "doc_b": ids[b]})
+    def pairs_in_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        # collision buckets (>=2 docs per (band_id, band_hash)) are rare
+        # by construction; the loop below runs only over those
+        sizes = bucket.groupby(["band_id", "band_hash"], sort=False)["doc_id"].nunique()
+        hot = sizes[sizes >= 2]
+        if hot.empty:
+            return pd.DataFrame(
+                {"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64")}
+            )
+        sub = bucket.set_index(["band_id", "band_hash"]).loc[hot.index]
+        out_a, out_b = [], []
+        for _, grp in sub.groupby(level=[0, 1], sort=False):
+            ids = np.unique(grp["doc_id"].to_numpy())
+            a, b = np.triu_indices(len(ids), k=1)
+            out_a.append(ids[a])
+            out_b.append(ids[b])
+        return pd.DataFrame(
+            {
+                "doc_a": np.concatenate(out_a).astype("int64"),
+                "doc_b": np.concatenate(out_b).astype("int64"),
+            }
+        ).drop_duplicates(ignore_index=True)
 
-    cand = banded.groupby(["band_id", "band_hash"]).map_groups(
-        pairs, batch_format="pandas"
+    cand = bucketed_group_map(
+        banded, ["band_id", "band_hash"], pairs_in_bucket, num_buckets=64
     )
-    # distinct pairs (a pair can match in several bands)
-    return cand.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+
+    # global distinct pairs (a pair can match in several bands/buckets)
+    def distinct_pairs(bucket: pd.DataFrame) -> pd.DataFrame:
+        return bucket.drop_duplicates(ignore_index=True)
+
+    return bucketed_group_map(cand, ["doc_a", "doc_b"], distinct_pairs, num_buckets=16)
 
 
 # --- SimHash -----------------------------------------------------------------

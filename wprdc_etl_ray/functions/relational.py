@@ -130,6 +130,107 @@ def add_bucket(
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def add_bucket_multi(
+    ds: ray.data.Dataset,
+    columns: list[str],
+    num_buckets: int,
+    bucket_col: str = "_bucket",
+) -> ray.data.Dataset:
+    """Deterministic hash bucket over a multi-column key."""
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(batch[columns], index=False).to_numpy()
+        batch[bucket_col] = (h % np.uint64(num_buckets)).astype(np.int32)
+        return batch
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def bucketed_group_map(
+    ds: ray.data.Dataset,
+    key_cols: list[str],
+    fn_pandas,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Scalable groupby-apply: hash-bucket the key space into
+    ``num_buckets`` coarse groups (ONE ``map_groups`` task per bucket —
+    not per key), and run a vectorized pandas groupby inside the bucket.
+
+    Ray's ``groupby(key).map_groups(fn)`` invokes ``fn`` once per
+    distinct key — per-group Python overhead dominates when keys number
+    in the millions. This keeps the same co-location guarantee (all rows
+    of a key share a bucket) with O(num_buckets) task invocations.
+    ``fn_pandas`` receives one bucket's rows and must do its own
+    ``groupby(key_cols)``."""
+    bucketed = add_bucket_multi(ds, key_cols, num_buckets)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return fn_pandas(g.drop(columns=["_bucket"]))
+
+    return bucketed.groupby("_bucket").map_groups(per_bucket, batch_format="pandas")
+
+
+def grouped_agg(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    specs: list[tuple[str, str, str]],
+) -> ray.data.Dataset:
+    """Grouped aggregation with PARTIAL PRE-AGGREGATION: each batch is
+    reduced to one row per key via Arrow's C++ ``Table.group_by``
+    (combiner), then the tiny partials go through the global shuffle.
+    For a 600k-row input with 6 groups this shrinks the all-to-all
+    exchange from 600k rows to (num_batches × groups) rows — the
+    difference between a shuffle-bound and a scan-bound query at 100 TB.
+
+    ``specs``: (src_col, op, alias) with op ∈ {sum, count, min, max}.
+    ``count`` ignores src_col. Means: derive from sum+count downstream.
+    """
+    from ray.data.aggregate import Max as _Max
+    from ray.data.aggregate import Min as _Min
+    from ray.data.aggregate import Sum as _Sum
+
+    arrow_aggs = []
+    for src, op, alias in specs:
+        if op == "count":
+            arrow_aggs.append(([], "count_all"))
+        elif op in ("sum", "min", "max"):
+            arrow_aggs.append((src, op))
+        else:
+            raise ValueError(f"unsupported op {op}")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(keys).aggregate(arrow_aggs)
+        # rename partial columns to aliases (position-stable: pyarrow
+        # appends aggregate columns after the key columns in spec order)
+        names = []
+        agg_names = [
+            "count_all" if op == "count" else f"{src}_{op}" for src, op, _ in specs
+        ]
+        alias_by_aggname: dict[str, list[str]] = {}
+        for (src, op, alias), an in zip(specs, agg_names):
+            alias_by_aggname.setdefault(an, []).append(alias)
+        used: dict[str, int] = {}
+        for c in g.schema.names:
+            if c in keys:
+                names.append(c)
+            else:
+                i = used.get(c, 0)
+                used[c] = i + 1
+                names.append(alias_by_aggname[c][i])
+        return g.rename_columns(names)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    final_aggs = []
+    for src, op, alias in specs:
+        if op in ("sum", "count"):
+            final_aggs.append(_Sum(alias, alias_name=alias))
+        elif op == "min":
+            final_aggs.append(_Min(alias, alias_name=alias))
+        elif op == "max":
+            final_aggs.append(_Max(alias, alias_name=alias))
+    return partials.groupby(keys).aggregate(*final_aggs)
+
+
 def argmax_per_key(
     table: pa.Table, key_cols: list[str], order_cols: list[str]
 ) -> pa.Table:

@@ -161,29 +161,44 @@ def generate_change_log(
         ts[mut_idx[late]] -= rng.integers(5, 100, size=int(late.sum())) * STEP_US
 
     # --- payload (all vectorized: integer codes + Arrow string kernels;
-    # scalar literals broadcast inside binary_join_element_wise)
+    # scalar literals broadcast inside binary_join_element_wise).
+    # Text is built in SLICES and kept as a chunked array: a single
+    # Arrow `string` array is limited to 2 GiB of offsets, which a
+    # 10^7-event log's text column exceeds.
     is_del = op_code == 2
     conv_names = np.array([f"conv-{i:08d}" for i in range(n_convs)])  # one per conv
     conv_id_arr = pa.array(conv_names[conv])
     vocab_idx = (conv * 131 + turn * 7) % len(_VOCAB)
-    txt = pc.binary_join_element_wise(
-        conv_id_arr,
-        " turn ",
-        pc.cast(pa.array(turn), pa.string()),
-        ": ",
-        pc.take(pa.array(_VOCAB), pa.array(vocab_idx)),
-        "",
-    )
-    if n_upd:
-        has_rev = rev > 0
-        txt = pc.if_else(
-            pa.array(has_rev),
-            pc.binary_join_element_wise(
-                txt, " [rev ", pc.cast(pa.array(rev), pa.string()), "]", ""
-            ),
-            txt,
+
+    _SLICE = 4_000_000
+
+    def _text_slice(lo: int, hi: int) -> pa.Array:
+        txt = pc.binary_join_element_wise(
+            pa.array(conv_names[conv[lo:hi]]),
+            " turn ",
+            pc.cast(pa.array(turn[lo:hi]), pa.string()),
+            ": ",
+            pc.take(pa.array(_VOCAB), pa.array(vocab_idx[lo:hi])),
+            "",
         )
-    text_arr = pc.if_else(pa.array(is_del), pa.nulls(n_base, pa.string()), txt)
+        if n_upd:
+            r = rev[lo:hi]
+            has_rev = r > 0
+            if has_rev.any():
+                txt = pc.if_else(
+                    pa.array(has_rev),
+                    pc.binary_join_element_wise(
+                        txt, " [rev ", pc.cast(pa.array(r), pa.string()), "]", ""
+                    ),
+                    txt,
+                )
+        return pc.if_else(
+            pa.array(is_del[lo:hi]), pa.nulls(hi - lo, pa.string()), txt
+        )
+
+    text_arr = pa.chunked_array(
+        [_text_slice(i, min(i + _SLICE, n_base)) for i in range(0, n_base, _SLICE)]
+    )
 
     tool_mask = ((conv * 13 + turn) % 11 == 0) & ~is_del
     role_code = np.where(turn == 0, np.where(conv % 7 == 0, 2, 0), turn % 2)
@@ -225,11 +240,20 @@ def generate_change_log(
     order_arr = pa.array(order)
     offsets = np.arange(n, dtype=np.int64)
 
+    def _take_sliced(arr, idx: np.ndarray, slice_rows: int = 4_000_000):
+        # take in slices so no output string chunk crosses the 2 GiB limit
+        return pa.chunked_array(
+            [
+                pc.take(arr, pa.array(idx[i : i + slice_rows])).combine_chunks()
+                for i in range(0, len(idx), slice_rows)
+            ]
+        )
+
     op_arr = pc.take(op_arr, order_arr)
     conv_id_arr = pc.take(conv_id_arr, order_arr)
     turn_arr = pc.take(turn_arr, order_arr)
     role_arr = pc.take(role_arr, order_arr)
-    text_arr = pc.take(text_arr, order_arr)
+    text_arr = _take_sliced(text_arr, order)
     tool_arr = pc.take(tool_arr, order_arr)
     ts_arr = pc.take(ts_arr, order_arr)
     has_tool = tool_mask[order]
@@ -295,7 +319,9 @@ def write_wal(
         else:
             seg = seg.cast(CHANGE_SCHEMA_V2)
         path = os.path.join(wal, f"seg-{first:012d}.parquet")
-        pq.write_table(seg, path)
+        # several row groups per segment so read tasks can split a
+        # segment (row-group stats still prune at the watermark)
+        pq.write_table(seg, path, row_group_size=max(4096, segment_rows // 8))
         paths.append(path)
     return paths
 

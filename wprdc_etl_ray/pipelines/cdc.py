@@ -46,7 +46,7 @@ from ..schema import (
     unify_schemas,
     validate_batch,
 )
-from ..stages.merge import lww_merge, merge_with_snapshot, snapshot_as_events
+from ..stages.merge import merge_with_snapshot
 from ..stages.partition import add_partition_cols
 from ..state.manifest import (
     commit_manifest,
@@ -139,38 +139,65 @@ def plan_segments(
 
 
 class _MergeWrite:
-    """Per-partition merge + write, used as the ``map_groups`` function.
+    """Per-(partition, salt) merge + write, used as the ``map_groups``
+    function of the ONE shuffle.
 
     Plain function semantics (stateless task) — state that must persist
     across batches lives in the manifest, not here. Reads the prior
-    snapshot partition from inside the task (task-side IO scales with
-    the cluster; the driver ships only the small {part: path} dict)."""
+    snapshot run(s) for its (part, salt) slot from inside the task
+    (task-side IO scales with the cluster; the driver ships only the
+    small {part: files} dict).
+
+    Salted layout (X4/X6 without a second shuffle): a partition's rows
+    are split into ``salt`` sorted runs keyed by ``turn_idx % salt`` —
+    every key's events share a salt, so each run is a complete merge for
+    its keys, a hot conversation fans out over ``salt`` merge tasks, and
+    the partition on disk is the union of its runs (LSM-style sorted
+    runs; global (conv_id, turn_idx) order is restored on read)."""
 
     def __init__(
         self,
         root: str,
         epoch: int,
-        prior_files: dict[int, str],
+        prior_parts: dict[int, dict],
+        salt: int,
         target_schema: pa.Schema,
-        drop_cols: tuple[str, ...],
     ):
         self.root = root
         self.epoch = epoch
-        self.prior_files = prior_files
+        self.prior_parts = prior_parts
+        self.salt = salt
         self.target_schema = target_schema
-        self.drop_cols = drop_cols
+
+    def _read_prior(self, part: int, salt_val: int) -> pa.Table | None:
+        entry = self.prior_parts.get(part)
+        if not entry:
+            return None
+        files = [f for f in entry["files"] if f["salt"] == salt_val]
+        if not files:
+            return None
+        tables = [
+            pq.read_table(os.path.join(self.root, f["path"])) for f in files
+        ]
+        return pa.concat_tables(tables) if len(tables) > 1 else tables[0]
 
     def __call__(self, group: pa.Table) -> pa.Table:
         part = group.column("part")[0].as_py()
-        events = group.drop_columns([c for c in self.drop_cols if c in group.schema.names])
-        prior = None
-        prior_path = self.prior_files.get(part)
-        if prior_path is not None:
-            prior = pq.read_table(os.path.join(self.root, prior_path))
+        salt_val = (
+            group.column("salt")[0].as_py() if "salt" in group.schema.names else 0
+        )
+        events = group.drop_columns(
+            [c for c in ("part", "salt") if c in group.schema.names]
+        )
+        prior = self._read_prior(part, salt_val)
         merged = merge_with_snapshot(events, prior)
         merged = normalize_batch(merged, self.target_schema)
 
-        rel = os.path.join("data", f"epoch={self.epoch:06d}", f"part-{part:05d}.parquet")
+        rel = os.path.join(
+            "data",
+            f"epoch={self.epoch:06d}",
+            f"part-{part:05d}-s{salt_val:02d}.parquet",
+        )
         abs_path = os.path.join(self.root, rel)
         os.makedirs(os.path.dirname(abs_path), exist_ok=True)
         pq.write_table(merged, abs_path)
@@ -183,6 +210,7 @@ class _MergeWrite:
         return pa.table(
             {
                 "part": pa.array([part], pa.int32()),
+                "salt": pa.array([salt_val], pa.int32()),
                 "path": pa.array([rel]),
                 "rows": pa.array([merged.num_rows], pa.int64()),
                 "live_rows": pa.array([merged.num_rows - n_tomb], pa.int64()),
@@ -244,7 +272,13 @@ def run_ingest(
 
     required = cfg.required
     strict = cfg.strict
-    B, S = cfg.num_partitions, cfg.salt
+    B = cfg.num_partitions
+    # the salt count is a TABLE property: fixed at creation (changing it
+    # would orphan unrewritten salt runs); stored in the manifest
+    if manifest and manifest.get("metrics", {}).get("salt"):
+        S = int(manifest["metrics"]["salt"])
+    else:
+        S = cfg.salt
 
     def decode(batch: pa.Table) -> pa.Table:
         # X2: validate + coerce + watermark filter, vectorized
@@ -269,50 +303,63 @@ def run_ingest(
     for other in parts_ds[1:]:
         ds = ds.union(other)
 
-    prior_files = {}
+    prior_parts: dict[int, dict] = {}
     if manifest:
-        prior_files = {int(k): v["path"] for k, v in manifest["partitions"].items()}
+        prior_parts = {int(k): v for k, v in manifest["partitions"].items()}
 
     epoch = (manifest["epoch"] if manifest else 0) + 1
     writer = _MergeWrite(
         root=table_root,
         epoch=epoch,
-        prior_files=prior_files,
+        prior_parts=prior_parts,
+        salt=S,
         target_schema=snapshot_target,
-        drop_cols=("part", "salt"),
     )
+
     def merge_write(group: pa.Table) -> pa.Table:
         return writer(group)
 
-    if S > 1:
-        # X4/X5 salted two-stage: partial per-(part,salt) merges shrink
-        # hot groups before the per-partition pass (all events of one
-        # (conv_id, turn_idx) key share a salt, so partials are complete
-        # per key).
-        partial = ds.groupby(["part", "salt"]).map_groups(
-            _partial_merge, batch_format="pyarrow"
-        )
-        stats_ds = partial.groupby("part").map_groups(
-            merge_write, batch_format="pyarrow"
-        )
-    else:
-        stats_ds = ds.groupby("part").map_groups(merge_write, batch_format="pyarrow")
+    group_keys = ["part", "salt"] if S > 1 else ["part"]
+    stats_ds = ds.groupby(group_keys).map_groups(merge_write, batch_format="pyarrow")
+    stats = stats_ds.take_all()  # ≤ B×S tiny rows — the only driver materialization
 
-    stats = stats_ds.take_all()  # B tiny rows — the only driver materialization
-
-    updated = {
-        str(r["part"]): {
-            "path": r["path"],
-            "rows": int(r["rows"]),
-            "live_rows": int(r["live_rows"]),
-            "tombstones": int(r["tombstones"]),
-            "watermark": int(r["watermark"]),
-            "events_applied": int(r["events_applied"]),
-            "bytes": int(r["bytes"]),
+    # assemble per-partition entries: rewritten salt runs from this
+    # epoch + carried-forward runs for salt slots with no new events
+    by_part: dict[int, list[dict]] = {}
+    for r in stats:
+        by_part.setdefault(int(r["part"]), []).append(r)
+    updated: dict[str, dict] = {}
+    for part, rows in by_part.items():
+        new_salts = {int(r["salt"]) for r in rows}
+        files = [
+            {
+                "path": r["path"],
+                "salt": int(r["salt"]),
+                "rows": int(r["rows"]),
+                "live_rows": int(r["live_rows"]),
+                "tombstones": int(r["tombstones"]),
+                "bytes": int(r["bytes"]),
+                "epoch": epoch,
+            }
+            for r in sorted(rows, key=lambda x: int(x["salt"]))
+        ]
+        prior = prior_parts.get(part)
+        if prior:
+            files += [f for f in prior["files"] if f["salt"] not in new_salts]
+        wm_new = max(int(r["watermark"]) for r in rows)
+        if prior:
+            wm_new = max(wm_new, prior.get("watermark", -1))
+        updated[str(part)] = {
+            "files": files,
+            "salt": S,
+            "rows": sum(f["rows"] for f in files),
+            "live_rows": sum(f["live_rows"] for f in files),
+            "tombstones": sum(f["tombstones"] for f in files),
+            "bytes": sum(f["bytes"] for f in files),
+            "watermark": wm_new,
+            "events_applied": sum(int(r["events_applied"]) for r in rows),
             "epoch": epoch,
         }
-        for r in stats
-    }
     events_read = sum(int(r["events_applied"]) for r in stats)
     new_manifest = commit_manifest(
         table_root,
@@ -337,11 +384,6 @@ def run_ingest(
     )
 
 
-def _partial_merge(group: pa.Table) -> pa.Table:
-    merged = lww_merge(group.drop_columns(["salt"]))
-    return snapshot_as_events(merged)  # back to event form for the final pass
-
-
 # --- read path ---------------------------------------------------------------
 
 
@@ -357,9 +399,10 @@ def read_transcripts(
             pa.table({"conv_id": pa.array([], pa.string())})
         ).limit(0)
     files = [
-        os.path.join(table_root, e["path"])
+        os.path.join(table_root, f["path"])
         for e in manifest["partitions"].values()
-        if e.get("rows")
+        for f in e["files"]
+        if f.get("rows")
     ]
     target = public_schema(manifest)
     pub = pa.schema([f for f in target if f.name not in INTERNAL_COLS])

@@ -38,6 +38,7 @@ from ..functions.relational import (
     broadcast_join,
     distinct_sorted,
     filter_batches,
+    grouped_agg,
     hash_join,
     latest_per_key,
     read_table,
@@ -168,12 +169,16 @@ def q_pricing_summary(sf_dir: str):
         return t.append_column("disc_price", disc)
 
     ds = ds.map_batches(revenue, batch_format="pyarrow")
-    out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("l_quantity", alias_name="sum_qty"),
-        Sum("l_extendedprice", alias_name="sum_base_price"),
-        Sum("disc_price", alias_name="sum_disc_price"),
-        Sum("l_discount", alias_name="_sum_disc"),
-        Count(alias_name="count_order"),
+    out = grouped_agg(
+        ds,
+        ["l_returnflag", "l_linestatus"],
+        [
+            ("l_quantity", "sum", "sum_qty"),
+            ("l_extendedprice", "sum", "sum_base_price"),
+            ("disc_price", "sum", "sum_disc_price"),
+            ("l_discount", "sum", "_sum_disc"),
+            ("", "count", "count_order"),
+        ],
     )
 
     def finish(t: pa.Table) -> pa.Table:
@@ -257,9 +262,10 @@ def q_segment_revenue(sf_dir: str):
     orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
     cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
     j = hash_join(orders, cust, on="o_custkey", right_on="c_custkey", num_partitions=8)
-    out = j.groupby("c_mktsegment").aggregate(
-        Sum("o_totalprice", alias_name="total_revenue"),
-        Count(alias_name="n_orders"),
+    out = grouped_agg(
+        j,
+        ["c_mktsegment"],
+        [("o_totalprice", "sum", "total_revenue"), ("", "count", "n_orders")],
     )
     return out.map_batches(_fp_cols({"total_revenue": 100}), batch_format="pyarrow").map_batches(
         _as_int64(["n_orders"]), batch_format="pyarrow"
@@ -287,9 +293,10 @@ def q_region_customers(sf_dir: str):
     ]
     cust = read_table(sf_dir, "customer", columns=["c_nationkey", "c_acctbal"])
     j = broadcast_join(cust, dim, on="c_nationkey", right_on="n_nationkey")
-    out = j.groupby("r_name").aggregate(
-        Count(alias_name="n_customers"),
-        Sum("c_acctbal", alias_name="_sum_bal"),
+    out = grouped_agg(
+        j,
+        ["r_name"],
+        [("", "count", "n_customers"), ("c_acctbal", "sum", "_sum_bal")],
     )
 
     def finish(t: pa.Table) -> pa.Table:
@@ -331,10 +338,10 @@ def q_event_windows(sf_dir: str):
             {"event_type": t.column("event_type"), "day": day, "value": t.column("value")}
         )
 
-    out = (
-        ds.map_batches(bucket, batch_format="pyarrow")
-        .groupby(["event_type", "day"])
-        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+    out = grouped_agg(
+        ds.map_batches(bucket, batch_format="pyarrow"),
+        ["event_type", "day"],
+        [("", "count", "n"), ("value", "sum", "sum_value")],
     )
     return out.map_batches(_fp_cols({"sum_value": 100}), batch_format="pyarrow").map_batches(
         _as_int64(["n"]), batch_format="pyarrow"
@@ -401,8 +408,8 @@ def q_semi_join_parts(sf_dir: str):
     keys = parts.filter(pc.greater(parts.column("p_size"), 40)).column("p_partkey")
     ds = read_table(sf_dir, "lineitem", columns=["l_partkey", "l_returnflag", "l_quantity"])
     f = semi_join(ds, keys.to_numpy(), "l_partkey")
-    out = f.groupby("l_returnflag").aggregate(
-        Count(alias_name="n"), Sum("l_quantity", alias_name="sum_qty")
+    out = grouped_agg(
+        f, ["l_returnflag"], [("", "count", "n"), ("l_quantity", "sum", "sum_qty")]
     )
     return out.map_batches(_fp_cols({"sum_qty": 100}), batch_format="pyarrow").map_batches(
         _as_int64(["n"]), batch_format="pyarrow"
@@ -428,7 +435,7 @@ def q_anti_join_customers(sf_dir: str):
     okeys = ot.filter(pc.greater(ot.column("o_totalprice"), 300000.0)).column("o_custkey")
     ds = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
     f = semi_join(ds, okeys.to_numpy(), "c_custkey", anti=True)
-    out = f.groupby("c_mktsegment").aggregate(Count(alias_name="n_customers"))
+    out = grouped_agg(f, ["c_mktsegment"], [("", "count", "n_customers")])
     return out.map_batches(_as_int64(["n_customers"]), batch_format="pyarrow")
 
 
@@ -450,11 +457,11 @@ def q_order_priority(sf_dir: str):
     j = filter_batches(
         j, lambda t: pc.greater(t.column("l_shipdate"), t.column("o_orderdate"))
     )
-    distinct_orders = j.groupby(["l_orderkey", "o_orderpriority"]).aggregate(
-        Count(alias_name="_c")
+    distinct_orders = grouped_agg(
+        j, ["l_orderkey", "o_orderpriority"], [("", "count", "_c")]
     )
-    out = distinct_orders.groupby("o_orderpriority").aggregate(
-        Count(alias_name="n_orders")
+    out = grouped_agg(
+        distinct_orders, ["o_orderpriority"], [("", "count", "n_orders")]
     )
     return out.map_batches(_as_int64(["n_orders"]), batch_format="pyarrow")
 
@@ -470,11 +477,15 @@ GROUP BY o_orderpriority
 
 def q_user_value_stats(sf_dir: str):
     ds = read_table(sf_dir, "events", columns=["user_id", "value"])
-    out = ds.groupby("user_id").aggregate(
-        Count(alias_name="n"),
-        Sum("value", alias_name="sum_value"),
-        Min("value", alias_name="min_value"),
-        Max("value", alias_name="max_value"),
+    out = grouped_agg(
+        ds,
+        ["user_id"],
+        [
+            ("", "count", "n"),
+            ("value", "sum", "sum_value"),
+            ("value", "min", "min_value"),
+            ("value", "max", "max_value"),
+        ],
     )
 
     def finish(t: pa.Table) -> pa.Table:

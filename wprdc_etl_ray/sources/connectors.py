@@ -1,0 +1,190 @@
+"""Source connectors + extract semantics (SURVEY.md §2.1 S1–S4, P1–P2).
+
+Reference parity, re-expressed Ray-Data-first:
+
+- ``FileConnector`` (wprdc-etl pipeline/connectors.py::FileConnector)
+  → ``ray.data.read_csv/read_json/read_parquet`` on local paths; the
+  md5 ``checksum`` survives as :func:`file_checksum` recorded into
+  manifest lineage (the duplicate-guard role itself is generalized to
+  event-offset watermarks — SURVEY.md §2.1 C3).
+- ``CSVExtractor`` (pipeline/extractors.py::CSVExtractor): firstline
+  headers / caller-supplied headers, header-name normalization
+  (lower/strip/underscores), and mid-file repeated-header rows
+  (``IsHeaderException`` → skipped) — all VECTORIZED per Arrow batch
+  instead of per-line.
+- ``Extractor`` base (pipeline/extractors.py::Extractor) → the
+  ``decoder`` plug-point: any callable ``pa.Table -> pa.Table``
+  appended after the read.
+- ``RemoteFileConnector`` / ``HTTPConnector`` / ``SFTPConnector`` →
+  this sandbox has no network; the plug-points exist and raise
+  ``ConnectorError`` naming the missing capability.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import re
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from ..errors import ConnectorError
+from ..schema import validate_batch
+
+
+def file_checksum(path: str) -> str:
+    """md5 of file contents — reference parity with
+    ``Connector.checksum`` (wprdc-etl pipeline/connectors.py), kept for
+    manifest lineage. Streams in 4 MiB blocks (the reference buffers the
+    whole input; at 100 TB that is not an option)."""
+    h = hashlib.md5()
+    with open(path, "rb") as f:
+        while chunk := f.read(4 << 20):
+            h.update(chunk)
+    return h.hexdigest()
+
+
+_norm_re = re.compile(r"[^a-z0-9_]+")
+
+
+def normalize_header(name: str) -> str:
+    """lower/strip/underscore header normalization (CSVExtractor's
+    schema-name munging, wprdc-etl pipeline/extractors.py)."""
+    n = name.strip().lower().replace(" ", "_").replace("-", "_")
+    return _norm_re.sub("", n)
+
+
+def read_csv_source(
+    paths: str | list[str],
+    schema: pa.Schema | None = None,
+    rename: dict[str, str] | None = None,
+    headers: list[str] | None = None,
+    delimiter: str = ",",
+    drop_repeated_headers: bool = True,
+    strict: bool = True,
+    required: tuple[str, ...] = (),
+) -> ray.data.Dataset:
+    """CSV source with the reference extractor's semantics.
+
+    ``headers`` overrides the first line's names (the reference's
+    ``firstline_headers=False`` path). Repeated header rows that appear
+    mid-file (concatenated exports) are filtered vectorized: a row where
+    every string column equals that column's (pre-normalization) header
+    name. ``schema`` triggers validate/coerce per batch (marshmallow
+    analog)."""
+    from pyarrow import csv as pacsv
+
+    read_options = None
+    if headers is not None:
+        read_options = pacsv.ReadOptions(column_names=headers)
+    parse_options = pacsv.ParseOptions(delimiter=delimiter)
+    # read as ALL-STRING columns so repeated header rows don't poison
+    # type inference; the declared schema does the coercion (exactly the
+    # reference's raw-dict -> marshmallow flow)
+    convert_options = pacsv.ConvertOptions(
+        column_types={}, strings_can_be_null=True
+    )
+    ds = ray.data.read_csv(
+        paths,
+        read_options=read_options,
+        parse_options=parse_options,
+        convert_options=convert_options,
+    )
+
+    def extract(batch: pa.Table) -> pa.Table:
+        raw_names = batch.schema.names
+        if drop_repeated_headers:
+            mask = None
+            for name in raw_names:
+                col = batch.column(name)
+                if pa.types.is_string(col.type):
+                    is_hdr = pc.equal(col, pa.scalar(name))
+                    is_hdr = pc.fill_null(is_hdr, False)
+                    mask = is_hdr if mask is None else pc.and_(mask, is_hdr)
+            if mask is not None:
+                batch = batch.filter(pc.invert(mask))
+        batch = batch.rename_columns([normalize_header(c) for c in raw_names])
+        if rename:
+            batch = batch.rename_columns(
+                [rename.get(c, c) for c in batch.schema.names]
+            )
+        if schema is not None:
+            batch = _coerce(batch, schema, required, strict)
+        return batch
+
+    return ds.map_batches(extract, batch_format="pyarrow")
+
+
+def _coerce(
+    batch: pa.Table, schema: pa.Schema, required: tuple[str, ...], strict: bool
+) -> pa.Table:
+    """String→typed coercion against the declared schema (marshmallow
+    ``schema.load`` analog): select declared columns, cast."""
+    cols = []
+    n = batch.num_rows
+    for f in schema:
+        if f.name in batch.schema.names:
+            col = batch.column(f.name)
+            if not col.type.equals(f.type):
+                col = pc.cast(col, f.type)
+            cols.append(col)
+        else:
+            cols.append(pa.nulls(n, f.type))
+    out = pa.table(cols, schema=schema)
+    return validate_batch(out, schema, required=required, strict=strict)
+
+
+def read_json_source(
+    paths: str | list[str],
+    schema: pa.Schema | None = None,
+    rename: dict[str, str] | None = None,
+    strict: bool = True,
+    required: tuple[str, ...] = (),
+) -> ray.data.Dataset:
+    """JSON-lines source (HTTPConnector's payload shape, read locally)."""
+    ds = ray.data.read_json(paths)
+    if schema is None and rename is None:
+        return ds
+
+    def extract(batch: pa.Table) -> pa.Table:
+        if rename:
+            batch = batch.rename_columns(
+                [rename.get(c, c) for c in batch.schema.names]
+            )
+        if schema is not None:
+            batch = _coerce(batch, schema, required, strict)
+        return batch
+
+    return ds.map_batches(extract, batch_format="pyarrow")
+
+
+def read_parquet_source(
+    paths: str | list[str], columns: list[str] | None = None
+) -> ray.data.Dataset:
+    return ray.data.read_parquet(paths, columns=columns)
+
+
+def remote_file_connector(url: str, **kwargs):
+    """Reference S2 plug-point. No network in this environment."""
+    raise ConnectorError(
+        f"remote file source {url!r}: no network access in this environment; "
+        "point read_csv_source/read_parquet_source at a local mirror "
+        "(Arrow filesystems make the same call work against http/s3 when present)"
+    )
+
+
+def http_connector(url: str, **kwargs):
+    """Reference S3 plug-point. No network in this environment."""
+    raise ConnectorError(
+        f"http source {url!r}: no network access in this environment"
+    )
+
+
+def sftp_connector(path: str, **kwargs):
+    """Reference S4 plug-point (wprdc-etl uses paramiko; not installed)."""
+    raise ConnectorError(
+        f"sftp source {path!r}: paramiko/network not available in this environment"
+    )

@@ -47,23 +47,39 @@ def lww_merge(events: pa.Table) -> pa.Table:
     null. Deterministic and idempotent: the same multiset of events
     yields byte-identical output regardless of delivery order or
     duplication (SURVEY.md §2.3 X9).
+
+    Implementation detail that matters at scale: the arg-max is a numpy
+    ``lexsort`` over the narrow key/order columns only, and the wide
+    payload (``text``) is touched exactly once — a single ``take`` of
+    the winning row per key — instead of fully sorting the wide table
+    and discarding the losers.
     """
-    t = events.sort_by(
-        [
-            ("conv_id", "ascending"),
-            ("turn_idx", "ascending"),
-            ("ts", "ascending"),
-            ("offset", "ascending"),
-        ]
-    ).combine_chunks()
+    t = events.combine_chunks()
     if t.num_rows == 0:
         return _empty_like(t)
-    key = _key_codes(t)
+
+    conv = t.column("conv_id")
+    codes_arr = pc.dictionary_encode(conv)
+    if isinstance(codes_arr, pa.ChunkedArray):
+        codes_arr = codes_arr.combine_chunks()
+    # dictionary codes are per-dictionary order, not value order: map to
+    # rank-of-sorted-value so lexsort groups AND orders by conv_id
+    dict_vals = codes_arr.dictionary
+    rank = pc.array_sort_indices(pc.array_sort_indices(dict_vals))
+    conv_rank = pc.take(rank, codes_arr.indices).to_numpy(zero_copy_only=False)
+
+    turn = t.column("turn_idx").to_numpy(zero_copy_only=False).astype(np.int64)
+    ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+    offset = t.column("offset").to_numpy(zero_copy_only=False)
+
+    order = np.lexsort((offset, ts, turn, conv_rank))
+    key = (conv_rank[order].astype(np.int64) << np.int64(31)) | turn[order]
     last = np.empty(len(key), dtype=bool)
     last[-1] = True
     np.not_equal(key[1:], key[:-1], out=last[:-1])
-    t = t.filter(pa.array(last))
+    winners = order[last]  # in (conv_id, turn_idx) order already
 
+    t = t.take(pa.array(winners))
     deleted = pc.equal(t.column("op"), "delete")
     out = t.drop_columns(["op", "offset"])
     out = out.append_column("_offset", t.column("offset").cast(pa.int64()))

@@ -22,9 +22,22 @@ import pyarrow as pa
 
 
 def hash_strings(arr: pa.ChunkedArray | pa.Array | np.ndarray) -> np.ndarray:
-    """Deterministic uint64 hash of a string column (vectorized)."""
+    """Deterministic uint64 hash of a string column (vectorized).
+
+    For Arrow input the column is dictionary-encoded first and only the
+    DISTINCT values are SipHashed, then scattered back through the
+    indices — conversation ids repeat ~turns-per-conv times, so this
+    cuts the per-row object-hash cost by that factor."""
+    import pyarrow.compute as pc
+
     if isinstance(arr, (pa.ChunkedArray, pa.Array)):
-        arr = arr.to_numpy(zero_copy_only=False)
+        enc = pc.dictionary_encode(arr)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        uniq = enc.dictionary.to_numpy(zero_copy_only=False)
+        h_uniq = pd.util.hash_array(np.asarray(uniq, dtype=object))
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        return h_uniq[idx]
     return pd.util.hash_array(np.asarray(arr, dtype=object), categorize=True)
 
 

@@ -123,4 +123,9 @@ def commit_manifest(
 
 def data_files(manifest: dict) -> list[str]:
     """Committed data file paths (relative to table root)."""
-    return [e["path"] for e in manifest["partitions"].values() if e.get("rows")]
+    return [
+        f["path"]
+        for e in manifest["partitions"].values()
+        for f in e.get("files", [])
+        if f.get("rows")
+    ]
