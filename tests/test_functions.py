@@ -1,0 +1,209 @@
+"""Unit tests for the training-data operator layer: dedup family,
+similarity search, text analysis, multimodal plumbing, relational
+helpers (SURVEY.md §2.3 X12 + the large-scale pipeline ops)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+
+def docs_ds(texts, start_id=0):
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(start_id, start_id + len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    )
+
+
+def test_exact_dedup_picks_min_id(ray_session):
+    from wprdc_etl_ray.functions.dedup import exact_dedup
+
+    ds = docs_ds(["aaa", "bbb", "aaa", "ccc", "bbb", "aaa"])
+    out = sorted(r["doc_id"] for r in exact_dedup(ds).take_all())
+    assert out == [0, 1, 3]
+
+
+def test_minhash_lsh_finds_near_dups_not_distinct(ray_session):
+    from wprdc_etl_ray.functions.dedup import minhash_lsh_candidates
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away " * 4
+    texts = [base, base + "tiny change", "completely different words entirely here now"]
+    pairs = minhash_lsh_candidates(docs_ds(texts), concurrency=1).take_all()
+    pairs = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_simhash_close_for_near_dups(ray_session):
+    from wprdc_etl_ray.functions.dedup import simhash_signatures
+
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 8
+    ds = docs_ds([base, base + "iota", "unrelated totally different content words"])
+    rows = {r["doc_id"]: r["simhash"] for r in simhash_signatures(ds, concurrency=1).take_all()}
+    d01 = bin(rows[0] ^ rows[1]).count("1")
+    d02 = bin(rows[0] ^ rows[2]).count("1")
+    assert d01 < d02
+
+
+def test_ngram_jaccard_verify():
+    from wprdc_etl_ray.functions.dedup import ngram_jaccard_verify
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": ["a b c d e f g h", "a b c d e f g x", "z z z z z"],
+        }
+    )
+    cand = pd.DataFrame({"doc_a": [0, 0], "doc_b": [1, 2]})
+    out = ngram_jaccard_verify(cand, docs, n=3, threshold=0.3)
+    assert list(out["doc_b"]) == [1]
+    assert 0.3 <= out["jaccard"][0] <= 1.0
+
+
+def test_brute_force_topk_exact(ray_session):
+    from wprdc_etl_ray.functions.similarity import brute_force_topk
+
+    rng = np.random.default_rng(3)
+    mat = rng.normal(size=(50, 8))
+    mat[7] = mat[0] * 2.0  # same direction as row 0 -> cosine 1
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(50), pa.int64()),
+                "embedding": pa.array([list(map(float, r)) for r in mat], pa.list_(pa.float32())),
+            }
+        )
+    )
+    out = brute_force_topk(ds, mat[0], k=3, exclude=0)
+    assert out["vec_id"][0] == 7
+    assert out["cosine"][0] >= 999_990  # micro-units, float32 storage jitter
+
+
+def test_ivf_topk_recalls_exact_neighbor(ray_session):
+    from wprdc_etl_ray.functions.similarity import brute_force_topk, ivf_topk
+
+    rng = np.random.default_rng(4)
+    mat = rng.normal(size=(300, 16))
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(300), pa.int64()),
+                "embedding": pa.array([list(map(float, r)) for r in mat], pa.list_(pa.float32())),
+            }
+        )
+    )
+    exact = brute_force_topk(ds, mat[5], k=1, exclude=5)
+    approx = ivf_topk(ds, mat[5], k=5, n_cells=8, n_probe=4)
+    assert exact["vec_id"][0] in set(approx["vec_id"])  # top-1 recalled
+
+
+def test_token_stats_matches_manual(ray_session):
+    from wprdc_etl_ray.functions.text import token_stats
+
+    t = pa.table({"doc_id": pa.array([0], pa.int64()), "text": ["  ab cd  efg "]})
+    out = token_stats(t)
+    assert out.column("n_tokens").to_pylist() == [3]
+    # chars sans space = 7, tokens = 3 -> 7*1e6 // 3
+    assert out.column("avg_token_len").to_pylist() == [7 * 1_000_000 // 3]
+
+
+def test_lang_id_heuristic(ray_session):
+    from wprdc_etl_ray.functions.text import lang_id
+
+    ds = docs_ds(
+        [
+            "the cat and the dog sat in the house of the king",
+            "der hund und die katze ist das haus",
+            "xyzzy qwerty",
+        ]
+    )
+    rows = {r["doc_id"]: r["lang_pred"] for r in lang_id(ds, concurrency=1).take_all()}
+    assert rows[0] == "en"
+    assert rows[1] == "de"
+    assert rows[2] == "und"
+
+
+def test_fingerprint_deterministic_and_discriminative():
+    from wprdc_etl_ray.functions.text import fingerprint
+
+    t = pa.table(
+        {"doc_id": pa.array([0, 1, 2], pa.int64()), "text": ["hello world", "hello world", "other"]}
+    )
+    out = fingerprint(t)
+    fps = out.column("fingerprint").to_pylist()
+    assert fps[0] == fps[1] != fps[2]
+
+
+def test_multimodal_stub_and_real_mode(ray_session):
+    from wprdc_etl_ray.functions.multimodal import DecodeStub, multimodal_features
+
+    ds = docs_ds(["abc", "defg"])
+    rows = sorted(multimodal_features(ds, concurrency=1).take_all(), key=lambda r: r["doc_id"])
+    assert rows[0]["n_bytes"] == 3 and rows[1]["n_bytes"] == 4
+    import hashlib
+
+    assert rows[0]["content_md5"] == hashlib.md5(b"abc").hexdigest()
+    with pytest.raises(NotImplementedError):
+        DecodeStub(mode="real")(pa.table({"doc_id": [0], "payload": [b"x"]}))
+
+
+def test_argmax_per_key_ties_and_strings():
+    from wprdc_etl_ray.functions.relational import argmax_per_key
+
+    t = pa.table(
+        {
+            "k": ["a", "a", "b", "b", "b"],
+            "ts": pa.array([1, 2, 5, 5, 4], pa.int64()),
+            "id": pa.array([10, 11, 20, 21, 22], pa.int64()),
+            "v": ["x1", "x2", "y1", "y2", "y3"],
+        }
+    )
+    out = argmax_per_key(t, ["k"], ["ts", "id"])
+    assert out.column("v").to_pylist() == ["x2", "y2"]  # tie at ts=5 -> higher id
+
+
+def test_grouped_agg_matches_pandas(ray_session):
+    from wprdc_etl_ray.functions.relational import grouped_agg
+
+    df = pd.DataFrame(
+        {
+            "k": np.repeat(["a", "b", "c"], 100),
+            "v": np.arange(300, dtype="float64"),
+        }
+    )
+    ds = rd.from_pandas(df, override_num_blocks=7)  # multiple partial blocks
+    out = (
+        grouped_agg(
+            ds,
+            ["k"],
+            [("v", "sum", "s"), ("", "count", "n"), ("v", "min", "lo"), ("v", "max", "hi")],
+        )
+        .to_pandas()
+        .sort_values("k", ignore_index=True)
+    )
+    ref = (
+        df.groupby("k")["v"].agg(s="sum", n="count", lo="min", hi="max").reset_index()
+    )
+    for c in ("s", "n", "lo", "hi"):
+        assert list(out[c]) == list(ref[c]), c
+
+
+def test_bucketed_group_map_covers_all_keys(ray_session):
+    from wprdc_etl_ray.functions.relational import bucketed_group_map
+
+    df = pd.DataFrame({"k": np.arange(1000) % 137, "v": np.arange(1000)})
+    ds = rd.from_pandas(df, override_num_blocks=5)
+
+    def agg(bucket: pd.DataFrame) -> pd.DataFrame:
+        return bucket.groupby("k", sort=False)["v"].sum().reset_index()
+
+    out = bucketed_group_map(ds, ["k"], agg, num_buckets=16).to_pandas()
+    ref = df.groupby("k")["v"].sum().reset_index()
+    out = out.sort_values("k", ignore_index=True)
+    assert list(out["k"]) == list(ref["k"]) and list(out["v"]) == list(ref["v"])

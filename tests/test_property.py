@@ -1,0 +1,153 @@
+"""Property-based tests (hypothesis): the vectorized LWW merge equals a
+sequential replay for arbitrary event multisets, is permutation- and
+duplication-invariant, and splitting the log into epochs never changes
+the result (SURVEY.md §5.2 item 3)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+from hypothesis import given, settings, strategies as st
+
+from wprdc_etl_ray.stages.merge import lww_merge, merge_with_snapshot
+
+TS0 = 1_700_000_000_000_000
+
+event_st = st.tuples(
+    st.sampled_from(["insert", "update", "delete"]),
+    st.integers(0, 3),  # conv
+    st.integers(0, 3),  # turn
+    st.integers(0, 20),  # ts step (collisions likely -> offset tiebreaks)
+)
+
+
+def to_table(events):
+    n = len(events)
+    return pa.table(
+        {
+            "offset": pa.array(range(n), pa.int64()),
+            "op": pa.array([e[0] for e in events], pa.string()),
+            "conv_id": pa.array([f"c{e[1]}" for e in events], pa.string()),
+            "turn_idx": pa.array([e[2] for e in events], pa.int64()),
+            "role": pa.array(
+                [None if e[0] == "delete" else "user" for e in events], pa.string()
+            ),
+            # payload is a function of (key, ts) — the CDC "full row
+            # image" model: two events with the same key and ts carry
+            # the same image, so at-least-once redelivery is truly
+            # idempotent. (Distinct writers at the SAME microsecond are
+            # ordered by offset; which one wins is defined but their
+            # images may differ — that is a writer race, not a dup.)
+            "text": pa.array(
+                [None if e[0] == "delete" else f"t-{e[1]}-{e[2]}-{e[3]}" for e in events],
+                pa.string(),
+            ),
+            "tool": pa.array([None] * n, pa.string()),
+            "ts": pa.array([TS0 + e[3] for e in events], pa.timestamp("us")),
+        }
+    )
+
+
+def sequential(events):
+    state = {}
+    for off, (op, c, t, ts) in enumerate(events):
+        key = (c, t)
+        cur = state.get(key)
+        if cur is not None and (ts, off) < cur[:2]:
+            continue
+        state[key] = (ts, off, op)
+    return {
+        k: (ts, off)
+        for k, (ts, off, op) in state.items()
+        if op != "delete"
+    }
+
+
+def merged_state(table):
+    m = lww_merge(table)
+    live = m.filter(pc.equal(m.column("_deleted"), False))
+    return {
+        (int(c[1:]), int(t)): (int(ts_us - TS0), int(off))
+        for c, t, ts_us, off in zip(
+            live.column("conv_id").to_pylist(),
+            live.column("turn_idx").to_pylist(),
+            [v.value for v in live.column("ts")],
+            live.column("_offset").to_pylist(),
+        )
+    }
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(event_st, min_size=1, max_size=40))
+def test_merge_equals_sequential_replay(events):
+    assert merged_state(to_table(events)) == sequential(events)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(event_st, min_size=2, max_size=25), st.randoms())
+def test_row_permutation_invariant(events, rnd):
+    t = to_table(events)
+    idx = list(range(t.num_rows))
+    rnd.shuffle(idx)
+    shuffled = t.take(pa.array(idx))
+    assert lww_merge(shuffled).equals(lww_merge(t))
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(event_st, min_size=2, max_size=30),
+    st.integers(1, 28),
+)
+def test_epoch_split_invariant(events, split):
+    """Applying the log in two epochs (snapshot + tail) == one shot."""
+    split = min(split, len(events) - 1)
+    t = to_table(events)
+    one_shot = lww_merge(t)
+    snap = lww_merge(t.slice(0, split))
+    two_phase = merge_with_snapshot(t.slice(split), snap)
+    assert two_phase.equals(one_shot)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(event_st, min_size=1, max_size=20), st.data())
+def test_duplicate_delivery_invariant(events, data):
+    """Re-delivering any subset of events (same payload+ts, new offsets)
+    never changes the live rows' (conv, turn, ts, text).
+
+    Holds under the standard CDC assumption that (key, ts) identifies
+    ONE logical write: two *different* ops on the same key at the same
+    microsecond are a writer race whose winner is offset-defined — and
+    redelivery legitimately reorders a race. Filter those out here."""
+    seen: set = set()
+    uniq = []
+    for e in events:
+        k = (e[1], e[2], e[3])
+        if k not in seen:
+            seen.add(k)
+            uniq.append(e)
+    events = uniq
+    t = to_table(events)
+    dup_idx = data.draw(
+        st.lists(st.integers(0, len(events) - 1), min_size=0, max_size=10)
+    )
+    if not dup_idx:
+        return
+    dup = t.take(pa.array(dup_idx))
+    # new offsets continuing the log
+    dup = dup.set_column(
+        0, "offset", pa.array(range(len(events), len(events) + len(dup_idx)), pa.int64())
+    )
+    with_dups = pa.concat_tables([t, dup])
+
+    def live_payload(m):
+        live = m.filter(pc.equal(m.column("_deleted"), False))
+        return sorted(
+            zip(
+                live.column("conv_id").to_pylist(),
+                live.column("turn_idx").to_pylist(),
+                live.column("text").to_pylist(),
+                live.column("ts").to_pylist(),
+            )
+        )
+
+    assert live_payload(lww_merge(with_dups)) == live_payload(lww_merge(t))

@@ -77,7 +77,7 @@ def cmd_ingest(args):
     res = run_ingest(
         args.wal_dir,
         args.table_root,
-        CDCConfig(num_partitions=args.partitions, salt=args.salt),
+        CDCConfig(num_partitions=args.partitions, salt=args.salt, mode=args.mode),
     )
     print(
         json.dumps(
@@ -202,6 +202,7 @@ def main(argv=None):
     sp.add_argument("table_root")
     sp.add_argument("--partitions", type=int, default=64)
     sp.add_argument("--salt", type=int, default=1)
+    sp.add_argument("--mode", choices=["upsert", "refresh"], default="upsert")
     sp.set_defaults(fn=cmd_ingest)
 
     sp = sub.add_parser("tail")

@@ -233,7 +233,8 @@ class SimHasher:
                 continue
             h = pd.util.hash_array(words).view(np.uint64)
             bits = np.unpackbits(h.view(np.uint8)).reshape(len(h), 64)
-            score = bits.sum(axis=0) * 2 - len(h)  # (+1/-1 vote per bit)
+            # signed accumulate: uint8 sums would wrap on the -len(h) vote
+            score = bits.sum(axis=0, dtype=np.int64) * 2 - len(h)
             out[i] = np.packbits((score > 0).astype(np.uint8)).view(np.uint64)[0]
         return pd.DataFrame(
             {"doc_id": batch["doc_id"].to_numpy(), "simhash": out.astype(np.int64)}

@@ -221,6 +221,42 @@ def generate_change_log(
             chunks.extend(x.chunks if isinstance(x, pa.ChunkedArray) else [x])
         return pa.chunked_array(chunks)
 
+    def _gather_chunked(carr, idx: np.ndarray, slice_rows: int = 2_000_000):
+        """take() for chunked string arrays whose TOTAL size exceeds the
+        2 GiB single-array limit: pyarrow's take concatenates the input
+        first, so gather per chunk instead and restore order per slice."""
+        if isinstance(carr, pa.Array):
+            return pa.chunked_array(
+                [
+                    pc.take(carr, pa.array(idx[i : i + slice_rows]))
+                    for i in range(0, len(idx), slice_rows)
+                ]
+            )
+        lens = np.array([len(c) for c in carr.chunks], dtype=np.int64)
+        offs = np.concatenate([[0], np.cumsum(lens)])
+        out = []
+        for st in range(0, len(idx), slice_rows):
+            sub = idx[st : st + slice_rows]
+            cid = np.searchsorted(offs, sub, side="right") - 1
+            local = sub - offs[cid]
+            grouped_parts = []
+            order_by_chunk = np.argsort(cid, kind="stable")
+            for c in np.unique(cid):
+                m = cid == c
+                g = carr.chunk(int(c)).take(pa.array(local[m]))
+                grouped_parts.append(
+                    g.combine_chunks() if isinstance(g, pa.ChunkedArray) else g
+                )
+            grouped = (
+                pa.concat_arrays(grouped_parts)
+                if len(grouped_parts) > 1
+                else grouped_parts[0]
+            )
+            perm = np.empty(len(cid), dtype=np.int64)
+            perm[order_by_chunk] = np.arange(len(cid))
+            out.append(grouped.take(pa.array(perm)))
+        return pa.chunked_array(out)
+
     if n_dup:
         src = rng.integers(0, n_base, size=n_dup)
         src_arr = pa.array(src)
@@ -228,7 +264,9 @@ def generate_change_log(
         conv_id_arr = _cat(conv_id_arr, pc.take(conv_id_arr, src_arr))
         turn_arr = _cat(turn_arr, pc.take(turn_arr, src_arr))
         role_arr = _cat(role_arr, pc.take(role_arr, src_arr))
-        text_arr = _cat(text_arr, pc.take(text_arr, src_arr))
+        text_arr = pa.chunked_array(
+            list(text_arr.chunks) + list(_gather_chunked(text_arr, src).chunks)
+        )
         tool_arr = _cat(tool_arr, pc.take(tool_arr, src_arr))
         ts_arr = _cat(ts_arr, pc.take(ts_arr, src_arr))
         pos = np.concatenate([pos, rng.uniform(pos[src], 1.0)])
@@ -240,20 +278,11 @@ def generate_change_log(
     order_arr = pa.array(order)
     offsets = np.arange(n, dtype=np.int64)
 
-    def _take_sliced(arr, idx: np.ndarray, slice_rows: int = 4_000_000):
-        # take in slices so no output string chunk crosses the 2 GiB limit
-        return pa.chunked_array(
-            [
-                pc.take(arr, pa.array(idx[i : i + slice_rows])).combine_chunks()
-                for i in range(0, len(idx), slice_rows)
-            ]
-        )
-
     op_arr = pc.take(op_arr, order_arr)
     conv_id_arr = pc.take(conv_id_arr, order_arr)
     turn_arr = pc.take(turn_arr, order_arr)
     role_arr = pc.take(role_arr, order_arr)
-    text_arr = _take_sliced(text_arr, order)
+    text_arr = _gather_chunked(text_arr, order)
     tool_arr = pc.take(tool_arr, order_arr)
     ts_arr = pc.take(ts_arr, order_arr)
     has_tool = tool_mask[order]

@@ -69,6 +69,11 @@ class CDCConfig:
     batch_size: int = 65536
     strict: bool = True  # invalid rows: raise (reference behavior) vs drop
     required: tuple[str, ...] = ("offset", "op", "conv_id", "turn_idx", "ts")
+    # "upsert" = keyed merge (reference CKANDatastoreLoader method='upsert');
+    # "refresh" = drop-and-recreate full refresh (reference method='insert',
+    # which delete_datastore + create_datastore + appends — SURVEY.md §3.2);
+    # here a refresh is a new epoch that REPLACES all partitions atomically.
+    mode: str = "upsert"
 
 
 @dataclass
@@ -238,8 +243,11 @@ def run_ingest(
     recomputes byte-identical partition files (deterministic merge).
     """
     cfg = config or CDCConfig()
+    if cfg.mode not in ("upsert", "refresh"):
+        raise InvalidConfigError(f"unknown mode {cfg.mode!r}")
     manifest = load_manifest(table_root)
-    wm = manifest["global_watermark"] if manifest else -1
+    refresh = cfg.mode == "refresh"
+    wm = -1 if refresh else (manifest["global_watermark"] if manifest else -1)
     chosen, new_wm, schema_groups = plan_segments(wal_dir, wm)
     if not chosen:
         return CommitResult(
@@ -254,7 +262,7 @@ def run_ingest(
     # X3: unified change schema = all segment schemas + (on incremental
     # epochs) the columns already committed — widening only.
     seg_schemas = [pq.read_schema(g[0]) for g in schema_groups]
-    prior_public = public_schema(manifest) if manifest else None
+    prior_public = public_schema(manifest) if (manifest and not refresh) else None
     to_unify = list(seg_schemas)
     if prior_public is not None:
         to_unify.append(
@@ -275,7 +283,7 @@ def run_ingest(
     B = cfg.num_partitions
     # the salt count is a TABLE property: fixed at creation (changing it
     # would orphan unrewritten salt runs); stored in the manifest
-    if manifest and manifest.get("metrics", {}).get("salt"):
+    if manifest and not refresh and manifest.get("metrics", {}).get("salt"):
         S = int(manifest["metrics"]["salt"])
     else:
         S = cfg.salt
@@ -304,7 +312,7 @@ def run_ingest(
         ds = ds.union(other)
 
     prior_parts: dict[int, dict] = {}
-    if manifest:
+    if manifest and not refresh:
         prior_parts = {int(k): v for k, v in manifest["partitions"].items()}
 
     epoch = (manifest["epoch"] if manifest else 0) + 1
@@ -369,10 +377,12 @@ def run_ingest(
         schema=snapshot_target,
         new_watermark=new_wm,
         updated_partitions=updated,
+        replace_all=refresh,
         metrics={
             "epoch_events_applied": events_read,
             "segments": [os.path.basename(p) for p in chosen],
             "salt": S,
+            "mode": cfg.mode,
         },
     )
     return CommitResult(
@@ -457,6 +467,14 @@ class CDCPipeline:
     def partitions(self, num_partitions: int, salt: int = 1) -> "CDCPipeline":
         self.config.num_partitions = num_partitions
         self.config.salt = salt
+        return self
+
+    def method(self, method: str) -> "CDCPipeline":
+        """Reference parity: ``CKANDatastoreLoader(method='upsert'|'insert')``
+        (wprdc-etl pipeline/loaders.py) — 'insert' = full refresh."""
+        if method not in ("upsert", "insert"):
+            raise InvalidConfigError(f"method must be upsert|insert, got {method!r}")
+        self.config.mode = "upsert" if method == "upsert" else "refresh"
         return self
 
     def run(self) -> CommitResult:

@@ -79,6 +79,7 @@ def commit_manifest(
     schema: pa.Schema,
     new_watermark: int,
     updated_partitions: dict[str, dict],
+    replace_all: bool = False,
     metrics: dict | None = None,
 ) -> dict:
     """Atomically publish a new epoch.
@@ -86,16 +87,20 @@ def commit_manifest(
     ``updated_partitions`` maps partition id (str) → entry dict for
     partitions rewritten this epoch; all other partitions carry forward
     from ``prev``. Raises WatermarkRegressionError if the commit would
-    move the global watermark backwards.
+    move the global watermark backwards. ``replace_all=True`` (full
+    refresh, the reference's drop-and-recreate ``method='insert'`` path)
+    REPLACES the partition set wholesale and may rewind the watermark —
+    old files stop being referenced at the same atomic flip.
     """
     if prev is None:
         prev = empty_manifest(table, num_partitions)
-    if new_watermark < prev["global_watermark"]:
+    if not replace_all and new_watermark < prev["global_watermark"]:
         raise WatermarkRegressionError(
             f"watermark {new_watermark} < committed {prev['global_watermark']}"
         )
-    parts = dict(prev["partitions"])
-    parts.update(updated_partitions)
+    parts = dict(updated_partitions) if replace_all else dict(prev["partitions"])
+    if not replace_all:
+        parts.update(updated_partitions)
     manifest = {
         "table": table,
         "epoch": prev["epoch"] + 1,
