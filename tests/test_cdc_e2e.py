@@ -166,3 +166,18 @@ def test_fluent_builder_parity(ray_session, tmp_path, log):
     )
     assert res.epoch == 1
     check_equal(str(tmp_path / "t"), log)
+
+
+def test_direct_and_sort_exchange_identical(ray_session, tmp_path, log):
+    """The two exchange implementations must produce byte-identical
+    partition files (the merge is input-order-independent)."""
+    write_wal(str(tmp_path), log, segment_rows=2000)
+    ra, rb = str(tmp_path / "direct"), str(tmp_path / "sorted")
+    run_ingest(str(tmp_path / "wal"), ra, CDCConfig(num_partitions=8, salt=4, exchange="direct"))
+    run_ingest(str(tmp_path / "wal"), rb, CDCConfig(num_partitions=8, salt=4, exchange="sort"))
+    fa = sorted(glob.glob(os.path.join(ra, "data", "**", "*.parquet"), recursive=True))
+    fb = sorted(glob.glob(os.path.join(rb, "data", "**", "*.parquet"), recursive=True))
+    assert [os.path.relpath(p, ra) for p in fa] == [os.path.relpath(p, rb) for p in fb]
+    for a, b in zip(fa, fb):
+        with open(a, "rb") as f1, open(b, "rb") as f2:
+            assert f1.read() == f2.read(), f"{a} differs between exchanges"

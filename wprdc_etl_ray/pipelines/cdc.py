@@ -66,7 +66,15 @@ class CDCConfig:
     table_name: str = "transcripts"
     num_partitions: int = 64  # B ≈ 2–4 × total CPUs; bounds merge working set
     salt: int = 1  # >1 splits hot conversations across sub-groups (X4)
-    batch_size: int = 65536
+    batch_size: int = 262144
+    # shuffle implementation for the ONE exchange:
+    #   "direct" — decode tasks route per-group Arrow slices straight to
+    #     zero-CPU exchange actors (hash exchange; no global sort). 5-10x
+    #     faster than "sort" here: Ray's groupby is a full range SORT and
+    #     the merge only needs co-location, not order.
+    #   "sort"  — ray.data groupby().map_groups (simplest, most general).
+    exchange: str = "direct"
+    num_exchange_actors: int = 32
     strict: bool = True  # invalid rows: raise (reference behavior) vs drop
     required: tuple[str, ...] = ("offset", "op", "conv_id", "turn_idx", "ts")
     # "upsert" = keyed merge (reference CKANDatastoreLoader method='upsert');
@@ -227,6 +235,115 @@ class _MergeWrite:
         )
 
 
+# --- direct hash exchange (the fast path for the ONE shuffle) ----------------
+
+
+@ray.remote(num_cpus=0)
+class _ExchangeActor:
+    """Zero-CPU receiving end of the direct hash exchange.
+
+    Each actor owns a contiguous range of (part, salt) groups. During
+    routing it only appends zero-copy Arrow slices (num_cpus=0 so the
+    decode tasks keep every CPU); ``finalize`` then does the per-group
+    merge+write via the same ``_MergeWrite`` as the sort path — output
+    files are byte-identical between exchanges (the arg-max merge is
+    input-order-independent)."""
+
+    def __init__(self, writer: "_MergeWrite", salt: int):
+        self.writer = writer
+        self.salt = salt
+        self.frags: list[pa.Table] = []
+
+    def apply(self, t: pa.Table) -> int:
+        self.frags.append(t)
+        return t.num_rows
+
+    def finalize(self) -> list[dict]:
+        import numpy as np
+
+        if not self.frags:
+            return []
+        allt = pa.concat_tables(self.frags, promote_options="permissive")
+        self.frags = []
+        gid = allt.column("_gid").to_numpy(zero_copy_only=False)
+        order = np.argsort(gid, kind="stable")
+        st = allt.take(pa.array(order))
+        sg = gid[order]
+        bounds = np.flatnonzero(np.r_[True, sg[1:] != sg[:-1]])
+        out = []
+        for i, b in enumerate(bounds):
+            end = bounds[i + 1] if i + 1 < len(bounds) else len(sg)
+            group = st.slice(b, end - b).drop_columns(["_gid"])
+            g = int(sg[b])
+            part, salt_val = g // self.salt, g % self.salt
+            group = group.append_column("part", pa.array([part] * (end - b), pa.int32()))
+            if self.salt > 1:
+                group = group.append_column(
+                    "salt", pa.array([salt_val] * (end - b), pa.int32())
+                )
+            stat = self.writer(group)
+            out.append({c: stat.column(c)[0].as_py() for c in stat.schema.names})
+        return out
+
+
+def _direct_exchange(
+    ds: ray.data.Dataset,
+    writer: "_MergeWrite",
+    B: int,
+    S: int,
+    num_actors: int,
+) -> list[dict]:
+    """Route decoded batches straight to per-group-range actors.
+
+    One all-to-all data movement, no sort: each decode batch is split by
+    destination actor (vectorized argsort+slice — one copy), shipped via
+    the object store, and acked (the ``ray.get`` is the backpressure).
+    The driver never holds row data; it only collects B×S stat dicts.
+
+    Multi-node note: actor placement spreads over the cluster (Ray
+    SPREAD default for actors); each fragment moves node-to-node exactly
+    once — the same byte movement a shuffle needs, minus sort CPU and
+    minus the map-side fragment explosion."""
+    import numpy as np
+
+    n_groups = B * S
+    actors = [
+        _ExchangeActor.remote(writer, S) for _ in range(min(num_actors, n_groups))
+    ]
+    A = len(actors)
+
+    def route(batch: pa.Table) -> pa.Table:
+        part = batch.column("part").to_numpy(zero_copy_only=False).astype(np.int64)
+        if S > 1:
+            salt = batch.column("salt").to_numpy(zero_copy_only=False).astype(np.int64)
+            gid = part * S + salt
+            batch = batch.drop_columns(["part", "salt"])
+        else:
+            gid = part * S
+            batch = batch.drop_columns(["part"])
+        batch = batch.append_column("_gid", pa.array(gid.astype(np.int32), pa.int32()))
+        aid = (gid * A) // n_groups
+        order = np.argsort(aid, kind="stable")
+        sb = batch.take(pa.array(order))
+        sa = aid[order]
+        bounds = np.flatnonzero(np.r_[True, sa[1:] != sa[:-1]])
+        refs = []
+        for i, b in enumerate(bounds):
+            end = bounds[i + 1] if i + 1 < len(bounds) else len(sa)
+            refs.append(actors[int(sa[b])].apply.remote(sb.slice(b, end - b)))
+        applied = sum(ray.get(refs))
+        return pa.table({"applied": pa.array([applied], pa.int64())})
+
+    routed = ds.map_batches(route, batch_format="pyarrow")
+    routed.take_all()  # drives the routing to completion (counts only)
+    try:
+        nested = ray.get([a.finalize.remote() for a in actors])
+    finally:
+        for a in actors:
+            ray.kill(a)
+    return [r for rows in nested for r in rows]
+
+
 # --- the engine --------------------------------------------------------------
 
 
@@ -324,12 +441,20 @@ def run_ingest(
         target_schema=snapshot_target,
     )
 
-    def merge_write(group: pa.Table) -> pa.Table:
-        return writer(group)
+    if cfg.exchange == "direct":
+        stats = _direct_exchange(ds, writer, B, S, cfg.num_exchange_actors)
+    elif cfg.exchange == "sort":
 
-    group_keys = ["part", "salt"] if S > 1 else ["part"]
-    stats_ds = ds.groupby(group_keys).map_groups(merge_write, batch_format="pyarrow")
-    stats = stats_ds.take_all()  # ≤ B×S tiny rows — the only driver materialization
+        def merge_write(group: pa.Table) -> pa.Table:
+            return writer(group)
+
+        group_keys = ["part", "salt"] if S > 1 else ["part"]
+        stats_ds = ds.groupby(group_keys).map_groups(
+            merge_write, batch_format="pyarrow"
+        )
+        stats = stats_ds.take_all()  # ≤ B×S tiny rows on the driver
+    else:
+        raise InvalidConfigError(f"unknown exchange {cfg.exchange!r}")
 
     # assemble per-partition entries: rewritten salt runs from this
     # epoch + carried-forward runs for salt slots with no new events
