@@ -46,7 +46,7 @@ from ..schema import (
     unify_schemas,
     validate_batch,
 )
-from ..stages.merge import merge_with_snapshot
+from ..stages.merge import lww_merge, merge_with_snapshot, snapshot_form, winner_indices
 from ..stages.partition import add_partition_cols
 from ..state.manifest import (
     commit_manifest,
@@ -202,8 +202,27 @@ class _MergeWrite:
         events = group.drop_columns(
             [c for c in ("part", "salt") if c in group.schema.names]
         )
+        return self.merge_and_write(
+            part, salt_val, events, prededuped=False, events_applied=events.num_rows
+        )
+
+    def merge_and_write(
+        self,
+        part: int,
+        salt_val: int,
+        events: pa.Table,
+        prededuped: bool,
+        events_applied: int | None = None,
+    ) -> pa.Table:
+        """``prededuped=True`` means ``events`` is already one key-ordered
+        winner row per key (the direct exchange dedups all its groups in
+        one narrow lexsort) — skip the per-group re-sort when there is no
+        prior snapshot to merge against."""
         prior = self._read_prior(part, salt_val)
-        merged = merge_with_snapshot(events, prior)
+        if prior is None and prededuped:
+            merged = snapshot_form(events)
+        else:
+            merged = merge_with_snapshot(events, prior)
         merged = normalize_batch(merged, self.target_schema)
 
         rel = os.path.join(
@@ -229,7 +248,10 @@ class _MergeWrite:
                 "live_rows": pa.array([merged.num_rows - n_tomb], pa.int64()),
                 "tombstones": pa.array([n_tomb], pa.int64()),
                 "watermark": pa.array([wm_part], pa.int64()),
-                "events_applied": pa.array([events.num_rows], pa.int64()),
+                "events_applied": pa.array(
+                    [events.num_rows if events_applied is None else events_applied],
+                    pa.int64(),
+                ),
                 "bytes": pa.array([os.path.getsize(abs_path)], pa.int64()),
             }
         )
@@ -265,23 +287,26 @@ class _ExchangeActor:
             return []
         allt = pa.concat_tables(self.frags, promote_options="permissive")
         self.frags = []
-        gid = allt.column("_gid").to_numpy(zero_copy_only=False)
-        order = np.argsort(gid, kind="stable")
-        st = allt.take(pa.array(order))
-        sg = gid[order]
-        bounds = np.flatnonzero(np.r_[True, sg[1:] != sg[:-1]])
+        gid = allt.column("_gid").to_numpy(zero_copy_only=False).astype(np.int64)
+        # ONE narrow lexsort dedups every owned group at once; the wide
+        # payload is then touched once per group (winner rows only).
+        winners, wgid = winner_indices(allt, outer=gid)
+        raw_counts = dict(zip(*map(list, np.unique(gid, return_counts=True))))
+        allt = allt.drop_columns(["_gid"])
+        bounds = np.flatnonzero(np.r_[True, wgid[1:] != wgid[:-1]])
         out = []
         for i, b in enumerate(bounds):
-            end = bounds[i + 1] if i + 1 < len(bounds) else len(sg)
-            group = st.slice(b, end - b).drop_columns(["_gid"])
-            g = int(sg[b])
+            end = bounds[i + 1] if i + 1 < len(bounds) else len(wgid)
+            g = int(wgid[b])
             part, salt_val = g // self.salt, g % self.salt
-            group = group.append_column("part", pa.array([part] * (end - b), pa.int32()))
-            if self.salt > 1:
-                group = group.append_column(
-                    "salt", pa.array([salt_val] * (end - b), pa.int32())
-                )
-            stat = self.writer(group)
+            group = allt.take(pa.array(winners[b:end]))
+            stat = self.writer.merge_and_write(
+                part,
+                salt_val,
+                group,
+                prededuped=True,
+                events_applied=int(raw_counts[g]),
+            )
             out.append({c: stat.column(c)[0].as_py() for c in stat.schema.names})
         return out
 
@@ -322,7 +347,10 @@ def _direct_exchange(
             gid = part * S
             batch = batch.drop_columns(["part"])
         batch = batch.append_column("_gid", pa.array(gid.astype(np.int32), pa.int32()))
-        aid = (gid * A) // n_groups
+        # interleaved assignment: a hot partition's salt groups spread
+        # over DIFFERENT actors (contiguous ranges would hand one actor
+        # the whole hot conversation back)
+        aid = gid % A
         order = np.argsort(aid, kind="stable")
         sb = batch.take(pa.array(order))
         sa = aid[order]

@@ -87,6 +87,60 @@ def lww_merge(events: pa.Table) -> pa.Table:
     return out
 
 
+def winner_indices(
+    t: pa.Table, outer: np.ndarray | None = None
+) -> tuple[np.ndarray, np.ndarray | None]:
+    """Row indices of the (ts, offset)-max event per key, in
+    (outer, conv_id, turn_idx) order — one narrow-column lexsort over the
+    whole (possibly multi-group) table, no wide data touched.
+
+    ``outer`` is an optional outermost grouping array (e.g. the exchange
+    gid) so ONE sort serves many groups. Returns (winner_row_indices,
+    outer_value_per_winner)."""
+    conv = t.column("conv_id")
+    if isinstance(conv, pa.ChunkedArray):
+        conv = conv.combine_chunks()
+    codes_arr = pc.dictionary_encode(conv)
+    if isinstance(codes_arr, pa.ChunkedArray):
+        codes_arr = codes_arr.combine_chunks()
+    dict_vals = codes_arr.dictionary
+    rank = pc.array_sort_indices(pc.array_sort_indices(dict_vals))
+    conv_rank = pc.take(rank, codes_arr.indices).to_numpy(zero_copy_only=False).astype(np.int64)
+    turn = t.column("turn_idx").to_numpy(zero_copy_only=False).astype(np.int64)
+    ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+    offset = t.column("offset").to_numpy(zero_copy_only=False)
+    if outer is None:
+        order = np.lexsort((offset, ts, turn, conv_rank))
+        okey = None
+    else:
+        order = np.lexsort((offset, ts, turn, conv_rank, outer))
+        okey = outer[order]
+    cs, tu = conv_rank[order], turn[order]
+    last = np.empty(len(order), dtype=bool)
+    last[-1] = True
+    diff = (cs[1:] != cs[:-1]) | (tu[1:] != tu[:-1])
+    if okey is not None:
+        diff |= okey[1:] != okey[:-1]
+    last[:-1] = diff
+    winners = order[last]
+    return winners, (okey[last] if okey is not None else None)
+
+
+def snapshot_form(winner_table: pa.Table) -> pa.Table:
+    """Convert an already-deduplicated, key-ordered winner table from
+    event form (op/offset) to snapshot form (_offset/_deleted) — the
+    tail of :func:`lww_merge` without re-sorting."""
+    t = winner_table
+    deleted = pc.equal(t.column("op"), "delete")
+    out = t.drop_columns(["op", "offset"])
+    out = out.append_column("_offset", t.column("offset").cast(pa.int64()))
+    out = out.append_column(
+        "_deleted",
+        deleted.combine_chunks() if isinstance(deleted, pa.ChunkedArray) else deleted,
+    )
+    return out
+
+
 def _empty_like(t: pa.Table) -> pa.Table:
     out = t.drop_columns(["op", "offset"])
     out = out.append_column("_offset", pa.nulls(0, pa.int64()))
