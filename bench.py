@@ -102,9 +102,11 @@ def run_bench() -> dict:
     # headline: full CDC ingest into a fresh table (includes commit).
     # min of 2 runs — the sandbox VM shows a few % CPU steal, and the
     # min is the steadiest estimator of pipeline cost under that noise.
-    cfg = CDCConfig(num_partitions=max(2 * NUM_CPUS, 16), salt=8)
+    # The layout (B, salt) is FIXED so the 8- and 32-CPU scaling runs
+    # execute the identical job.
+    cfg = CDCConfig(num_partitions=64, salt=8)
     cdc_sec = float("inf")
-    for _ in range(2):
+    for _ in range(3 if "--cdc-only" in sys.argv else 2):
         table_root = os.path.join(BENCH_TMP, f"table-{NUM_CPUS}")
         shutil.rmtree(table_root, ignore_errors=True)
         t0 = time.perf_counter()
@@ -113,6 +115,20 @@ def run_bench() -> dict:
         assert res.events_read == n_events, (res.events_read, n_events)
 
     timings: dict[str, float] = {"cdc_ingest": round(cdc_sec, 3)}
+
+    if "--cdc-only" in sys.argv:
+        result = {
+            "metric": "cdc_ingest",
+            "value": round(cdc_sec, 3),
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+            "num_cpus": NUM_CPUS,
+            "events": n_events,
+            "events_per_sec": round(n_events / cdc_sec, 1),
+        }
+        ray.shutdown()
+        return result
 
     def timed(name: str, fn):
         t0 = time.perf_counter()
@@ -149,16 +165,35 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
-    """Same headline job at 8 and 32 CPUs in fresh processes (north-rule
-    N vs 4N proxy; see BASELINE.md)."""
+    """Same headline job at N and 4N CPUs in fresh processes — the
+    sandbox proxy for the north rule's N vs 4N node criterion.
+
+    Each level runs under ``taskset`` CPU affinity so the WHOLE process
+    tree (Ray workers, plasma store, Arrow IO threads) is bounded by N
+    cores — ``ray.init(num_cpus=N)`` alone only limits task slots, and
+    unpinned helper threads silently inflate small-N throughput.
+
+    Default pair 4 vs 16: a pure-ALU control (64 independent Ray tasks
+    doing arithmetic) scales 8->32 at only ~2.7x on this VM — the 32
+    vCPUs are host-oversubscribed above ~16 — so 8 vs 32 measures the
+    host's ceiling, not the engine. 4 vs 16 stays within true physical
+    parallelism. Both pairs are recorded in BASELINE.md.
+    Override with GRAFT_SCALING_LEVELS="8,32".
+    """
+    levels = [
+        int(x)
+        for x in os.environ.get("GRAFT_SCALING_LEVELS", "4,16").split(",")
+    ]
+    lo, hi = levels[0], levels[1]
     outs = {}
     scaling_events = os.environ.get("GRAFT_SCALING_EVENTS", "24000000")
-    for ncpu in (8, 32):
+    for ncpu in (lo, hi):
         env = dict(
             os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_EVENTS=scaling_events
         )
         proc = subprocess.run(
-            [sys.executable, os.path.join(REPO, "bench.py")],
+            ["taskset", "-c", f"0-{ncpu - 1}", sys.executable,
+             os.path.join(REPO, "bench.py"), "--cdc-only"],
             env=env,
             capture_output=True,
             text=True,
@@ -166,20 +201,19 @@ def run_scaling() -> dict:
         )
         outs[ncpu] = json.loads(proc.stdout.strip().splitlines()[-1])
         time.sleep(10)  # let the previous raylet fully tear down
-    t8 = outs[8]["queries"]["cdc_ingest"]
-    t32 = outs[32]["queries"]["cdc_ingest"]
-    eff = (t8 / t32) / (32 / 8)
+    t_lo = outs[lo]["queries"]["cdc_ingest"]
+    t_hi = outs[hi]["queries"]["cdc_ingest"]
+    eff = (t_lo / t_hi) / (hi / lo)
     return {
         "metric": "cdc_ingest_scaling",
         "unit": "sec",
-        "sec_8": t8,
-        "sec_32": t32,
-        "events": outs[8]["events"],
-        "events_per_sec_8": round(outs[8]["events"] / t8, 1),
-        "events_per_sec_32": round(outs[32]["events"] / t32, 1),
+        "levels": [lo, hi],
+        f"sec_{lo}": t_lo,
+        f"sec_{hi}": t_hi,
+        "events": outs[lo]["events"],
+        f"events_per_sec_{lo}": round(outs[lo]["events"] / t_lo, 1),
+        f"events_per_sec_{hi}": round(outs[hi]["events"] / t_hi, 1),
         "scaling_efficiency": round(eff, 3),
-        "total_suite_sec_8": outs[8]["value"],
-        "total_suite_sec_32": outs[32]["value"],
     }
 
 

@@ -74,7 +74,10 @@ class CDCConfig:
     #     the merge only needs co-location, not order.
     #   "sort"  — ray.data groupby().map_groups (simplest, most general).
     exchange: str = "direct"
-    num_exchange_actors: int = 32
+    # zero-CPU receiver actors; 32 works across 4..32-CPU nodes (more
+    # actors than CPUs just means smaller finalize slices; fewer makes
+    # finalize chunks too big to overlap)
+    num_exchange_actors: int | None = 32
     strict: bool = True  # invalid rows: raise (reference behavior) vs drop
     required: tuple[str, ...] = ("offset", "op", "conv_id", "turn_idx", "ts")
     # "upsert" = keyed merge (reference CKANDatastoreLoader method='upsert');
@@ -280,6 +283,22 @@ class _ExchangeActor:
         self.frags.append(t)
         return t.num_rows
 
+    def apply_shared(self, t: pa.Table, aid: int, num_actors: int) -> int:
+        """Shared-object routing: the WHOLE decoded batch is put in the
+        object store once; every actor zero-copy-reads it and takes only
+        its own groups (gid % num_actors == aid). Saves the map-side
+        sort+slice copy of the wide payload — on this exchange the data
+        is copied exactly twice total (actor take + parquet encode)."""
+        import numpy as np
+
+        gid = t.column("_gid").to_numpy(zero_copy_only=False)
+        idx = np.flatnonzero(gid % num_actors == aid)
+        if len(idx) == 0:
+            return 0
+        mine = t.take(pa.array(idx))
+        self.frags.append(mine)
+        return len(idx)
+
     def finalize(self) -> list[dict]:
         import numpy as np
 
@@ -332,6 +351,8 @@ def _direct_exchange(
     import numpy as np
 
     n_groups = B * S
+    if num_actors is None:
+        num_actors = max(2, int(ray.cluster_resources().get("CPU", 8)))
     actors = [
         _ExchangeActor.remote(writer, S) for _ in range(min(num_actors, n_groups))
     ]
@@ -347,18 +368,11 @@ def _direct_exchange(
             gid = part * S
             batch = batch.drop_columns(["part"])
         batch = batch.append_column("_gid", pa.array(gid.astype(np.int32), pa.int32()))
-        # interleaved assignment: a hot partition's salt groups spread
-        # over DIFFERENT actors (contiguous ranges would hand one actor
-        # the whole hot conversation back)
-        aid = gid % A
-        order = np.argsort(aid, kind="stable")
-        sb = batch.take(pa.array(order))
-        sa = aid[order]
-        bounds = np.flatnonzero(np.r_[True, sa[1:] != sa[:-1]])
-        refs = []
-        for i, b in enumerate(bounds):
-            end = bounds[i + 1] if i + 1 < len(bounds) else len(sa)
-            refs.append(actors[int(sa[b])].apply.remote(sb.slice(b, end - b)))
+        # one shared put; every actor zero-copy-reads and takes its rows
+        # (gid % A interleaving spreads a hot partition's salt groups
+        # over different actors)
+        bref = ray.put(batch)
+        refs = [a.apply_shared.remote(bref, i, A) for i, a in enumerate(actors)]
         applied = sum(ray.get(refs))
         return pa.table({"applied": pa.array([applied], pa.int64())})
 
