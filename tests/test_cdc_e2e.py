@@ -181,3 +181,41 @@ def test_direct_and_sort_exchange_identical(ray_session, tmp_path, log):
     for a, b in zip(fa, fb):
         with open(a, "rb") as f1, open(b, "rb") as f2:
             assert f1.read() == f2.read(), f"{a} differs between exchanges"
+
+
+def test_compaction_preserves_reads_and_folds_runs(ray_session, tmp_path, log):
+    """Incremental epochs accumulate runs; compact() folds them into one
+    file per salt without changing read results; tombstone GC drops
+    delete markers."""
+    from wprdc_etl_ray.pipelines.cdc import compact
+
+    write_wal(str(tmp_path), log, segment_rows=1000)
+    segs = sorted(glob.glob(str(tmp_path / "wal" / "seg-*.parquet")))
+    root = str(tmp_path / "t")
+    wal_inc = str(tmp_path / "inc")
+    os.makedirs(wal_inc)
+    for i, s in enumerate(segs):  # one epoch per pair of segments
+        os.link(s, os.path.join(wal_inc, os.path.basename(s)))
+        if i % 2 == 1:
+            run_ingest(wal_inc, root, CDCConfig(num_partitions=4, salt=2))
+    run_ingest(wal_inc, root, CDCConfig(num_partitions=4, salt=2))
+    before = load_manifest(root)
+    before_table = read_transcripts_arrow(root)
+
+    res = compact(root)
+    after = load_manifest(root)
+    assert res.epoch == before["epoch"] + 1
+    # runs folded: exactly salt files per partition
+    for e in after["partitions"].values():
+        assert len(e["files"]) == e["salt"]
+    assert read_transcripts_arrow(root).equals(before_table)
+    assert after["global_watermark"] == before["global_watermark"]
+
+    # tombstone GC drops markers but not live rows
+    res2 = compact(root, drop_tombstones=True)
+    m = load_manifest(root)
+    assert sum(e["tombstones"] for e in m["partitions"].values()) == 0
+    assert read_transcripts_arrow(root).equals(before_table)
+    # and the watermark still guards replays
+    r = run_ingest(str(tmp_path / "wal"), root, CDCConfig(num_partitions=4))
+    assert r.skipped

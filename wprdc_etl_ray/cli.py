@@ -5,6 +5,7 @@ Commands:
   init     <table_root>                   create table root + empty manifest
   gen      <out_dir> --events N [...]     write a deterministic CDC WAL
   ingest   <wal_dir> <table_root> [...]   batch-apply new segments (one epoch)
+  compact  <table_root>                   fold per-epoch runs; optional tombstone GC
   tail     <wal_dir> <table_root> [...]   poll+commit loop (stateful actors)
   show     <table_root>                   manifest summary (epoch, watermark, lineage)
   read     <table_root> [--limit N]       print committed rows
@@ -123,6 +124,22 @@ def cmd_tail(args):
         sess.shutdown()
 
 
+def cmd_compact(args):
+    _ray()
+    from .pipelines.cdc import compact
+
+    res = compact(args.table_root, drop_tombstones=args.drop_tombstones)
+    print(
+        json.dumps(
+            {
+                "epoch": res.epoch,
+                "partitions": res.partitions_updated,
+                "skipped": res.skipped,
+            }
+        )
+    )
+
+
 def cmd_show(args):
     from .state.manifest import load_manifest
 
@@ -213,6 +230,11 @@ def main(argv=None):
     sp.add_argument("--interval", type=float, default=2.0)
     sp.add_argument("--polls", type=int, default=0, help="0 = loop forever")
     sp.set_defaults(fn=cmd_tail)
+
+    sp = sub.add_parser("compact")
+    sp.add_argument("table_root")
+    sp.add_argument("--drop-tombstones", action="store_true")
+    sp.set_defaults(fn=cmd_compact)
 
     sp = sub.add_parser("show")
     sp.add_argument("table_root")

@@ -561,6 +561,134 @@ def run_ingest(
     )
 
 
+# --- compaction (LSM maintenance) --------------------------------------------
+
+
+def compact(
+    table_root: str,
+    drop_tombstones: bool = False,
+) -> CommitResult:
+    """Rewrite every partition into one file per salt run at the current
+    epoch — merging accumulated per-epoch runs and (optionally) dropping
+    tombstones.
+
+    LSM maintenance for long-lived tables: incremental epochs append
+    runs per partition; compaction folds them. ``drop_tombstones=True``
+    garbage-collects delete markers — ONLY safe once no event with
+    ``ts`` older than the tombstones can still arrive (the operator's
+    late-data horizon); with the default False, compaction never changes
+    read results (tested).
+
+    One Ray task per partition (no shuffle — each partition's runs are
+    already co-located by construction); the commit is the same atomic
+    manifest flip, so a crashed compaction leaves the table untouched.
+    """
+    manifest = load_manifest(table_root)
+    if manifest is None or not manifest["partitions"]:
+        return CommitResult(
+            epoch=0, global_watermark=-1, events_read=0,
+            partitions_updated=0, manifest=manifest or {}, skipped=True,
+        )
+    epoch = manifest["epoch"] + 1
+    target = public_schema(manifest)
+    fields = [(f.name, str(f.type), f.nullable) for f in target]
+
+    @ray.remote
+    def compact_part(part: int, entry: dict) -> list[dict]:
+        from ..schema import fields_to_schema
+
+        tgt = fields_to_schema(
+            [{"id": n, "type": t, "nullable": nu} for n, t, nu in fields]
+        )
+        out = []
+        by_salt: dict[int, list[dict]] = {}
+        for f in entry["files"]:
+            by_salt.setdefault(f["salt"], []).append(f)
+        for salt_val, files in sorted(by_salt.items()):
+            tables = [
+                pq.read_table(os.path.join(table_root, f["path"])) for f in files
+            ]
+            merged = merge_with_snapshot(
+                snapshot_as_events_multi(tables), None
+            )
+            merged = normalize_batch(merged, tgt)
+            if drop_tombstones:
+                merged = merged.filter(
+                    pc.equal(merged.column("_deleted"), False)
+                )
+            rel = os.path.join(
+                "data", f"epoch={epoch:06d}", f"part-{part:05d}-s{salt_val:02d}.parquet"
+            )
+            abs_path = os.path.join(table_root, rel)
+            os.makedirs(os.path.dirname(abs_path), exist_ok=True)
+            pq.write_table(merged, abs_path)
+            deleted = merged.column("_deleted")
+            n_tomb = pc.sum(pc.cast(deleted, pa.int64())).as_py() or 0
+            out.append(
+                {
+                    "path": rel,
+                    "salt": salt_val,
+                    "rows": merged.num_rows,
+                    "live_rows": merged.num_rows - n_tomb,
+                    "tombstones": n_tomb,
+                    "bytes": os.path.getsize(abs_path),
+                    "epoch": epoch,
+                }
+            )
+        return out
+
+    parts = {int(k): v for k, v in manifest["partitions"].items()}
+    results = ray.get(
+        [compact_part.remote(p, e) for p, e in sorted(parts.items())]
+    )
+    updated = {}
+    for (p, prior_entry), files in zip(sorted(parts.items()), results):
+        updated[str(p)] = {
+            "files": files,
+            "salt": prior_entry.get("salt", 1),
+            "rows": sum(f["rows"] for f in files),
+            "live_rows": sum(f["live_rows"] for f in files),
+            "tombstones": sum(f["tombstones"] for f in files),
+            "bytes": sum(f["bytes"] for f in files),
+            "watermark": prior_entry.get("watermark", -1),
+            "events_applied": 0,
+            "epoch": epoch,
+        }
+    new_manifest = commit_manifest(
+        table_root,
+        manifest,
+        table=manifest["table"],
+        num_partitions=manifest["num_partitions"],
+        schema=target,
+        new_watermark=manifest["global_watermark"],
+        updated_partitions=updated,
+        metrics={
+            "mode": "compact",
+            "drop_tombstones": drop_tombstones,
+            "salt": manifest.get("metrics", {}).get("salt", 1),
+        },
+    )
+    return CommitResult(
+        epoch=new_manifest["epoch"],
+        global_watermark=manifest["global_watermark"],
+        events_read=0,
+        partitions_updated=len(updated),
+        manifest=new_manifest,
+    )
+
+
+def snapshot_as_events_multi(tables: list[pa.Table]) -> pa.Table:
+    """Union several snapshot runs (possibly different epochs/schemas)
+    back into event form for a re-merge."""
+    from ..stages.merge import snapshot_as_events
+
+    evs = [snapshot_as_events(t) for t in tables]
+    if len(evs) == 1:
+        return evs[0]
+    target = unify_schemas([e.schema for e in evs])
+    return pa.concat_tables([normalize_batch(e, target) for e in evs])
+
+
 # --- read path ---------------------------------------------------------------
 
 
