@@ -219,3 +219,34 @@ def test_compaction_preserves_reads_and_folds_runs(ray_session, tmp_path, log):
     # and the watermark still guards replays
     r = run_ingest(str(tmp_path / "wal"), root, CDCConfig(num_partitions=4))
     assert r.skipped
+
+
+def test_concurrent_commit_loser_rejected_then_retry_converges(ray_session, tmp_path, log):
+    """Optimistic concurrency: a commit based on a stale epoch is
+    refused; the retry re-plans and converges (no lost updates)."""
+    from wprdc_etl_ray.errors import ConcurrentCommitError
+    from wprdc_etl_ray.state.manifest import commit_manifest
+    from wprdc_etl_ray.schema import TRANSCRIPT_SCHEMA, snapshot_schema
+
+    write_wal(str(tmp_path), log, segment_rows=4000)
+    root = str(tmp_path / "t")
+    run_ingest(str(tmp_path / "wal"), root, CDCConfig(num_partitions=4))
+    stale = load_manifest(root)
+
+    # a second writer commits epoch 2 first
+    commit_manifest(
+        root, stale, table="transcripts", num_partitions=4,
+        schema=snapshot_schema(TRANSCRIPT_SCHEMA),
+        new_watermark=stale["global_watermark"], updated_partitions={},
+    )
+    # the loser (still based on epoch 1) must be refused
+    with pytest.raises(ConcurrentCommitError):
+        commit_manifest(
+            root, stale, table="transcripts", num_partitions=4,
+            schema=snapshot_schema(TRANSCRIPT_SCHEMA),
+            new_watermark=stale["global_watermark"], updated_partitions={},
+        )
+    # and a normal re-planned ingest still works
+    r = run_ingest(str(tmp_path / "wal"), root, CDCConfig(num_partitions=4))
+    assert r.skipped  # nothing above the watermark
+    check_equal(root, log)

@@ -69,3 +69,9 @@ class MissingManifestError(EngineError):
     Reference analog: ``MissingStatusDatabaseError`` (wprdc-etl
     pipeline/status.py).
     """
+
+
+class ConcurrentCommitError(EngineError):
+    """Another writer committed an epoch while this one was running;
+    re-plan against the new manifest and retry (the watermark filter
+    then makes the retry exactly-once)."""

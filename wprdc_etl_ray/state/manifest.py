@@ -32,7 +32,7 @@ import time
 
 import pyarrow as pa
 
-from ..errors import WatermarkRegressionError
+from ..errors import ConcurrentCommitError, WatermarkRegressionError
 from ..schema import fields_to_schema, schema_to_fields
 
 MANIFEST_DIR = "manifest"
@@ -113,16 +113,33 @@ def commit_manifest(
     }
     mdir = os.path.join(root, MANIFEST_DIR)
     os.makedirs(mdir, exist_ok=True)
-    # history copy (lineage per epoch), then atomic flip
-    hist = os.path.join(mdir, f"epoch-{manifest['epoch']:06d}.json")
-    with open(hist, "w") as f:
-        json.dump(manifest, f, indent=1)
-    tmp = os.path.join(mdir, f".tmp-{manifest['epoch']}")
-    with open(tmp, "w") as f:
-        json.dump(manifest, f, indent=1)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, manifest_path(root))
+    # optimistic concurrency under a commit lock: two racing writers
+    # would otherwise both base on the same prev and the second
+    # os.replace would silently drop the first's partitions. The loser
+    # gets ConcurrentCommitError and must re-plan against the new
+    # manifest (its watermark filter then skips the winner's events).
+    import fcntl
+
+    lock_path = os.path.join(mdir, ".commit.lock")
+    with open(lock_path, "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        current = load_manifest(root)
+        cur_epoch = current["epoch"] if current else 0
+        if cur_epoch != prev["epoch"]:
+            raise ConcurrentCommitError(
+                f"manifest moved to epoch {cur_epoch} while this commit was "
+                f"based on epoch {prev['epoch']}; re-plan and retry"
+            )
+        # history copy (lineage per epoch), then atomic flip
+        hist = os.path.join(mdir, f"epoch-{manifest['epoch']:06d}.json")
+        with open(hist, "w") as f:
+            json.dump(manifest, f, indent=1)
+        tmp = os.path.join(mdir, f".tmp-{manifest['epoch']}")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, manifest_path(root))
     return manifest
 
 
