@@ -30,7 +30,7 @@ from __future__ import annotations
 
 import glob
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -46,7 +46,7 @@ from ..schema import (
     unify_schemas,
     validate_batch,
 )
-from ..stages.merge import lww_merge, merge_with_snapshot, snapshot_form, winner_indices
+from ..stages.merge import merge_with_snapshot, snapshot_form, winner_indices
 from ..stages.partition import add_partition_cols
 from ..state.manifest import (
     commit_manifest,

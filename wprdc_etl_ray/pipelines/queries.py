@@ -25,7 +25,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data
-from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 from ..functions.dedup import (
     embedding_near_dups,

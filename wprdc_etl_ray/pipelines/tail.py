@@ -37,7 +37,7 @@ import ray
 import ray.data
 
 from ..schema import VALID_OPS, normalize_batch, unify_schemas, validate_batch
-from ..stages.merge import lww_merge, merge_with_snapshot
+from ..stages.merge import merge_with_snapshot
 from ..stages.partition import add_partition_cols
 from ..state.manifest import commit_manifest, load_manifest, public_schema
 from .cdc import CDCConfig, CHANGE_META_COLS, INTERNAL_COLS, plan_segments

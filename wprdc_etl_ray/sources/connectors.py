@@ -23,7 +23,6 @@ Reference parity, re-expressed Ray-Data-first:
 from __future__ import annotations
 
 import hashlib
-import os
 import re
 
 import pyarrow as pa
