@@ -139,6 +139,40 @@ FROM ranked WHERE rn = 1 AND op <> 'delete'
 """
 
 
+def q_cdc_turn_counts(sf_dir: str):
+    """Aggregate over the MERGED transcripts table (exercises the
+    manifest-resolved read path end-to-end): per conversation, the live
+    turn count and last event time. Oracle = the same aggregate over the
+    window-deduped WAL."""
+    from ..functions.relational import grouped_agg
+    from .cdc import CDCConfig, read_transcripts, run_ingest
+
+    wal = cdc_wal_dir(sf_dir)
+    root = os.path.join(os.path.dirname(wal), "table")
+    run_ingest(wal, root, CDCConfig(num_partitions=32))  # no-op if committed
+    ds = read_transcripts(root, columns=["conv_id", "ts"])
+    out = grouped_agg(
+        ds, ["conv_id"], [("", "count", "n_turns"), ("ts", "max", "last_ts")]
+    )
+    return out.map_batches(_as_int64(["n_turns"]), batch_format="pyarrow")
+
+
+def _cdc_turn_counts_sql() -> str:
+    wal = cdc_wal_dir("/root/testdata/sf0.01")
+    glob_path = os.path.join(wal, "seg-*.parquet")
+    return f"""
+WITH ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY conv_id, turn_idx
+      ORDER BY ts DESC, "offset" DESC) AS rn
+  FROM read_parquet('{glob_path}')
+),
+final AS (SELECT * FROM ranked WHERE rn = 1 AND op <> 'delete')
+SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns, MAX(ts) AS last_ts
+FROM final GROUP BY conv_id
+"""
+
+
 # --- relational / aggregate queries ------------------------------------------
 
 
@@ -651,6 +685,7 @@ def q_ivf_topk(sf_dir: str):
 def queries():
     return {
         "cdc_flagship": q_cdc_flagship,
+        "cdc_turn_counts": q_cdc_turn_counts,
         "pricing_summary": q_pricing_summary,
         "filter_revenue": q_filter_revenue,
         "topk_orders": q_topk_orders,
@@ -683,6 +718,7 @@ def queries():
 def oracle_sql():
     return {
         "cdc_flagship": _cdc_oracle_sql(),
+        "cdc_turn_counts": _cdc_turn_counts_sql(),
         "pricing_summary": SQL_PRICING,
         "filter_revenue": SQL_FILTER_REVENUE,
         "topk_orders": SQL_TOPK_ORDERS,
