@@ -250,3 +250,22 @@ def test_concurrent_commit_loser_rejected_then_retry_converges(ray_session, tmp_
     r = run_ingest(str(tmp_path / "wal"), root, CDCConfig(num_partitions=4))
     assert r.skipped  # nothing above the watermark
     check_equal(root, log)
+
+
+@pytest.mark.parametrize(
+    "seed,n,kwargs",
+    [
+        (101, 3000, dict(p_update=0.5, p_delete=0.15, p_dup=0.1, p_ooo=0.3)),
+        (202, 3000, dict(p_update=0.05, p_delete=0.0, p_dup=0.0, p_ooo=0.0)),
+        (303, 2500, dict(zipf_s=2.5, mean_turns=3)),  # extreme skew, short convs
+        (404, 2500, dict(mean_turns=40, p_delete=0.2)),  # long convs, heavy deletes
+    ],
+)
+def test_randomized_configs_match_oracle(ray_session, tmp_path, seed, n, kwargs):
+    """Engine == sequential oracle across generator parameter corners
+    (heavy mutation, no mutation, extreme skew, delete-heavy)."""
+    rnd_log = generate_change_log(n, seed=seed, **kwargs)
+    write_wal(str(tmp_path), rnd_log, segment_rows=700)
+    root = str(tmp_path / "t")
+    run_ingest(root_wal := str(tmp_path / "wal"), root, CDCConfig(num_partitions=8, salt=2))
+    check_equal(root, rnd_log)
