@@ -113,3 +113,43 @@ def test_tail_poll_noop_and_commit_noop(ray_session, tmp_path, log):
     res = sess.commit()
     assert res.skipped
     sess.shutdown()
+
+
+def test_mixed_mode_salt_transition_guarded(ray_session, tmp_path, log):
+    """A salted table cannot be silently tailed (salt=1 runs would later
+    double-count against carried salted runs): tail refuses, and the
+    supported path — compact(to_salt=1) → tail → batch — matches the
+    oracle end-to-end."""
+    import glob as _glob
+
+    from wprdc_etl_ray.errors import InvalidConfigError
+    from wprdc_etl_ray.pipelines.cdc import compact
+
+    write_wal(str(tmp_path / "full"), log, segment_rows=1000)
+    segs = sorted(_glob.glob(str(tmp_path / "full" / "wal" / "seg-*.parquet")))
+    third = len(segs) // 3
+    wals = []
+    for i in range(3):
+        w = str(tmp_path / f"w{i}")
+        os.makedirs(w)
+        hi = len(segs) if i == 2 else (i + 1) * third
+        for s in segs[:hi]:
+            os.link(s, os.path.join(w, os.path.basename(s)))
+        wals.append(w)
+    root = str(tmp_path / "t")
+
+    run_ingest(wals[0], root, CDCConfig(num_partitions=8, salt=4))  # salted batch
+    with pytest.raises(InvalidConfigError):
+        TailSession(wals[1], root, CDCConfig(num_partitions=8), num_actors=2)
+
+    compact(root, to_salt=1)  # supported migration
+    sess = TailSession(wals[1], root, CDCConfig(num_partitions=8), num_actors=2)
+    sess.poll()
+    sess.commit()
+    sess.shutdown()
+    run_ingest(wals[2], root, CDCConfig(num_partitions=8))  # batch again (salt=1)
+
+    oracle = replay_oracle_pandas(log)
+    got = read_transcripts_arrow(root).select(oracle.schema.names).cast(oracle.schema)
+    assert got.num_rows == oracle.num_rows
+    assert got.equals(oracle)

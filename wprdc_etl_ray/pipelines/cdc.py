@@ -189,13 +189,36 @@ class _MergeWrite:
         entry = self.prior_parts.get(part)
         if not entry:
             return None
-        files = [f for f in entry["files"] if f["salt"] == salt_val]
-        if not files:
-            return None
+        if entry.get("salt", 1) == self.salt:
+            # layout matches: this salt slot's rows live only in files
+            # tagged with the same salt
+            files = [f for f in entry["files"] if f["salt"] == salt_val]
+            if not files:
+                return None
+            tables = [
+                pq.read_table(os.path.join(self.root, f["path"])) for f in files
+            ]
+            return pa.concat_tables(tables) if len(tables) > 1 else tables[0]
+        # layout MISMATCH (e.g. a salt=8 table later tailed into salt=1
+        # runs, or vice versa): this slot's keys may be spread across all
+        # prior files — read the whole partition and filter to the keys
+        # this (part, salt) group owns (turn_idx % salt == salt_val).
         tables = [
-            pq.read_table(os.path.join(self.root, f["path"])) for f in files
+            pq.read_table(os.path.join(self.root, f["path"]))
+            for f in entry["files"]
         ]
-        return pa.concat_tables(tables) if len(tables) > 1 else tables[0]
+        allt = (
+            pa.concat_tables(tables, promote_options="permissive")
+            if len(tables) > 1
+            else tables[0]
+        )
+        if self.salt <= 1:
+            return allt
+        import numpy as np
+
+        turn = allt.column("turn_idx").to_numpy(zero_copy_only=False)
+        mask = (turn.astype(np.int64) % self.salt) == salt_val
+        return allt.filter(pa.array(mask))
 
     def __call__(self, group: pa.Table) -> pa.Table:
         part = group.column("part")[0].as_py()
@@ -520,6 +543,13 @@ def run_ingest(
         ]
         prior = prior_parts.get(part)
         if prior:
+            if prior.get("salt", 1) != S:
+                raise InvalidConfigError(
+                    f"partition {part} has salt={prior.get('salt', 1)} runs but "
+                    f"this epoch uses salt={S}; re-salt first via "
+                    "compact(table_root, to_salt=...) — carrying mismatched "
+                    "runs forward would duplicate keys"
+                )
             files += [f for f in prior["files"] if f["salt"] not in new_salts]
         wm_new = max(int(r["watermark"]) for r in rows)
         if prior:
@@ -567,6 +597,7 @@ def run_ingest(
 def compact(
     table_root: str,
     drop_tombstones: bool = False,
+    to_salt: int | None = None,
 ) -> CommitResult:
     """Rewrite every partition into one file per salt run at the current
     epoch — merging accumulated per-epoch runs and (optionally) dropping
@@ -592,22 +623,45 @@ def compact(
     epoch = manifest["epoch"] + 1
     target = public_schema(manifest)
     fields = [(f.name, str(f.type), f.nullable) for f in target]
+    cur_salt = int(manifest.get("metrics", {}).get("salt", 1))
+    new_salt = cur_salt if to_salt is None else to_salt
 
     @ray.remote
     def compact_part(part: int, entry: dict) -> list[dict]:
+        import numpy as np
+
         from ..schema import fields_to_schema
 
         tgt = fields_to_schema(
             [{"id": n, "type": t, "nullable": nu} for n, t, nu in fields]
         )
         out = []
-        by_salt: dict[int, list[dict]] = {}
-        for f in entry["files"]:
-            by_salt.setdefault(f["salt"], []).append(f)
-        for salt_val, files in sorted(by_salt.items()):
-            tables = [
-                pq.read_table(os.path.join(table_root, f["path"])) for f in files
+        if new_salt == entry.get("salt", 1):
+            by_salt: dict[int, list[dict]] = {}
+            for f in entry["files"]:
+                by_salt.setdefault(f["salt"], []).append(f)
+            groups = [
+                (salt_val, [pq.read_table(os.path.join(table_root, f["path"])) for f in files])
+                for salt_val, files in sorted(by_salt.items())
             ]
+        else:
+            # re-salt: merge the whole partition, then split by the new
+            # salt key (turn_idx % new_salt)
+            whole = [
+                pq.read_table(os.path.join(table_root, f["path"]))
+                for f in entry["files"]
+            ]
+            allt = (
+                pa.concat_tables(whole, promote_options="permissive")
+                if len(whole) > 1
+                else whole[0]
+            )
+            turn = allt.column("turn_idx").to_numpy(zero_copy_only=False)
+            groups = [
+                (sv, [allt.filter(pa.array((turn.astype(np.int64) % max(new_salt, 1)) == sv))])
+                for sv in range(max(new_salt, 1))
+            ]
+        for salt_val, tables in groups:
             merged = merge_with_snapshot(
                 snapshot_as_events_multi(tables), None
             )
@@ -645,7 +699,7 @@ def compact(
     for (p, prior_entry), files in zip(sorted(parts.items()), results):
         updated[str(p)] = {
             "files": files,
-            "salt": prior_entry.get("salt", 1),
+            "salt": new_salt,
             "rows": sum(f["rows"] for f in files),
             "live_rows": sum(f["live_rows"] for f in files),
             "tombstones": sum(f["tombstones"] for f in files),
@@ -665,7 +719,7 @@ def compact(
         metrics={
             "mode": "compact",
             "drop_tombstones": drop_tombstones,
-            "salt": manifest.get("metrics", {}).get("salt", 1),
+            "salt": new_salt,
         },
     )
     return CommitResult(

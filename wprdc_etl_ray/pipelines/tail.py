@@ -169,6 +169,13 @@ class TailSession:
         self.cfg = config or CDCConfig()
         self.num_actors = num_actors
         manifest = load_manifest(table_root)
+        if manifest and int(manifest.get("metrics", {}).get("salt", 1)) > 1:
+            from ..errors import InvalidConfigError
+
+            raise InvalidConfigError(
+                "tail mode writes salt=1 runs; this table has salted runs — "
+                "re-salt first: compact(table_root, to_salt=1)"
+            )
         self.watermark = manifest["global_watermark"] if manifest else -1
         self.epoch = manifest["epoch"] if manifest else 0
         B = self.cfg.num_partitions
