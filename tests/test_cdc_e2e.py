@@ -269,3 +269,15 @@ def test_randomized_configs_match_oracle(ray_session, tmp_path, seed, n, kwargs)
     root = str(tmp_path / "t")
     run_ingest(root_wal := str(tmp_path / "wal"), root, CDCConfig(num_partitions=8, salt=2))
     check_equal(root, rnd_log)
+
+
+def test_exchange_combiner_path_matches_oracle(ray_session, tmp_path, log):
+    """A tiny combiner threshold forces the exchange actors to pre-merge
+    their buffers repeatedly mid-epoch; the result must be unchanged."""
+    write_wal(str(tmp_path), log, segment_rows=1000)
+    run_ingest(
+        str(tmp_path / "wal"),
+        str(tmp_path / "t"),
+        CDCConfig(num_partitions=8, salt=2, batch_size=1000, exchange_compact_rows=500),
+    )
+    check_equal(str(tmp_path / "t"), log)

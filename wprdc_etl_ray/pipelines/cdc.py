@@ -78,6 +78,10 @@ class CDCConfig:
     # actors than CPUs just means smaller finalize slices; fewer makes
     # finalize chunks too big to overlap)
     num_exchange_actors: int | None = 32
+    # combiner threshold: an exchange actor pre-merges its buffer to
+    # winners-only past this many rows, bounding actor memory to
+    # O(live keys) instead of O(epoch events) on huge epochs
+    exchange_compact_rows: int = 4_000_000
     strict: bool = True  # invalid rows: raise (reference behavior) vs drop
     required: tuple[str, ...] = ("offset", "op", "conv_id", "turn_idx", "ts")
     # "upsert" = keyed merge (reference CKANDatastoreLoader method='upsert');
@@ -297,13 +301,31 @@ class _ExchangeActor:
     files are byte-identical between exchanges (the arg-max merge is
     input-order-independent)."""
 
-    def __init__(self, writer: "_MergeWrite", salt: int):
+    def __init__(self, writer: "_MergeWrite", salt: int, compact_rows: int = 4_000_000):
         self.writer = writer
         self.salt = salt
         self.frags: list[pa.Table] = []
+        self.buffered_rows = 0
+        # combiner: when the buffer exceeds this, pre-merge to winners
+        # only — bounds actor memory to O(live keys per actor) instead
+        # of O(epoch events per actor) on huge epochs
+        self.compact_rows = compact_rows
+
+    def _maybe_compact(self):
+        if self.buffered_rows < self.compact_rows or not self.frags:
+            return
+        import numpy as np
+
+        allt = pa.concat_tables(self.frags, promote_options="permissive")
+        gid = allt.column("_gid").to_numpy(zero_copy_only=False).astype(np.int64)
+        winners, _ = winner_indices(allt, outer=gid)
+        self.frags = [allt.take(pa.array(np.sort(winners)))]
+        self.buffered_rows = self.frags[0].num_rows
 
     def apply(self, t: pa.Table) -> int:
         self.frags.append(t)
+        self.buffered_rows += t.num_rows
+        self._maybe_compact()
         return t.num_rows
 
     def apply_shared(self, t: pa.Table, aid: int, num_actors: int) -> int:
@@ -320,6 +342,8 @@ class _ExchangeActor:
             return 0
         mine = t.take(pa.array(idx))
         self.frags.append(mine)
+        self.buffered_rows += len(idx)
+        self._maybe_compact()
         return len(idx)
 
     def finalize(self) -> list[dict]:
@@ -329,6 +353,7 @@ class _ExchangeActor:
             return []
         allt = pa.concat_tables(self.frags, promote_options="permissive")
         self.frags = []
+        self.buffered_rows = 0
         gid = allt.column("_gid").to_numpy(zero_copy_only=False).astype(np.int64)
         # ONE narrow lexsort dedups every owned group at once; the wide
         # payload is then touched once per group (winner rows only).
@@ -359,6 +384,7 @@ def _direct_exchange(
     B: int,
     S: int,
     num_actors: int,
+    compact_rows: int = 4_000_000,
 ) -> list[dict]:
     """Route decoded batches straight to per-group-range actors.
 
@@ -377,7 +403,8 @@ def _direct_exchange(
     if num_actors is None:
         num_actors = max(2, int(ray.cluster_resources().get("CPU", 8)))
     actors = [
-        _ExchangeActor.remote(writer, S) for _ in range(min(num_actors, n_groups))
+        _ExchangeActor.remote(writer, S, compact_rows)
+        for _ in range(min(num_actors, n_groups))
     ]
     A = len(actors)
 
@@ -507,7 +534,9 @@ def run_ingest(
     )
 
     if cfg.exchange == "direct":
-        stats = _direct_exchange(ds, writer, B, S, cfg.num_exchange_actors)
+        stats = _direct_exchange(
+            ds, writer, B, S, cfg.num_exchange_actors, cfg.exchange_compact_rows
+        )
     elif cfg.exchange == "sort":
 
         def merge_write(group: pa.Table) -> pa.Table:
