@@ -10,9 +10,10 @@ Prints ONE JSON line:
   {"metric": ..., "value": sec, "unit": "sec", "queries": {...},
    "sf": ..., "num_cpus": N, "events": N, "events_per_sec": N}
 
---scaling: runs the same job in two fresh processes at num_cpus=8 and
-num_cpus=32 (the sandbox proxy for the north rule's N vs 4N node
-criterion) and reports both throughputs + scaling efficiency.
+--scaling: runs the same job in two fresh taskset-pinned processes at
+N and 4N cores (default 4 vs 16 — see run_scaling docstring and
+BASELINE.md for why, incl. the hardware-ceiling controls) and reports
+both throughputs + scaling efficiency.
 """
 
 from __future__ import annotations
