@@ -153,3 +153,37 @@ def test_mixed_mode_salt_transition_guarded(ray_session, tmp_path, log):
     got = read_transcripts_arrow(root).select(oracle.schema.names).cast(oracle.schema)
     assert got.num_rows == oracle.num_rows
     assert got.equals(oracle)
+
+
+def test_tail_schema_evolution_mid_stream(ray_session, tmp_path, log):
+    """v2 segments (added columns, widened turn_idx) arrive in a LATER
+    poll than the v1 segments: actors must unify resident snapshots with
+    the evolved events and surface the unified schema."""
+    import glob as _glob
+
+    import pyarrow as pa
+
+    write_wal(str(tmp_path / "full"), log, segment_rows=1000, evolve_at=0.5)
+    segs = sorted(_glob.glob(str(tmp_path / "full" / "wal" / "seg-*.parquet")))
+    wal = str(tmp_path / "wal")
+    os.makedirs(wal)
+    root = str(tmp_path / "t")
+    sess = TailSession(wal, root, CDCConfig(num_partitions=8), num_actors=2)
+
+    half = len(segs) // 2
+    for s in segs[:half]:  # v1 era
+        os.link(s, os.path.join(wal, os.path.basename(s)))
+    sess.poll()
+    sess.commit()
+    for s in segs[half:]:  # v2 era
+        os.link(s, os.path.join(wal, os.path.basename(s)))
+    sess.poll()
+    sess.commit()
+    sess.shutdown()
+
+    got = read_transcripts_arrow(root)
+    assert "tool_call_id" in got.schema.names
+    assert got.schema.field("turn_idx").type == pa.int64()
+    oracle = replay_oracle_pandas(log)
+    cmp = got.select(oracle.schema.names).cast(oracle.schema)
+    assert cmp.equals(oracle)
