@@ -281,3 +281,18 @@ def test_exchange_combiner_path_matches_oracle(ray_session, tmp_path, log):
         CDCConfig(num_partitions=8, salt=2, batch_size=1000, exchange_compact_rows=500),
     )
     check_equal(str(tmp_path / "t"), log)
+
+
+def test_num_partitions_locked_to_manifest(ray_session, tmp_path, log):
+    """Re-ingesting an existing table with a different configured B must
+    use the committed B (a re-hash would merge against wrong partitions)."""
+    half = len(log) // 2
+    write_wal(str(tmp_path / "a"), log[:half], segment_rows=2000)
+    write_wal(str(tmp_path / "b"), log, segment_rows=2000)
+    root = str(tmp_path / "t")
+    run_ingest(str(tmp_path / "a" / "wal"), root, CDCConfig(num_partitions=8))
+    # second epoch configured with a DIFFERENT B — must be ignored
+    res = run_ingest(str(tmp_path / "b" / "wal"), root, CDCConfig(num_partitions=16))
+    assert not res.skipped
+    assert load_manifest(root)["num_partitions"] == 8
+    check_equal(root, log)

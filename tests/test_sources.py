@@ -79,3 +79,10 @@ def test_offline_connectors_raise():
         remote_file_connector("https://example.org/x.csv")
     with pytest.raises(ConnectorError):
         http_connector("https://example.org/api")
+
+
+def test_csv_encoding_latin1(ray_session, tmp_path):
+    p = tmp_path / "l1.csv"
+    p.write_bytes("id,name,amount\n1,café,1.5\n2,süß,2.5\n".encode("latin-1"))
+    out = read_csv_source(str(p), schema=SCHEMA, encoding="latin-1").take_all()
+    assert [r["name"] for r in out] == ["café", "süß"]

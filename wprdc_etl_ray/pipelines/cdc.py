@@ -310,6 +310,17 @@ class _ExchangeActor:
         # only — bounds actor memory to O(live keys per actor) instead
         # of O(epoch events per actor) on huge epochs
         self.compact_rows = compact_rows
+        # per-gid routed-event counts, accumulated BEFORE compaction so
+        # events_applied / lineage metrics count every routed event even
+        # when _maybe_compact collapses the buffer to winners-only
+        self.raw_counts: dict[int, int] = {}
+
+    def _count_gids(self, gid) -> None:
+        import numpy as np
+
+        vals, counts = np.unique(gid, return_counts=True)
+        for g, c in zip(vals.tolist(), counts.tolist()):
+            self.raw_counts[int(g)] = self.raw_counts.get(int(g), 0) + int(c)
 
     def _maybe_compact(self):
         if self.buffered_rows < self.compact_rows or not self.frags:
@@ -325,6 +336,7 @@ class _ExchangeActor:
     def apply(self, t: pa.Table) -> int:
         self.frags.append(t)
         self.buffered_rows += t.num_rows
+        self._count_gids(t.column("_gid").to_numpy(zero_copy_only=False))
         self._maybe_compact()
         return t.num_rows
 
@@ -343,6 +355,7 @@ class _ExchangeActor:
         mine = t.take(pa.array(idx))
         self.frags.append(mine)
         self.buffered_rows += len(idx)
+        self._count_gids(gid[idx])
         self._maybe_compact()
         return len(idx)
 
@@ -358,7 +371,7 @@ class _ExchangeActor:
         # ONE narrow lexsort dedups every owned group at once; the wide
         # payload is then touched once per group (winner rows only).
         winners, wgid = winner_indices(allt, outer=gid)
-        raw_counts = dict(zip(*map(list, np.unique(gid, return_counts=True))))
+        raw_counts = self.raw_counts  # accumulated pre-compaction
         allt = allt.drop_columns(["_gid"])
         bounds = np.flatnonzero(np.r_[True, wgid[1:] != wgid[:-1]])
         out = []
@@ -489,9 +502,14 @@ def run_ingest(
 
     required = cfg.required
     strict = cfg.strict
-    B = cfg.num_partitions
-    # the salt count is a TABLE property: fixed at creation (changing it
-    # would orphan unrewritten salt runs); stored in the manifest
+    # num_partitions and salt are TABLE properties: fixed at creation
+    # (a different B would re-hash keys so merges miss prior rows; a
+    # different salt would orphan unrewritten runs). Incremental epochs
+    # read BOTH from the committed manifest, ignoring the config value.
+    if manifest and not refresh and manifest.get("num_partitions"):
+        B = int(manifest["num_partitions"])
+    else:
+        B = cfg.num_partitions
     if manifest and not refresh and manifest.get("metrics", {}).get("salt"):
         S = int(manifest["metrics"]["salt"])
     else:

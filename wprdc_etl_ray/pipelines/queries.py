@@ -408,18 +408,30 @@ SELECT user_id, event_id, event_type, value, ts FROM ranked WHERE rn = 1
 
 
 def q_sessionize(sf_dir: str):
-    """Gap-based sessionization (30 min) per user: sorted per-group
-    window logic in map_groups — Ray Data's answer to stream windows."""
+    """Gap-based sessionization (30 min) per user: bucketed group-map
+    (ONE task per hash bucket, not per user — per-key task overhead
+    would dominate at millions of users), vectorized sort+diff inside
+    the bucket."""
+    from ..functions.relational import bucketed_group_map
+
     ds = read_table(sf_dir, "events", columns=["user_id", "event_id", "ts"])
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        gaps = g["ts"].diff() > pd.Timedelta(minutes=30)
+    def sessions(bucket: pd.DataFrame) -> pd.DataFrame:
+        b = bucket.sort_values(["user_id", "ts", "event_id"])
+        new_user = b["user_id"] != b["user_id"].shift()
+        gap = (b["ts"].diff() > pd.Timedelta(minutes=30)) & ~new_user
+        # sessions per user = 1 + number of >30min gaps within the user
+        out = (
+            pd.DataFrame({"user_id": b["user_id"], "g": gap})
+            .groupby("user_id", sort=False)["g"]
+            .sum()
+            .reset_index()
+        )
         return pd.DataFrame(
-            {"user_id": [g["user_id"].iloc[0]], "n_sessions": [int(1 + gaps.sum())]}
+            {"user_id": out["user_id"], "n_sessions": (1 + out["g"]).astype("int64")}
         )
 
-    out = ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    out = bucketed_group_map(ds, ["user_id"], sessions, num_buckets=32)
     return out.map_batches(_as_int64(["n_sessions"]), batch_format="pyarrow")
 
 

@@ -178,7 +178,14 @@ class TailSession:
             )
         self.watermark = manifest["global_watermark"] if manifest else -1
         self.epoch = manifest["epoch"] if manifest else 0
-        B = self.cfg.num_partitions
+        # num_partitions is a table property (see run_ingest): a session
+        # over an existing table MUST use the committed B — a different
+        # value would re-hash keys and merge against the wrong partitions
+        if manifest and manifest.get("num_partitions"):
+            self.B = int(manifest["num_partitions"])
+        else:
+            self.B = self.cfg.num_partitions
+        B = self.B
         owned: list[list[int]] = [[] for _ in range(num_actors)]
         for p in range(B):
             owned[p % num_actors].append(p)
@@ -212,7 +219,7 @@ class TailSession:
         self._pending_schema = snapshot_target
 
         cfg, wm = self.cfg, self.watermark
-        B, A = cfg.num_partitions, self.num_actors
+        B, A = self.B, self.num_actors
         actors = self.actors
         required, strict = cfg.required, cfg.strict
 
@@ -305,7 +312,7 @@ class TailSession:
             self.root,
             manifest,
             table=self.cfg.table_name,
-            num_partitions=self.cfg.num_partitions,
+            num_partitions=self.B,
             schema=self._pending_schema,
             new_watermark=self.watermark,
             updated_partitions=updated,

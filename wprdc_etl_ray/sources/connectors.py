@@ -65,6 +65,7 @@ def read_csv_source(
     drop_repeated_headers: bool = True,
     strict: bool = True,
     required: tuple[str, ...] = (),
+    encoding: str = "utf-8",
 ) -> ray.data.Dataset:
     """CSV source with the reference extractor's semantics.
 
@@ -73,12 +74,14 @@ def read_csv_source(
     mid-file (concatenated exports) are filtered vectorized: a row where
     every string column equals that column's (pre-normalization) header
     name. ``schema`` triggers validate/coerce per batch (marshmallow
-    analog)."""
+    analog). ``encoding`` mirrors ``FileConnector(encoding=...)``
+    (wprdc-etl pipeline/connectors.py) — decoded inside the Arrow CSV
+    reader, no Python-side transcoding pass."""
     from pyarrow import csv as pacsv
 
-    read_options = None
+    read_options = pacsv.ReadOptions(encoding=encoding)
     if headers is not None:
-        read_options = pacsv.ReadOptions(column_names=headers)
+        read_options = pacsv.ReadOptions(column_names=headers, encoding=encoding)
     parse_options = pacsv.ParseOptions(delimiter=delimiter)
     # read as ALL-STRING columns so repeated header rows don't poison
     # type inference; the declared schema does the coercion (exactly the

@@ -22,20 +22,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
-def _key_codes(table: pa.Table) -> np.ndarray:
-    """Encode (conv_id, turn_idx) into one int64 key per row (vectorized)."""
-    conv = table.column("conv_id")
-    if isinstance(conv, pa.ChunkedArray):
-        conv = conv.combine_chunks()
-    codes = pc.dictionary_encode(conv)
-    if isinstance(codes, pa.ChunkedArray):
-        codes = codes.combine_chunks()
-    conv_codes = codes.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-    turn = table.column("turn_idx").to_numpy(zero_copy_only=False).astype(np.int64)
-    # conv codes < 2^31 (distinct convs per group), turn_idx < 2^31
-    return (conv_codes << np.int64(31)) | turn
-
-
 def lww_merge(events: pa.Table) -> pa.Table:
     """Arg-max merge of change events for one group.
 
@@ -73,10 +59,13 @@ def lww_merge(events: pa.Table) -> pa.Table:
     offset = t.column("offset").to_numpy(zero_copy_only=False)
 
     order = np.lexsort((offset, ts, turn, conv_rank))
-    key = (conv_rank[order].astype(np.int64) << np.int64(31)) | turn[order]
-    last = np.empty(len(key), dtype=bool)
+    # key boundaries by comparing conv_rank and turn SEPARATELY — a
+    # packed (rank << k) | turn key would silently collide distinct keys
+    # for turn_idx >= 2^k or negative (turn_idx is int64 post-widening)
+    cs, tu = conv_rank[order].astype(np.int64), turn[order]
+    last = np.empty(len(order), dtype=bool)
     last[-1] = True
-    np.not_equal(key[1:], key[:-1], out=last[:-1])
+    last[:-1] = (cs[1:] != cs[:-1]) | (tu[1:] != tu[:-1])
     winners = order[last]  # in (conv_id, turn_idx) order already
 
     t = t.take(pa.array(winners))
