@@ -207,3 +207,80 @@ def test_bucketed_group_map_covers_all_keys(ray_session):
     ref = df.groupby("k")["v"].sum().reset_index()
     out = out.sort_values("k", ignore_index=True)
     assert list(out["k"]) == list(ref["k"]) and list(out["v"]) == list(ref["v"])
+
+
+def test_hashing_kernels_match_python_reference():
+    """Flat-array Horner/min-window/md5 kernels vs a plain Python loop."""
+    import hashlib
+
+    from wprdc_etl_ray.functions.hashing import (
+        HORNER_B,
+        horner_per_segment,
+        md5_word_hashes,
+        min_window_horner,
+        split_flat,
+    )
+
+    M = 1 << 64
+
+    def ref_horner(vals):
+        acc = 0
+        for x in vals:
+            acc = (acc * HORNER_B + int(x)) % M
+        return acc
+
+    rng = np.random.default_rng(11)
+    lens = np.array([0, 1, 3, 7, 8, 9, 20, 0, 2], dtype=np.int64)
+    v = rng.integers(0, 2**63, size=int(lens.sum())).astype(np.uint64)
+    got = horner_per_segment(v, lens)
+    pos = 0
+    for i, L in enumerate(lens):
+        assert int(got[i]) == ref_horner(v[pos : pos + L]), i
+        pos += L
+    gmw = min_window_horner(v, lens, window=4)
+    pos = 0
+    for i, L in enumerate(lens):
+        seg = v[pos : pos + L]
+        pos += L
+        if L == 0:
+            assert gmw[i] == 0
+            continue
+        w = min(4, L)
+        ref = min(ref_horner(seg[k : k + w]) for k in range(L - w + 1))
+        assert int(gmw[i]) == ref, i
+
+    words = np.array(["a", "bb", "a", "héllo"], dtype=object)
+    wh = md5_word_hashes(words)
+    for w, h in zip(words, wh):
+        assert int(h) == int.from_bytes(
+            hashlib.md5(w.encode("utf-8")).digest()[:8], "big"
+        )
+    flat, n = split_flat(pd.Series(["x y", "", "  ", "z"]))
+    assert list(n) == [2, 0, 0, 1] and list(flat) == ["x", "y", "z"]
+
+
+def test_simhash_matches_bitwise_reference():
+    import hashlib
+
+    from wprdc_etl_ray.functions.dedup import SimHasher
+
+    def ref(t):
+        ws = t.split()
+        if not ws:
+            return 0
+        sig = 0
+        for j in range(64):
+            v = sum(
+                1
+                if (int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big") >> j) & 1
+                else -1
+                for w in ws
+            )
+            if v > 0:
+                sig |= 1 << j
+        return sig
+
+    texts = ["hello world hello", "", "one", "a b c d e f g h i j"]
+    out = SimHasher()(pd.DataFrame({"doc_id": range(len(texts)), "text": texts}))
+    for i, t in enumerate(texts):
+        assert out["simhash"][i] % (1 << 64) == ref(t), i

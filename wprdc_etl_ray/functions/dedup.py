@@ -217,26 +217,37 @@ def minhash_lsh_candidates(
 
 
 class SimHasher:
-    """64-bit SimHash per document (actor-pool stage): sum token-hash
-    bit vectors weighted ±1, vectorized via unpackbits."""
+    """64-bit SimHash per document (actor-pool stage), fully batch-
+    vectorized — NO per-document Python loop — and SQL-oracle-checkable:
+
+    - token hash = md5-prefix uint64 (hashing.md5_word_hashes; DuckDB
+      ``('0x'||substr(md5(w),1,16))::UBIGINT``),
+    - bit j of the signature = 1 iff
+      ``sum over tokens of (+1 if (h>>j)&1 else -1) > 0``
+      (duplicate tokens vote once per occurrence),
+    - empty docs → 0; output is the int64 two's-complement view.
+
+    The per-bit votes for ALL docs are one ``(tokens, 64)`` bit matrix
+    plus one ``np.add.reduceat`` at doc boundaries."""
 
     def __init__(self):
-        pass
+        self.shifts = np.arange(64, dtype=np.uint64)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        out = np.empty(len(batch), dtype=np.uint64)
-        for i, t in enumerate(batch["text"].fillna("")):
-            words = np.asarray(t.split(), dtype=object)
-            if len(words) == 0:
-                out[i] = 0
-                continue
-            h = pd.util.hash_array(words).view(np.uint64)
-            bits = np.unpackbits(h.view(np.uint8)).reshape(len(h), 64)
-            # signed accumulate: uint8 sums would wrap on the -len(h) vote
-            score = bits.sum(axis=0, dtype=np.int64) * 2 - len(h)
-            out[i] = np.packbits((score > 0).astype(np.uint8)).view(np.uint64)[0]
+        from .hashing import md5_word_hashes, split_flat, to_signed
+
+        flat, lens = split_flat(batch["text"])
+        wh = md5_word_hashes(flat)
+        out = np.zeros(len(batch), dtype=np.uint64)
+        nz = lens > 0
+        if nz.any():
+            bits = ((wh[:, None] >> self.shifts) & np.uint64(1)).astype(np.int32)
+            starts = np.concatenate([[0], np.cumsum(lens)[:-1]]).astype(np.int64)
+            counts = np.add.reduceat(bits, starts[nz], axis=0)  # (docs, 64)
+            votes = 2 * counts.astype(np.int64) - lens[nz, None]
+            out[nz] = ((votes > 0).astype(np.uint64) << self.shifts).sum(axis=1)
         return pd.DataFrame(
-            {"doc_id": batch["doc_id"].to_numpy(), "simhash": out.astype(np.int64)}
+            {"doc_id": batch["doc_id"].to_numpy(), "simhash": to_signed(out)}
         )
 
 

@@ -83,63 +83,60 @@ class QualityScore:
     filters. Stopword set + regex compiled once per actor."""
 
     def __init__(self):
-        import re
-
-        self.word_re = re.compile(r"\S+")
-        self.stop = frozenset(
-            "the and of a to in is it that for on with as are this".split()
+        self.stop_arr = np.array(
+            sorted("the and of a to in is it that for on with as are this".split()),
+            dtype=object,
         )
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        text = batch["text"].fillna("")
-        toks = text.str.lower().str.findall(self.word_re)
-        n = toks.map(len).to_numpy()
-        stop = self.stop
-        n_stop = toks.map(lambda ws: sum(w in stop for w in ws)).to_numpy()
+        from .hashing import segment_sums, split_flat
+
+        flat, n = split_flat(batch["text"].str.lower())
+        # flat word array + np.isin + per-doc reduceat — no per-row lambda
+        n_stop = segment_sums(np.isin(flat, self.stop_arr), n)
         out = pd.DataFrame(
             {
                 "doc_id": batch["doc_id"],
                 "n_tokens": n.astype("int64"),
                 # exact integer micro-units: matches the oracle's // math
-                "stopword_ratio": (n_stop.astype("int64") * 1_000_000)
-                // np.maximum(n, 1),
+                "stopword_ratio": (n_stop * 1_000_000) // np.maximum(n, 1),
             }
         )
         return out
 
 
-def fingerprint(batch: pa.Table, window: int = 16) -> pa.Table:
-    """Rolling (Rabin-Karp-style) document fingerprint: polynomial hash
-    of the whole text plus the min rolling-window hash (a 1-gram
-    winnowing sketch). Deterministic; numpy-vectorized per document over
-    a concatenated byte buffer — no per-character Python."""
-    text = batch.column("text")
-    joined = pc.binary_join_element_wise(text, "", "")  # null-safe copy
-    buf = joined.to_pandas().fillna("")
-    fps = np.empty(len(buf), dtype=np.uint64)
-    minh = np.empty(len(buf), dtype=np.uint64)
-    B = np.uint64(1099511628211)
-    for i, s in enumerate(buf):  # per DOC loop; per-char work is numpy
-        b = np.frombuffer(s.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
-        if len(b) == 0:
-            fps[i] = 0
-            minh[i] = 0
-            continue
-        powers = np.cumprod(np.full(len(b), B, dtype=np.uint64)) // B
-        terms = b * powers
-        csum = np.cumsum(terms)
-        fps[i] = csum[-1]
-        if len(b) >= window:
-            w_sums = csum[window - 1 :].copy()
-            w_sums[1:] -= csum[: len(b) - window]
-            minh[i] = w_sums.min()
-        else:
-            minh[i] = csum[-1]
+def fingerprint(batch: pa.Table, window: int = 8) -> pa.Table:
+    """Document fingerprint, fully vectorized and SQL-oracle-checkable:
+
+    - ``fingerprint`` — Horner polynomial hash mod 2^64 of the doc's
+      unicode CODE POINTS (``acc = acc*B + cp``; DuckDB:
+      ``list_reduce([unicode(c)::HUGEINT ...], ...)``);
+    - ``min_window_hash`` — min Horner hash over sliding windows of
+      ``window`` consecutive md5 WORD hashes (winnowing sketch; windows
+      shrink to the doc length for short docs).
+
+    No per-document Python loop: all docs' code points / word hashes are
+    flattened once and every segment/window is evaluated with the
+    modular prefix trick (functions/hashing.py)."""
+    from .hashing import (
+        codepoints_flat,
+        horner_per_segment,
+        md5_word_hashes,
+        min_window_horner,
+        split_flat,
+        to_signed,
+    )
+
+    text = batch.column("text").to_pandas()
+    cp, cp_lens = codepoints_flat(text)
+    fps = horner_per_segment(cp, cp_lens)
+    words, w_lens = split_flat(text)
+    minh = min_window_horner(md5_word_hashes(words), w_lens, window=window)
     return pa.table(
         {
             "doc_id": batch.column("doc_id"),
-            "fingerprint": pa.array(fps.astype(np.int64), pa.int64()),
-            "min_window_hash": pa.array(minh.astype(np.int64), pa.int64()),
+            "fingerprint": pa.array(to_signed(fps), pa.int64()),
+            "min_window_hash": pa.array(to_signed(minh), pa.int64()),
         }
     )
 

@@ -651,7 +651,86 @@ LIMIT 5
 """
 
 
-# rows-only checks (non-SQL-expressible or heuristic)
+# --- text-analysis oracles (engine-agnostic hash kernels, see
+# functions/hashing.py: md5-prefix word hash + Horner mod 2^64 are
+# computed identically by numpy and by DuckDB SQL) ---------------------------
+
+_WRAP = (
+    "(CASE WHEN {e} >= 9223372036854775808::HUGEINT "
+    "THEN {e} - 18446744073709551616::HUGEINT ELSE {e} END)::BIGINT"
+)
+_HORNER = "(a, x) -> (a * 1099511628211::HUGEINT + x) % 18446744073709551616::HUGEINT"
+
+
+def _sql_simhash() -> str:
+    sig = " + ".join(
+        f"(CASE WHEN SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) > 0 "
+        f"THEN {1 << j}::HUGEINT ELSE 0::HUGEINT END)"
+        for j in range(64)
+    )
+    return f"""
+WITH words AS (
+  SELECT doc_id, unnest(CASE WHEN trim(coalesce(text,'')) = '' THEN []::VARCHAR[]
+                        ELSE regexp_split_to_array(trim(text), '\\s+') END) AS w
+  FROM documents),
+hs AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 16))::UBIGINT AS h FROM words),
+votes AS (SELECT doc_id, {sig} AS sig FROM hs GROUP BY doc_id)
+SELECT d.doc_id, COALESCE({_WRAP.format(e='v.sig')}, 0) AS simhash
+FROM documents d LEFT JOIN votes v ON d.doc_id = v.doc_id
+"""
+
+
+def _sql_fingerprint() -> str:
+    return f"""
+WITH base AS (SELECT doc_id, coalesce(text,'') AS t FROM documents),
+cp AS (
+  SELECT doc_id,
+    CASE WHEN t = '' THEN 0::HUGEINT
+         ELSE list_reduce([unicode(c)::HUGEINT for c in string_split(t, '')], {_HORNER})
+    END AS fp,
+    CASE WHEN trim(t) = '' THEN []::HUGEINT[]
+         ELSE [('0x' || substr(md5(w), 1, 16))::UBIGINT::HUGEINT
+               for w in regexp_split_to_array(trim(t), '\\s+')]
+    END AS hs
+  FROM base),
+win AS (
+  SELECT doc_id, fp,
+    CASE WHEN len(hs) = 0 THEN 0::HUGEINT
+         ELSE list_min([list_reduce(hs[k : k + LEAST(8, len(hs)) - 1], {_HORNER})
+                        for k in generate_series(1, len(hs) - LEAST(8, len(hs)) + 1)])
+    END AS mw
+  FROM cp)
+SELECT doc_id, {_WRAP.format(e='fp')} AS fingerprint,
+       {_WRAP.format(e='mw')} AS min_window_hash
+FROM win
+"""
+
+
+def _sql_lang_id() -> str:
+    from ..functions.text import _LANG_MARKERS
+
+    def cnt(m: str) -> str:
+        e = m.replace("'", "''")
+        return f"((length(s) - length(replace(s, '{e}', ''))) // {len(m)})"
+
+    langs = list(_LANG_MARKERS)
+    score_cols = ",\n  ".join(
+        " + ".join(cnt(m) for m in ms) + f" AS sc_{lang}"
+        for lang, ms in _LANG_MARKERS.items()
+    )
+    # argmax with ties broken by marker-table order (numpy argmax = first max)
+    case = "CASE WHEN greatest(" + ", ".join(f"sc_{l}" for l in langs) + ") = 0 THEN 'und'\n"
+    for i, l in enumerate(langs):
+        conds = " AND ".join(f"sc_{l} >= sc_{m}" for m in langs[i + 1 :])
+        if conds:
+            case += f" WHEN {conds} THEN '{l}'\n"
+        else:
+            case += f" ELSE '{l}' END"
+    return f"""
+WITH padded AS (SELECT doc_id, ' ' || lower(coalesce(text,'')) || ' ' AS s FROM documents),
+scores AS (SELECT doc_id, {score_cols} FROM padded)
+SELECT doc_id, {case} AS lang_pred FROM scores
+"""
 
 
 def q_lang_id(sf_dir: str):
@@ -750,4 +829,7 @@ def oracle_sql():
         "multimodal_features": SQL_MULTIMODAL,
         "knn_all": SQL_KNN_ALL,
         "cosine_topk": SQL_COSINE_TOPK,
+        "lang_id": _sql_lang_id(),
+        "simhash": _sql_simhash(),
+        "doc_fingerprint": _sql_fingerprint(),
     }
