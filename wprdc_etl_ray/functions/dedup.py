@@ -296,59 +296,137 @@ def ngram_jaccard_verify(
     )
 
 
+def _gram_set(text: str, n: int) -> set:
+    w = (text or "").split()
+    if len(w) < n:
+        return {" ".join(w)}
+    return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+
+def verify_jaccard_pairs(
+    docs: ray.data.Dataset,
+    pairs: pd.DataFrame,
+    n: int = 3,
+    threshold_micro: int = 800_000,
+    num_buckets: int = 16,
+) -> ray.data.Dataset:
+    """Distributed exact word-n-gram Jaccard verification of candidate
+    pairs.
+
+    Scale shape: the candidate PAIR LIST (post-LSH, tiny relative to the
+    corpus) is broadcast once (``ray.put``); the corpus STREAMS through a
+    ``merge`` that emits only candidate docs' texts tagged with
+    (pair_id, side); ONE shuffle co-locates each pair's two texts by
+    pair_id bucket; the exact set intersection runs inside the bucket
+    with a per-doc gram cache. Nothing corpus-sized is materialized.
+
+    Jaccard is exported in exact integer micro-units:
+    ``(inter*2e6 + union) // (2*union)`` — round-half-up without
+    touching floats, so the DuckDB oracle matches bit-for-bit."""
+    from .relational import bucketed_group_map
+
+    pairs = pairs.reset_index(drop=True)
+    pair_id = np.arange(len(pairs), dtype=np.int64)
+    long = pd.concat(
+        [
+            pd.DataFrame(
+                {"pair_id": pair_id, "doc_id": pairs["doc_a"].to_numpy(), "side": 0}
+            ),
+            pd.DataFrame(
+                {"pair_id": pair_id, "doc_id": pairs["doc_b"].to_numpy(), "side": 1}
+            ),
+        ],
+        ignore_index=True,
+    )
+    ref = ray.put(long)
+
+    def attach(batch: pd.DataFrame) -> pd.DataFrame:
+        lg = ray.get(ref)
+        return batch[["doc_id", "text"]].merge(lg, on="doc_id")
+
+    matched = docs.map_batches(attach, batch_format="pandas")
+
+    def per_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        a = b[b["side"] == 0].set_index("pair_id")
+        bb = b[b["side"] == 1].set_index("pair_id")
+        pids = a.index.intersection(bb.index)
+        cache: dict[int, set] = {}
+
+        def g(doc_id: int, text: str) -> set:
+            if doc_id not in cache:
+                cache[doc_id] = _gram_set(text, n)
+            return cache[doc_id]
+
+        rows = []
+        for pid in pids:
+            da, ta = int(a.loc[pid, "doc_id"]), a.loc[pid, "text"]
+            db, tb = int(bb.loc[pid, "doc_id"]), bb.loc[pid, "text"]
+            ga, gb = g(da, ta), g(db, tb)
+            inter = len(ga & gb)
+            uni = len(ga | gb) or 1
+            j = (inter * 2_000_000 + uni) // (2 * uni)
+            if j >= threshold_micro:
+                rows.append((da, db, j))
+        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"]).astype(
+            {"doc_a": "int64", "doc_b": "int64", "jaccard": "int64"}
+        )
+
+    return bucketed_group_map(matched, ["pair_id"], per_bucket, num_buckets=num_buckets)
+
+
+def minhash_near_dups(
+    docs: ray.data.Dataset,
+    threshold_micro: int = 800_000,
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    concurrency: int = 4,
+) -> ray.data.Dataset:
+    """Near-duplicate pairs = LSH candidates VERIFIED by exact word-
+    n-gram Jaccard ≥ threshold — the full two-stage dedup pipeline.
+
+    The verified output is deterministic and (unlike raw band
+    candidates) SQL-expressible, so it carries the DuckDB oracle for the
+    whole MinHash path. Caveat stated plainly: LSH recall is
+    probabilistic — with 16 bands × 4 rows, a true pair at Jaccard 0.8
+    is missed with p≈2e-4 (≈3e-8 at 0.9); the oracle compares exactly
+    because the test corpus' true pairs all sit ≥0.9."""
+    cand = minhash_lsh_candidates(
+        docs, num_perm=num_perm, bands=bands, concurrency=concurrency
+    )
+    pairs = cand.to_pandas()
+    if pairs.empty:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64()),
+                    "jaccard": pa.array([], pa.int64()),
+                }
+            )
+        )
+    return verify_jaccard_pairs(
+        docs, pairs, n=n, threshold_micro=threshold_micro
+    )
+
+
 # --- embedding-cosine near-dup ----------------------------------------------
 
 
 def embedding_near_dups(
-    ds: ray.data.Dataset, threshold: float = 0.95, id_col: str = "vec_id"
-) -> pd.DataFrame:
-    """Near-duplicate pairs by embedding cosine ≥ threshold.
+    ds: ray.data.Dataset,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    n_blocks: int = 8,
+) -> ray.data.Dataset:
+    """EXACT near-duplicate pairs by embedding cosine ≥ threshold.
 
-    Streams batches against a broadcast normalized matrix (numpy matmul
-    per batch) — the brute-force baseline; the scale path buckets by
-    coarse quantizer first (see similarity.ivf_topk)."""
-    import ray as _ray
+    Block-pair partitioned (similarity.blocked_near_dup_pairs): no
+    driver materialization and no full-matrix broadcast — per-task
+    memory is two id-hash blocks, the result streams as a Dataset.
+    Output: (vec_a < vec_b, cosine in exact micro-int units)."""
+    from .similarity import blocked_near_dup_pairs
 
-    full = _to_matrix(ds, id_col)
-    ids, mat = full
-    ref = _ray.put((ids, mat))
-
-    def fn(batch: pd.DataFrame) -> pd.DataFrame:
-        all_ids, m = _ray.get(ref)
-        q = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
-        q /= np.linalg.norm(q, axis=1, keepdims=True).clip(min=1e-12)
-        sims = q @ m.T  # (batch, N)
-        qa, nb = np.nonzero(sims >= threshold)
-        qa_ids = batch[id_col].to_numpy()[qa]
-        nb_ids = all_ids[nb]
-        keep = qa_ids < nb_ids  # dedupe + drop self
-        return pd.DataFrame(
-            {
-                "vec_a": qa_ids[keep].astype("int64"),
-                "vec_b": nb_ids[keep].astype("int64"),
-                "cosine": np.round(sims[qa, nb][keep], 6).astype("float64"),
-            }
-        )
-
-    out = ds.map_batches(fn, batch_format="pandas")
-    pdf = out.to_pandas()
-    if pdf.empty:
-        pdf = pd.DataFrame(
-            {
-                "vec_a": pd.Series([], dtype="int64"),
-                "vec_b": pd.Series([], dtype="int64"),
-                "cosine": pd.Series([], dtype="float64"),
-            }
-        )
-    return pdf.sort_values(["vec_a", "vec_b"], ignore_index=True)
-
-
-def _to_matrix(ds: ray.data.Dataset, id_col: str) -> tuple[np.ndarray, np.ndarray]:
-    # the embedding side being broadcast must be small enough to pin in
-    # the object store (contract of a broadcast join); ids+matrix only
-    rows = ds.select_columns([id_col, "embedding"]).take_all()
-    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
-    mat = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True).clip(min=1e-12)
-    order = np.argsort(ids)
-    return ids[order], mat[order]
+    return blocked_near_dup_pairs(
+        ds, threshold=threshold, id_col=id_col, n_blocks=n_blocks
+    )

@@ -57,41 +57,291 @@ def brute_force_topk(
     return cand.reset_index(drop=True)
 
 
-def all_pairs_nn(
-    ds: ray.data.Dataset, id_col: str = "vec_id"
+# --- exact block-pair all-pairs operators ------------------------------------
+#
+# The scale-safe replacement for "broadcast the whole matrix": split the
+# N vectors into n_blocks blocks (block = vec_id % n_blocks), replicate
+# each row once per partner block, and co-locate every unordered block
+# PAIR (i,j) in one task. Per-task memory is O(2N/n_blocks · d) — set
+# n_blocks so two blocks fit a worker heap; total compute is the
+# inherent O(N²·d) matmul work, spread over n_blocks(n_blocks+1)/2
+# independent tasks; communication is O(N·n_blocks·d) — no driver
+# materialization, no full-matrix broadcast anywhere.
+
+
+def _replicate_to_block_pairs(
+    ds: ray.data.Dataset, id_col: str, n_blocks: int
 ) -> ray.data.Dataset:
-    """For every vector: its nearest neighbor (excluding self) by cosine.
+    def rep(batch: pd.DataFrame) -> pd.DataFrame:
+        b = (batch[id_col].to_numpy() % n_blocks).astype(np.int64)
+        outs = []
+        for other in range(n_blocks):  # loop over BLOCKS, not rows
+            i = np.minimum(b, other)
+            j = np.maximum(b, other)
+            part = batch.copy()
+            part["_pg"] = i * n_blocks + j
+            part["_blk"] = b
+            outs.append(part)
+        return pd.concat(outs, ignore_index=True)
 
-    The full (small) reference matrix is broadcast once; each batch of
-    queries is one matmul. Integer output → exact oracle comparison."""
-    from .dedup import _to_matrix
+    return ds.map_batches(rep, batch_format="pandas")
 
-    ids, mat = _to_matrix(ds, id_col)
-    ref = ray.put((ids, mat))
 
-    def nn(batch: pd.DataFrame) -> pd.DataFrame:
-        all_ids, m = ray.get(ref)
-        q = _normalize(np.stack(batch["embedding"].to_numpy()).astype(np.float64))
-        sims = q @ m.T
-        qids = batch[id_col].to_numpy()
-        # mask self-matches
-        self_pos = np.searchsorted(all_ids, qids)
-        rows = np.arange(len(qids))
-        valid = (self_pos < len(all_ids)) & (all_ids[np.minimum(self_pos, len(all_ids) - 1)] == qids)
-        sims[rows[valid], self_pos[valid]] = -np.inf
-        # deterministic argmax: max cosine, ties -> smallest neighbor id
-        best_sim = sims.max(axis=1)
-        is_best = sims >= best_sim[:, None]
-        nn_idx = np.where(is_best, np.arange(len(all_ids))[None, :], len(all_ids)).min(axis=1)
+def blocked_near_dup_pairs(
+    ds: ray.data.Dataset,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    n_blocks: int = 8,
+) -> ray.data.Dataset:
+    """EXACT all-pairs cosine ≥ threshold, block-pair partitioned (see
+    above). Output (vec_a < vec_b, cosine micro-int), each pair emitted
+    exactly once — pair (a,b) lives only in group (min,max of their
+    blocks). Streams: the result is a Dataset, never driver-collected."""
+
+    rep = _replicate_to_block_pairs(ds, id_col, n_blocks)
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        pg = int(g["_pg"].iloc[0])
+        i, j = pg // n_blocks, pg % n_blocks
+        A = g[g["_blk"] == i]
+        B = g[g["_blk"] == j] if i != j else A
+        if A.empty or B.empty:
+            return pd.DataFrame(
+                {
+                    "vec_a": pd.Series([], dtype="int64"),
+                    "vec_b": pd.Series([], dtype="int64"),
+                    "cosine": pd.Series([], dtype="int64"),
+                }
+            )
+        ma = _normalize(np.stack(A["embedding"].to_numpy()).astype(np.float64))
+        mb = _normalize(np.stack(B["embedding"].to_numpy()).astype(np.float64))
+        ia = A[id_col].to_numpy()
+        ib = B[id_col].to_numpy()
+        sims = ma @ mb.T
+        ra, rb = np.nonzero(sims >= threshold)
+        va, vb = ia[ra], ib[rb]
+        c = sims[ra, rb]
+        if i == j:
+            # both orders of each pair are in sims: keep one, drop self
+            keep = va < vb
+            va, vb, c = va[keep], vb[keep], c[keep]
+        else:
+            # each cross-block pair appears exactly once: just orient
+            va, vb = np.minimum(va, vb), np.maximum(va, vb)
         return pd.DataFrame(
             {
-                id_col: qids,
-                "nn_id": all_ids[nn_idx],
-                "cosine": np.floor(best_sim * 1_000_000 + 0.5).astype("int64"),
+                "vec_a": va.astype("int64"),
+                "vec_b": vb.astype("int64"),
+                "cosine": np.floor(c * 1_000_000 + 0.5).astype("int64"),
             }
         )
 
-    return ds.map_batches(nn, batch_format="pandas")
+    return rep.groupby("_pg").map_groups(per_group, batch_format="pandas")
+
+
+def all_pairs_nn(
+    ds: ray.data.Dataset, id_col: str = "vec_id", n_blocks: int = 8
+) -> ray.data.Dataset:
+    """For every vector: its exact nearest neighbor (excluding self) by
+    cosine — block-pair partitioned (no full-matrix broadcast).
+
+    Each block-pair task emits ONE candidate (best partner in the other
+    block) per vector per side; the global winner is a narrow
+    arg-max reduce over the N·n_blocks candidate rows (max cosine, ties
+    → smallest neighbor id — same total order as the SQL oracle)."""
+    from .relational import latest_per_key
+
+    rep = _replicate_to_block_pairs(ds, id_col, n_blocks)
+
+    def best_of(qi, qm, ti, tm, same: bool) -> pd.DataFrame:
+        sims = qm @ tm.T
+        if same:
+            # mask self-matches by id equality
+            eq = qi[:, None] == ti[None, :]
+            sims[eq] = -np.inf
+        best = sims.max(axis=1)
+        # ties -> smallest target id: among argmax columns take min id
+        is_best = sims >= best[:, None]
+        big = np.iinfo(np.int64).max
+        nn_ids = np.where(is_best, ti[None, :], big).min(axis=1)
+        ok = np.isfinite(best)
+        return pd.DataFrame(
+            {
+                id_col: qi[ok],
+                "nn_id": nn_ids[ok].astype("int64"),
+                "cosine": best[ok],
+            }
+        )
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        pg = int(g["_pg"].iloc[0])
+        nb = n_blocks
+        i, j = pg // nb, pg % nb
+        A = g[g["_blk"] == i]
+        empty = pd.DataFrame(
+            {
+                id_col: pd.Series([], dtype="int64"),
+                "nn_id": pd.Series([], dtype="int64"),
+                "cosine": pd.Series([], dtype="float64"),
+            }
+        )
+        if i == j:
+            if len(A) < 2:
+                return empty
+            ma = _normalize(np.stack(A["embedding"].to_numpy()).astype(np.float64))
+            ia = A[id_col].to_numpy()
+            return best_of(ia, ma, ia, ma, same=True)
+        B = g[g["_blk"] == j]
+        if A.empty or B.empty:
+            return empty
+        ma = _normalize(np.stack(A["embedding"].to_numpy()).astype(np.float64))
+        mb = _normalize(np.stack(B["embedding"].to_numpy()).astype(np.float64))
+        ia, ib = A[id_col].to_numpy(), B[id_col].to_numpy()
+        return pd.concat(
+            [best_of(ia, ma, ib, mb, False), best_of(ib, mb, ia, ma, False)],
+            ignore_index=True,
+        )
+
+    cand = rep.groupby("_pg").map_groups(per_group, batch_format="pandas")
+
+    def neg(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["_neg_nn"] = -batch["nn_id"]
+        return batch
+
+    winners = latest_per_key(
+        cand.map_batches(neg, batch_format="pandas"),
+        [id_col],
+        ["cosine", "_neg_nn"],
+        num_buckets=8,
+    )
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                id_col: batch[id_col].astype("int64"),
+                "nn_id": batch["nn_id"].astype("int64"),
+                "cosine": np.floor(
+                    batch["cosine"].to_numpy() * 1_000_000 + 0.5
+                ).astype("int64"),
+            }
+        )
+
+    return winners.map_batches(finish, batch_format="pandas")
+
+
+def kmeans_lite(sample: np.ndarray, n_cells: int, seed: int = 7) -> np.ndarray:
+    """Deterministic fixed-seed k-means-lite (5 Lloyd iterations on
+    normalized vectors). Shared by the index build AND the driver-side
+    oracle so both assign identical cells."""
+    sample = _normalize(np.asarray(sample, np.float64))
+    rng = np.random.default_rng(seed)
+    cent = sample[rng.choice(len(sample), size=n_cells, replace=False)]
+    for _ in range(5):
+        assign = (sample @ cent.T).argmax(axis=1)
+        for c in range(n_cells):
+            pts = sample[assign == c]
+            if len(pts):
+                cent[c] = pts.mean(axis=0)
+        cent = _normalize(cent)
+    return cent
+
+
+class IvfIndex:
+    """Persisted IVF index: coarse k-means centroids + a CELL-PARTITIONED
+    parquet layout (hive dirs ``cell=<c>/``) written once with
+    ``write_parquet(partition_cols=['cell'])``.
+
+    Build is one streaming pass (bounded centroid-training sample +
+    vectorized cell assignment per batch); queries load only the tiny
+    centroid table plus the ``n_probe`` probed cells' FILES — partition
+    pruning at the read, so a query touches O(n_probe/n_cells) of the
+    data instead of scanning all vectors. This is the persisted scale
+    path the brute-force operators fall back from."""
+
+    def __init__(self, index_dir: str, centroids: np.ndarray, id_col: str):
+        self.index_dir = index_dir
+        self.centroids = centroids
+        self.id_col = id_col
+
+    @staticmethod
+    def train_centroids(
+        ds: ray.data.Dataset, n_cells: int, seed: int = 7, sample_size: int | None = None
+    ) -> np.ndarray:
+        """k-means-lite on a BOUNDED sample (standard quantizer training:
+        the sample, not the corpus, fits driver memory)."""
+        n = sample_size or min(4096, 128 * n_cells)
+        sample = np.stack([np.asarray(r["embedding"], np.float64) for r in ds.take(n)])
+        return kmeans_lite(sample, n_cells, seed=seed)
+
+    @classmethod
+    def build(
+        cls,
+        ds: ray.data.Dataset,
+        index_dir: str,
+        n_cells: int = 16,
+        seed: int = 7,
+        id_col: str = "vec_id",
+        centroids: np.ndarray | None = None,
+    ) -> "IvfIndex":
+        import json
+        import os
+
+        cent = (
+            np.asarray(centroids, np.float64)
+            if centroids is not None
+            else cls.train_centroids(ds, n_cells, seed=seed)
+        )
+        cref = ray.put(cent)
+
+        def assign(batch: pd.DataFrame) -> pd.DataFrame:
+            c = ray.get(cref)
+            mat = _normalize(np.stack(batch["embedding"].to_numpy()).astype(np.float64))
+            batch["cell"] = (mat @ c.T).argmax(axis=1).astype("int32")
+            return batch
+
+        os.makedirs(index_dir, exist_ok=True)
+        ds.map_batches(assign, batch_format="pandas").write_parquet(
+            os.path.join(index_dir, "cells"), partition_cols=["cell"]
+        )
+        with open(os.path.join(index_dir, "centroids.json"), "w") as f:
+            json.dump({"id_col": id_col, "centroids": cent.tolist()}, f)
+        return cls(index_dir, cent, id_col)
+
+    @classmethod
+    def open(cls, index_dir: str) -> "IvfIndex":
+        import json
+        import os
+
+        with open(os.path.join(index_dir, "centroids.json")) as f:
+            meta = json.load(f)
+        return cls(index_dir, np.asarray(meta["centroids"], np.float64), meta["id_col"])
+
+    def probe_cells(self, query: np.ndarray, n_probe: int) -> list[int]:
+        q = np.asarray(query, np.float64)
+        q = q / max(np.linalg.norm(q), 1e-12)
+        return np.argsort(-(self.centroids @ q))[:n_probe].tolist()
+
+    def query(
+        self, query: np.ndarray, k: int = 5, n_probe: int = 4
+    ) -> pd.DataFrame:
+        """Read ONLY the probed cells' partitions; exact top-k inside."""
+        import glob as _glob
+        import os
+
+        dirs = [
+            f
+            for c in self.probe_cells(query, n_probe)
+            for f in _glob.glob(
+                os.path.join(self.index_dir, "cells", f"cell={c}", "*.parquet")
+            )
+        ]
+        if not dirs:
+            return pd.DataFrame(
+                {self.id_col: pd.Series([], dtype="int64"),
+                 "cosine": pd.Series([], dtype="int64")}
+            )
+        subset = ray.data.read_parquet(dirs, columns=[self.id_col, "embedding"])
+        return brute_force_topk(subset, query, k=k, id_col=self.id_col)
 
 
 def ivf_topk(
@@ -102,47 +352,18 @@ def ivf_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     seed: int = 7,
+    index_dir: str | None = None,
 ) -> pd.DataFrame:
-    """IVF-style approximate top-k: k-means-lite centroids (fixed seed,
-    a few Lloyd iterations over a sample), assign vectors to cells in a
-    vectorized pass, then search only the ``n_probe`` cells closest to
-    the query. The scale path: cell assignment is the partition key, so
-    a big query batch shuffles once by cell instead of scanning all."""
-    sample = np.stack(
-        [np.asarray(r["embedding"], np.float64) for r in ds.take(min(2048, 100 * n_cells))]
-    )
-    sample = _normalize(sample)
-    rng = np.random.default_rng(seed)
-    cent = sample[rng.choice(len(sample), size=n_cells, replace=False)]
-    for _ in range(5):
-        assign = (sample @ cent.T).argmax(axis=1)
-        for c in range(n_cells):
-            pts = sample[assign == c]
-            if len(pts):
-                cent[c] = pts.mean(axis=0)
-        cent = _normalize(cent)
+    """Approximate top-k via the persisted IVF index. ``index_dir``
+    caches the built index — repeat queries skip the build and read only
+    probed cells; ``None`` builds into a fresh temp dir (tests)."""
+    import os
+    import tempfile
 
-    q = np.asarray(query, np.float64)
-    q = q / max(np.linalg.norm(q), 1e-12)
-    probe = set(np.argsort(-(cent @ q))[:n_probe].tolist())
-    cref = ray.put((cent, probe, q))
-
-    def cell_topk(batch: pd.DataFrame) -> pd.DataFrame:
-        centroids, probe_cells, qv = ray.get(cref)
-        mat = _normalize(np.stack(batch["embedding"].to_numpy()).astype(np.float64))
-        cells = (mat @ centroids.T).argmax(axis=1)
-        mask = np.isin(cells, list(probe_cells))
-        if not mask.any():
-            return pd.DataFrame({id_col: pd.Series([], dtype="int64"), "cosine": pd.Series([], dtype="float64")})
-        sims = mat[mask] @ qv
-        ids = batch[id_col].to_numpy()[mask]
-        take = min(k, len(ids))
-        idx = np.argpartition(-sims, take - 1)[:take]
-        return pd.DataFrame({id_col: ids[idx], "cosine": sims[idx]})
-
-    cand = ds.map_batches(cell_topk, batch_format="pandas").to_pandas()
-    cand = cand.sort_values(
-        ["cosine", id_col], ascending=[False, True], ignore_index=True
-    ).head(k)
-    cand["cosine"] = np.floor(cand["cosine"] * 1_000_000 + 0.5).astype("int64")
-    return cand.reset_index(drop=True)
+    if index_dir is None:
+        index_dir = tempfile.mkdtemp(prefix="ivf_")
+    if os.path.exists(os.path.join(index_dir, "centroids.json")):
+        idx = IvfIndex.open(index_dir)
+    else:
+        idx = IvfIndex.build(ds, index_dir, n_cells=n_cells, seed=seed, id_col=id_col)
+    return idx.query(query, k=k, n_probe=n_probe)

@@ -744,8 +744,38 @@ def q_fingerprint(sf_dir: str):
 
 
 def q_minhash_pairs(sf_dir: str):
+    """MinHash LSH candidates + distributed exact-Jaccard verification
+    (the full near-dup pipeline). Oracle = exact all-pairs word-3-gram
+    Jaccard ≥ 0.8 in SQL; equality additionally proves LSH recall=1.0
+    on this corpus (its true pairs all sit at Jaccard ≥ 0.9)."""
+    from ..functions.dedup import minhash_near_dups
+
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    return minhash_lsh_candidates(ds)
+    return minhash_near_dups(ds, threshold_micro=800_000)
+
+
+SQL_MINHASH_PAIRS = r"""
+WITH toks AS (
+  SELECT doc_id, CASE WHEN trim(coalesce(text,'')) = '' THEN []::VARCHAR[]
+                 ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+  FROM documents),
+grams AS (
+  SELECT doc_id,
+    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+         ELSE list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                             for i in generate_series(1, len(t)-2)])
+    END AS g
+  FROM toks),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(list_intersect(a.g, b.g)) AS inter,
+         len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) AS uni
+  FROM grams a JOIN grams b ON a.doc_id < b.doc_id)
+SELECT doc_a, doc_b,
+       CAST((inter * 2000000 + uni) // (2 * uni) AS BIGINT) AS jaccard
+FROM pairs
+WHERE (inter * 2000000 + uni) // (2 * uni) >= 800000
+"""
 
 
 def q_simhash(sf_dir: str):
@@ -754,20 +784,99 @@ def q_simhash(sf_dir: str):
 
 
 def q_embedding_near_dups(sf_dir: str):
+    """Exact cosine-threshold pair join, block-pair partitioned (no
+    full-matrix broadcast; see functions/similarity.py)."""
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return embedding_near_dups(ds, threshold=0.2)
 
 
-def q_ivf_topk(sf_dir: str):
+SQL_EMBEDDING_NEAR_DUPS = """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       CAST(FLOOR(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) * 1000000 + 0.5)
+            AS BIGINT) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.2
+"""
+
+
+_IVF_CELLS, _IVF_PROBE, _IVF_SEED = 16, 4, 7
+
+
+def _ivf_centroids(sf_dir: str) -> np.ndarray:
+    """Deterministic centroids from the first-N sample, computed WITHOUT
+    Ray (plain pyarrow) so the oracle SQL generator and the Ray query
+    use byte-identical centroids."""
+    import pyarrow.parquet as pq
+
+    from ..functions.similarity import kmeans_lite
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    n = min(4096, 128 * _IVF_CELLS, emb.num_rows)
+    sample = np.stack(
+        [np.asarray(x, np.float64) for x in emb.column("embedding").slice(0, n).to_pylist()]
+    )
+    return kmeans_lite(sample, _IVF_CELLS, seed=_IVF_SEED)
+
+
+def _ivf_query_vec(sf_dir: str) -> np.ndarray:
     import pyarrow.parquet as pq
 
     emb = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    qvec = np.asarray(
+    return np.asarray(
         emb.filter(pc.equal(emb.column("vec_id"), 0)).column("embedding")[0].as_py(),
         dtype=np.float64,
     )
+
+
+def q_ivf_topk(sf_dir: str):
+    """Top-k through the PERSISTED cell-partitioned IVF index (built
+    once per sf_dir, cached; the query reads ONLY the probed cells'
+    files). Oracle = exact top-k over the SAME probed cells, with the
+    centroids inlined into the SQL — it checks cell assignment,
+    partition pruning and the in-cell top-k end to end."""
+    from ..functions.similarity import IvfIndex
+
+    qvec = _ivf_query_vec(sf_dir)
+    cent = _ivf_centroids(sf_dir)
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    return ivf_topk(ds, qvec, k=5)
+    index_dir = os.path.join(
+        "/tmp/graft_ivf", os.path.basename(os.path.normpath(sf_dir))
+    )
+    if os.path.exists(os.path.join(index_dir, "centroids.json")):
+        idx = IvfIndex.open(index_dir)
+    else:
+        idx = IvfIndex.build(ds, index_dir, n_cells=_IVF_CELLS, centroids=cent)
+    return idx.query(qvec, k=5, n_probe=_IVF_PROBE)
+
+
+def _sql_ivf_topk(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    cent = _ivf_centroids(sf_dir)
+    q = _ivf_query_vec(sf_dir)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    probes = np.argsort(-(cent @ qn))[: _IVF_PROBE].tolist()
+
+    def lit(v: np.ndarray) -> str:
+        return "[" + ", ".join(repr(float(x)) for x in v) + "]::DOUBLE[]"
+
+    scores = ", ".join(
+        f"list_cosine_similarity(CAST(embedding AS DOUBLE[]), {lit(c)})" for c in cent
+    )
+    probe_list = ", ".join(str(p) for p in probes)
+    return f"""
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id = 0),
+assigned AS (
+  SELECT vec_id, embedding, [{scores}] AS sc FROM embeddings),
+cells AS (
+  SELECT vec_id, embedding, list_position(sc, list_max(sc)) - 1 AS cell FROM assigned)
+SELECT vec_id,
+       CAST(FLOOR(list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT e FROM q)) * 1000000 + 0.5) AS BIGINT) AS cosine
+FROM cells
+WHERE cell IN ({probe_list})
+ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT e FROM q)) DESC, vec_id
+LIMIT 5
+"""
 
 
 # --- registry ----------------------------------------------------------------
@@ -832,4 +941,7 @@ def oracle_sql():
         "lang_id": _sql_lang_id(),
         "simhash": _sql_simhash(),
         "doc_fingerprint": _sql_fingerprint(),
+        "minhash_pairs": SQL_MINHASH_PAIRS,
+        "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
+        "ivf_topk": _sql_ivf_topk(),
     }
