@@ -296,3 +296,16 @@ def test_num_partitions_locked_to_manifest(ray_session, tmp_path, log):
     assert not res.skipped
     assert load_manifest(root)["num_partitions"] == 8
     check_equal(root, log)
+
+
+def test_attempt_dirs_separate_racing_jobs():
+    """Distinct jobs targeting the same epoch write to distinct dirs (a
+    racing loser can orphan files but never overwrite the winner's);
+    identical replays map to identical paths (determinism)."""
+    from wprdc_etl_ray.pipelines.cdc import attempt_epoch_dir
+
+    a = attempt_epoch_dir(2, "ingest|upsert|99|B8|S1|seg-1,seg-2")
+    b = attempt_epoch_dir(2, "compact|False|1|99")
+    assert a != b
+    assert a == attempt_epoch_dir(2, "ingest|upsert|99|B8|S1|seg-1,seg-2")
+    assert a.startswith("epoch=000002-")

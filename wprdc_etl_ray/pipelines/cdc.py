@@ -58,6 +58,24 @@ CHANGE_META_COLS = ("offset", "op")
 INTERNAL_COLS = ("_offset", "_deleted")
 
 
+def attempt_epoch_dir(epoch: int, job_desc: str) -> str:
+    """Name of the data directory a commit ATTEMPT writes into:
+    ``epoch={E}-{token}`` where the token is a hash of the job content.
+
+    Why: partition files are written BEFORE the commit lock's epoch
+    check, so two writers racing for epoch E (e.g. ingest vs compact)
+    must not share paths — the loser would overwrite the winner's
+    committed bytes even though its manifest flip is refused. A
+    content-derived token gives every DISTINCT job its own directory
+    (losers leave invisible orphans, never corruption), while an exact
+    retry/replay of the SAME job maps to the same paths and recomputes
+    byte-identical files (deterministic-output property preserved)."""
+    import hashlib as _hl
+
+    token = _hl.md5(job_desc.encode("utf-8")).hexdigest()[:8]
+    return f"epoch={epoch:06d}-{token}"
+
+
 @dataclass
 class CDCConfig:
     """Engine knobs. Defaults target the 32-CPU single-node sandbox but
@@ -178,13 +196,13 @@ class _MergeWrite:
     def __init__(
         self,
         root: str,
-        epoch: int,
+        epoch_dir: str,
         prior_parts: dict[int, dict],
         salt: int,
         target_schema: pa.Schema,
     ):
         self.root = root
-        self.epoch = epoch
+        self.epoch_dir = epoch_dir
         self.prior_parts = prior_parts
         self.salt = salt
         self.target_schema = target_schema
@@ -256,9 +274,7 @@ class _MergeWrite:
         merged = normalize_batch(merged, self.target_schema)
 
         rel = os.path.join(
-            "data",
-            f"epoch={self.epoch:06d}",
-            f"part-{part:05d}-s{salt_val:02d}.parquet",
+            "data", self.epoch_dir, f"part-{part:05d}-s{salt_val:02d}.parquet"
         )
         abs_path = os.path.join(self.root, rel)
         os.makedirs(os.path.dirname(abs_path), exist_ok=True)
@@ -543,9 +559,19 @@ def run_ingest(
         prior_parts = {int(k): v for k, v in manifest["partitions"].items()}
 
     epoch = (manifest["epoch"] if manifest else 0) + 1
+    job_desc = "|".join(
+        [
+            "ingest",
+            cfg.mode,
+            str(wm),
+            f"B{B}",
+            f"S{S}",
+            ",".join(os.path.basename(p) for p in chosen),
+        ]
+    )
     writer = _MergeWrite(
         root=table_root,
-        epoch=epoch,
+        epoch_dir=attempt_epoch_dir(epoch, job_desc),
         prior_parts=prior_parts,
         salt=S,
         target_schema=snapshot_target,
@@ -672,6 +698,9 @@ def compact(
     fields = [(f.name, str(f.type), f.nullable) for f in target]
     cur_salt = int(manifest.get("metrics", {}).get("salt", 1))
     new_salt = cur_salt if to_salt is None else to_salt
+    epoch_dir = attempt_epoch_dir(
+        epoch, f"compact|{drop_tombstones}|{new_salt}|{manifest['global_watermark']}"
+    )
 
     @ray.remote
     def compact_part(part: int, entry: dict) -> list[dict]:
@@ -718,7 +747,7 @@ def compact(
                     pc.equal(merged.column("_deleted"), False)
                 )
             rel = os.path.join(
-                "data", f"epoch={epoch:06d}", f"part-{part:05d}-s{salt_val:02d}.parquet"
+                "data", epoch_dir, f"part-{part:05d}-s{salt_val:02d}.parquet"
             )
             abs_path = os.path.join(table_root, rel)
             os.makedirs(os.path.dirname(abs_path), exist_ok=True)

@@ -86,7 +86,7 @@ def _as_int64(cols: list[str]):
 
 # --- flagship CDC pipeline as a driver-checked query -------------------------
 
-CDC_TMP = "/tmp/graft_cdc_oracle"
+CDC_TMP = "/tmp/graft_cdc_oracle_v2"
 
 
 def _sf_of(sf_dir: str) -> float:
@@ -96,7 +96,11 @@ def _sf_of(sf_dir: str) -> float:
 
 def cdc_wal_dir(sf_dir: str) -> str:
     """Deterministic WAL for the flagship query, cached per scale factor.
-    Generated with evolve_at=None so the oracle SQL sees one schema."""
+    Generated with evolve_at=0.5: the first half of the segments carry
+    the v1 schema (no tool metadata, int32 turn_idx), the rest v2 — so
+    the driver-checked flagship exercises mid-stream schema evolution
+    (X3) end to end, and the oracle reads the mixed-schema WAL with
+    union_by_name."""
     sf = _sf_of(sf_dir)
     n_events = max(2000, int(6_000_000 * sf))
     out = os.path.join(CDC_TMP, os.path.basename(os.path.normpath(sf_dir)))
@@ -106,7 +110,7 @@ def cdc_wal_dir(sf_dir: str) -> str:
         from ..gen import generate_change_log, write_wal
 
         log = generate_change_log(n_events, seed=42)
-        write_wal(out, log, segment_rows=max(1000, n_events // 24))
+        write_wal(out, log, segment_rows=max(1000, n_events // 24), evolve_at=0.5)
         with open(marker, "w") as f:
             f.write(str(n_events))
     return wal
@@ -132,9 +136,10 @@ WITH ranked AS (
   SELECT *, row_number() OVER (
       PARTITION BY conv_id, turn_idx
       ORDER BY ts DESC, "offset" DESC) AS rn
-  FROM read_parquet('{glob_path}')
+  FROM read_parquet('{glob_path}', union_by_name=true)
 )
-SELECT conv_id, turn_idx, role, text, tool, ts
+SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, role, text, tool,
+       tool_call_id, tool_args, ts
 FROM ranked WHERE rn = 1 AND op <> 'delete'
 """
 
@@ -165,7 +170,7 @@ WITH ranked AS (
   SELECT *, row_number() OVER (
       PARTITION BY conv_id, turn_idx
       ORDER BY ts DESC, "offset" DESC) AS rn
-  FROM read_parquet('{glob_path}')
+  FROM read_parquet('{glob_path}', union_by_name=true)
 ),
 final AS (SELECT * FROM ranked WHERE rn = 1 AND op <> 'delete')
 SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns, MAX(ts) AS last_ts

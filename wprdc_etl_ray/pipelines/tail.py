@@ -86,7 +86,7 @@ class MergerActor:
         )
         self.pending[part] = []
 
-    def flush(self, epoch: int, target_fields: list[tuple[str, str, bool]]) -> list[dict]:
+    def flush(self, epoch_dir: str, target_fields: list[tuple[str, str, bool]]) -> list[dict]:
         """Merge + write every owned partition that has pending events or
         (on schema evolution) a stale snapshot; return manifest rows."""
         from ..schema import fields_to_schema
@@ -103,9 +103,7 @@ class MergerActor:
             self.compact(p)
             merged = normalize_batch(self.snapshots[p], target)
             self.snapshots[p] = merged
-            rel = os.path.join(
-                "data", f"epoch={epoch:06d}", f"part-{p:05d}-s00.parquet"
-            )
+            rel = os.path.join("data", epoch_dir, f"part-{p:05d}-s00.parquet")
             abs_path = os.path.join(self.root, rel)
             os.makedirs(os.path.dirname(abs_path), exist_ok=True)
             pq.write_table(merged, abs_path)
@@ -277,11 +275,16 @@ class TailSession:
                 skipped=True,
             )
         epoch = self.epoch + 1
+        from .cdc import attempt_epoch_dir
+
+        epoch_dir = attempt_epoch_dir(
+            epoch, f"tail|{self.watermark}|{self._pending_events}"
+        )
         fields = [
             (f.name, str(f.type), f.nullable) for f in self._pending_schema
         ]
         rows_nested = ray.get(
-            [a.flush.remote(epoch, fields) for a in self.actors]
+            [a.flush.remote(epoch_dir, fields) for a in self.actors]
         )
         manifest = load_manifest(self.root)
         updated = {}
