@@ -284,3 +284,13 @@ def test_simhash_matches_bitwise_reference():
     out = SimHasher()(pd.DataFrame({"doc_id": range(len(texts)), "text": texts}))
     for i, t in enumerate(texts):
         assert out["simhash"][i] % (1 << 64) == ref(t), i
+
+
+def test_exact_dedup_two_phase_matches_one_pass(ray_session):
+    from wprdc_etl_ray.functions.dedup import exact_dedup
+
+    texts = ["dup"] * 5 + [f"unique {i}" for i in range(50)] + ["dup2", "dup2"]
+    ds = docs_ds(texts)
+    two = sorted(r["doc_id"] for r in exact_dedup(ds, payload=False).take_all())
+    one = sorted(r["doc_id"] for r in exact_dedup(ds, payload=True).take_all())
+    assert two == one == [0] + list(range(5, 55)) + [55]

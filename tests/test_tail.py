@@ -115,15 +115,33 @@ def test_tail_poll_noop_and_commit_noop(ray_session, tmp_path, log):
     sess.shutdown()
 
 
-def test_mixed_mode_salt_transition_guarded(ray_session, tmp_path, log):
-    """A salted table cannot be silently tailed (salt=1 runs would later
-    double-count against carried salted runs): tail refuses, and the
-    supported path — compact(to_salt=1) → tail → batch — matches the
-    oracle end-to-end."""
-    import glob as _glob
+def test_salted_tail_fresh_table_matches_batch_and_oracle(ray_session, tmp_path, log):
+    """Tail mode on a salted table: a hot conversation's turns fan out
+    over S merge actors (gid = part·S + turn_idx%S) and the committed
+    layout is byte-compatible with a salted batch ingest."""
+    write_wal(str(tmp_path), log, segment_rows=1500)
+    wal = str(tmp_path / "wal")
+    batch_root, tail_root = str(tmp_path / "batch"), str(tmp_path / "tail")
+    run_ingest(wal, batch_root, CDCConfig(num_partitions=8, salt=4))
 
-    from wprdc_etl_ray.errors import InvalidConfigError
-    from wprdc_etl_ray.pipelines.cdc import compact
+    sess = TailSession(wal, tail_root, CDCConfig(num_partitions=8, salt=4), num_actors=3)
+    assert sess.poll() == N
+    sess.commit()
+    sess.shutdown()
+    m = load_manifest(tail_root)
+    assert m["metrics"]["salt"] == 4
+    assert any(f["salt"] > 0 for e in m["partitions"].values() for f in e["files"])
+    assert equal_tables(batch_root, tail_root)
+    oracle = replay_oracle_pandas(log)
+    got = read_transcripts_arrow(tail_root).select(oracle.schema.names).cast(oracle.schema)
+    assert got.equals(oracle)
+
+
+def test_mixed_mode_salted_batch_then_tail_then_batch(ray_session, tmp_path, log):
+    """A salted batch-created table can be tailed directly (the session
+    reads salt from the manifest, same as the batch path) and handed
+    back to batch mode — all three epochs converge to the oracle."""
+    import glob as _glob
 
     write_wal(str(tmp_path / "full"), log, segment_rows=1000)
     segs = sorted(_glob.glob(str(tmp_path / "full" / "wal" / "seg-*.parquet")))
@@ -139,15 +157,14 @@ def test_mixed_mode_salt_transition_guarded(ray_session, tmp_path, log):
     root = str(tmp_path / "t")
 
     run_ingest(wals[0], root, CDCConfig(num_partitions=8, salt=4))  # salted batch
-    with pytest.raises(InvalidConfigError):
-        TailSession(wals[1], root, CDCConfig(num_partitions=8), num_actors=2)
-
-    compact(root, to_salt=1)  # supported migration
+    # tail continues the salted table; configured salt=1 is overridden
+    # by the manifest's table property
     sess = TailSession(wals[1], root, CDCConfig(num_partitions=8), num_actors=2)
     sess.poll()
     sess.commit()
     sess.shutdown()
-    run_ingest(wals[2], root, CDCConfig(num_partitions=8))  # batch again (salt=1)
+    assert load_manifest(root)["metrics"]["salt"] == 4
+    run_ingest(wals[2], root, CDCConfig(num_partitions=8))  # batch again
 
     oracle = replay_oracle_pandas(log)
     got = read_transcripts_arrow(root).select(oracle.schema.names).cast(oracle.schema)

@@ -29,26 +29,87 @@ from .relational import bucketed_group_map
 
 
 def exact_dedup(
-    ds: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id"
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    payload: bool = False,
 ) -> ray.data.Dataset:
-    """One representative (min id) per distinct text.
+    """One representative (min id) per distinct text. Exact, not
+    probabilistic — hash collisions are resolved on the actual text.
 
-    Hash-partitions on a 64-bit content hash; hash collisions are
-    resolved inside the group by grouping on the actual text, so the
-    result is exact, not probabilistic."""
+    ``payload=False`` (default, the scale path) is TWO-PHASE: phase 1
+    shuffles ONLY (id, 8-byte content hash) and resolves every hash with
+    a single row directly; phase 2 re-scans and shuffles the text
+    payload ONLY for rows whose hash repeats (true duplicates + rare
+    collisions), grouping by the actual text inside the bucket. The wide
+    text column never rides the exchange for unique documents — at a
+    low-duplication corpus the shuffle shrinks from O(corpus bytes) to
+    O(16 bytes · rows + dup bytes). The repeated-hash set is broadcast
+    (``ray.put``); at extreme scale substitute a Bloom filter — same
+    plumbing, phase 2 then re-verifies its false positives anyway.
+
+    ``payload=True`` is the one-pass variant (single scan, wide
+    shuffle) — better when the input is already narrow or duplication
+    is extreme."""
 
     def add_hash(batch: pa.Table) -> pa.Table:
         h = hash_strings(batch.column(text_col)).astype(np.int64)
         return batch.select([id_col, text_col]).append_column("_h", pa.array(h))
 
-    hashed = ds.map_batches(add_hash, batch_format="pyarrow")
+    def add_hash_narrow(batch: pa.Table) -> pa.Table:
+        h = hash_strings(batch.column(text_col)).astype(np.int64)
+        return batch.select([id_col]).append_column("_h", pa.array(h))
 
     def keep_first(bucket: pd.DataFrame) -> pd.DataFrame:
         rep = bucket.groupby(text_col, sort=False)[id_col].min().reset_index()
         return rep[[id_col]]
 
-    # one task per hash bucket (not per distinct text) — vectorized inside
-    return bucketed_group_map(hashed, ["_h"], keep_first, num_buckets=64)
+    if payload:
+        hashed = ds.map_batches(add_hash, batch_format="pyarrow")
+        # one task per hash bucket (not per distinct text) — vectorized
+        return bucketed_group_map(hashed, ["_h"], keep_first, num_buckets=64)
+
+    # ---- phase 1: narrow shuffle of (id, hash) only ----
+    narrow = ds.map_batches(add_hash_narrow, batch_format="pyarrow")
+
+    def per_hash(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("_h", sort=False)[id_col].agg(["count", "min"]).reset_index()
+        return g.rename(columns={"count": "_n", "min": id_col})
+
+    stats = bucketed_group_map(narrow, ["_h"], per_hash, num_buckets=64)
+
+    def singles_only(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        return batch.filter(_pc.equal(batch.column("_n"), 1)).select([id_col])
+
+    singles = stats.map_batches(singles_only, batch_format="pyarrow")
+
+    # repeated hashes (true dups + collisions): small side, broadcast
+    def multi_only(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        return batch.filter(_pc.greater(batch.column("_n"), 1)).select(["_h"])
+
+    multi = stats.map_batches(multi_only, batch_format="pyarrow").to_pandas()
+    if multi.empty:
+        return singles
+    mref = ray.put(np.sort(multi["_h"].to_numpy()))
+
+    # ---- phase 2: payload shuffle for colliding rows only ----
+    def colliding(batch: pa.Table) -> pa.Table:
+        hs = ray.get(mref)
+        h = hash_strings(batch.column(text_col)).astype(np.int64)
+        mask = np.isin(h, hs)
+        return (
+            batch.select([id_col, text_col])
+            .append_column("_h", pa.array(h))
+            .filter(pa.array(mask))
+        )
+
+    dups = ds.map_batches(colliding, batch_format="pyarrow")
+    resolved = bucketed_group_map(dups, ["_h"], keep_first, num_buckets=16)
+    return singles.union(resolved)
 
 
 # --- MinHash + LSH -----------------------------------------------------------

@@ -3,24 +3,27 @@ actor pool (SURVEY.md §2.3 X5 "incremental tail mode", §7 step 6).
 
 The batch path (pipelines/cdc.py) re-reads the prior snapshot every
 epoch — right for big replays, wasteful for a tailer applying small
-deltas every few seconds. Tail mode keeps each partition's live state
-resident in a ``MergerActor`` between micro-batches:
+deltas every few seconds. Tail mode keeps each (partition, salt) slot's
+live state resident in a ``MergerActor`` between micro-batches:
 
 - actors are the ONLY stateful stage (reference analog: the CKAN
   datastore holding current rows between chunked upserts,
   wprdc-etl pipeline/loaders.py::CKANDatastoreLoader);
 - events flow worker→actor (the driver never holds row data): the
-  decode ``map_batches`` tasks split each Arrow batch by partition and
-  ``.apply.remote`` the slices to the owning actor;
-- ``commit()`` flushes every actor's partitions to Parquet and performs
+  decode ``map_batches`` tasks split each Arrow batch by merge GROUP
+  (gid = part·S + turn_idx%S — the same salted routing as the batch
+  path, so hot conversations fan out over S actors in tail mode too)
+  and ``.apply.remote`` the slices to the owning actor;
+- ``commit()`` flushes every actor's dirty slots to Parquet and performs
   the same atomic manifest flip as the batch path — crash before a
   commit loses only actor memory; restart reloads the committed
   snapshot and replays events above the watermark to the identical
   table (exactly-once, deterministic arg-max merge).
 
 A tail-mode table is byte-compatible with the batch path: same snapshot
-schema, same LWW semantics, same manifest; the e2e test asserts the
-final tables are equal row-for-row.
+schema, same LWW semantics, same salted run layout, same manifest; the
+e2e tests assert the final tables are equal row-for-row. Salt (like
+num_partitions) is a TABLE property read from the committed manifest.
 """
 
 from __future__ import annotations
@@ -45,65 +48,72 @@ from .cdc import CDCConfig, CHANGE_META_COLS, INTERNAL_COLS, plan_segments
 
 @ray.remote
 class MergerActor:
-    """Owns a set of partitions; holds their live snapshot + pending
-    events between micro-batches. Merge work is the same vectorized
-    arg-max as the batch path — the actor only AMORTIZES snapshot IO
-    across micro-batches, it does not change semantics."""
+    """Owns a set of (partition, salt) slots (gid = part·S + salt);
+    holds their live snapshot + pending events between micro-batches.
+    Merge work is the same vectorized arg-max as the batch path — the
+    actor only AMORTIZES snapshot IO across micro-batches, it does not
+    change semantics."""
 
-    def __init__(self, table_root: str, parts: list[int]):
+    def __init__(self, table_root: str, gids: list[int], salt: int):
         self.root = table_root
-        self.parts = set(parts)
+        self.S = max(1, salt)
+        self.gids = set(gids)
         self.snapshots: dict[int, pa.Table | None] = {}
-        self.pending: dict[int, list[pa.Table]] = {p: [] for p in parts}
+        self.pending: dict[int, list[pa.Table]] = {g: [] for g in gids}
         self.events_applied = 0
         manifest = load_manifest(table_root)
         if manifest:
-            for p in parts:
+            for g in gids:
+                p, sv = g // self.S, g % self.S
                 entry = manifest["partitions"].get(str(p))
-                if entry:
+                if not entry:
+                    continue
+                files = [f for f in entry["files"] if f.get("salt", 0) == sv]
+                if files:
                     tables = [
                         pq.read_table(os.path.join(table_root, f["path"]))
-                        for f in entry["files"]
+                        for f in files
                     ]
-                    self.snapshots[p] = (
-                        pa.concat_tables(tables) if len(tables) > 1 else tables[0]
+                    self.snapshots[g] = (
+                        pa.concat_tables(tables, promote_options="permissive")
+                        if len(tables) > 1
+                        else tables[0]
                     )
 
-    def apply(self, part: int, block: pa.Table) -> int:
-        """Buffer a micro-batch slice for one owned partition."""
-        self.pending[part].append(block)
+    def apply(self, gid: int, block: pa.Table) -> int:
+        """Buffer a micro-batch slice for one owned merge group."""
+        self.pending[gid].append(block)
         self.events_applied += block.num_rows
         return block.num_rows
 
-    def compact(self, part: int) -> None:
+    def compact(self, gid: int) -> None:
         """Fold pending events into the in-memory snapshot (bounds actor
         memory between commits for hot tails)."""
-        if not self.pending[part]:
+        if not self.pending[gid]:
             return
-        events = pa.concat_tables(self.pending[part], promote_options="permissive")
-        self.snapshots[part] = _as_snapshot(
-            merge_with_snapshot(events, self.snapshots.get(part))
-        )
-        self.pending[part] = []
+        events = pa.concat_tables(self.pending[gid], promote_options="permissive")
+        self.snapshots[gid] = merge_with_snapshot(events, self.snapshots.get(gid))
+        self.pending[gid] = []
 
-    def flush(self, epoch_dir: str, target_fields: list[tuple[str, str, bool]]) -> list[dict]:
-        """Merge + write every owned partition that has pending events or
-        (on schema evolution) a stale snapshot; return manifest rows."""
+    def flush(
+        self, epoch_dir: str, target_fields: list[tuple[str, str, bool]]
+    ) -> list[dict]:
+        """Merge + write every owned slot that has pending events; return
+        manifest rows. Untouched slots carry forward without a rewrite."""
         from ..schema import fields_to_schema
 
         target = fields_to_schema(
             [{"id": n, "type": t, "nullable": nu} for n, t, nu in target_fields]
         )
         out = []
-        for p in sorted(self.parts):
-            if not self.pending[p] and p in self.snapshots:
-                continue  # untouched partition carries forward
-            if not self.pending[p] and p not in self.snapshots:
-                continue  # nothing at all for this partition
-            self.compact(p)
-            merged = normalize_batch(self.snapshots[p], target)
-            self.snapshots[p] = merged
-            rel = os.path.join("data", epoch_dir, f"part-{p:05d}-s00.parquet")
+        for g in sorted(self.gids):
+            if not self.pending[g]:
+                continue  # slot untouched this commit: carried forward
+            self.compact(g)
+            merged = normalize_batch(self.snapshots[g], target)
+            self.snapshots[g] = merged
+            p, sv = g // self.S, g % self.S
+            rel = os.path.join("data", epoch_dir, f"part-{p:05d}-s{sv:02d}.parquet")
             abs_path = os.path.join(self.root, rel)
             os.makedirs(os.path.dirname(abs_path), exist_ok=True)
             pq.write_table(merged, abs_path)
@@ -113,7 +123,7 @@ class MergerActor:
             out.append(
                 {
                     "part": p,
-                    "salt": 0,
+                    "salt": sv,
                     "path": rel,
                     "rows": merged.num_rows,
                     "live_rows": merged.num_rows - n_tomb,
@@ -127,15 +137,11 @@ class MergerActor:
     def stats(self) -> dict:
         return {
             "events_applied": self.events_applied,
-            "partitions": sorted(self.parts),
+            "slots": sorted(self.gids),
             "resident_rows": sum(
                 t.num_rows for t in self.snapshots.values() if t is not None
             ),
         }
-
-
-def _as_snapshot(merged: pa.Table) -> pa.Table:
-    return merged
 
 
 @dataclass
@@ -167,28 +173,26 @@ class TailSession:
         self.cfg = config or CDCConfig()
         self.num_actors = num_actors
         manifest = load_manifest(table_root)
-        if manifest and int(manifest.get("metrics", {}).get("salt", 1)) > 1:
-            from ..errors import InvalidConfigError
-
-            raise InvalidConfigError(
-                "tail mode writes salt=1 runs; this table has salted runs — "
-                "re-salt first: compact(table_root, to_salt=1)"
-            )
         self.watermark = manifest["global_watermark"] if manifest else -1
         self.epoch = manifest["epoch"] if manifest else 0
-        # num_partitions is a table property (see run_ingest): a session
-        # over an existing table MUST use the committed B — a different
-        # value would re-hash keys and merge against the wrong partitions
+        # num_partitions and salt are TABLE properties (see run_ingest):
+        # a session over an existing table MUST use the committed values
         if manifest and manifest.get("num_partitions"):
             self.B = int(manifest["num_partitions"])
         else:
             self.B = self.cfg.num_partitions
-        B = self.B
+        if manifest and manifest.get("metrics", {}).get("salt"):
+            self.S = int(manifest["metrics"]["salt"])
+        else:
+            self.S = max(1, self.cfg.salt)
+        B, S = self.B, self.S
         owned: list[list[int]] = [[] for _ in range(num_actors)]
-        for p in range(B):
-            owned[p % num_actors].append(p)
+        for g in range(B * S):
+            # gid % A interleaving spreads one hot partition's salt
+            # groups over different actors (same as the batch exchange)
+            owned[g % num_actors].append(g)
         self.actors = [
-            MergerActor.remote(table_root, parts) for parts in owned
+            MergerActor.remote(table_root, gids, S) for gids in owned
         ]
         self._pending_events = 0
         self._pending_schema: pa.Schema | None = (
@@ -217,7 +221,7 @@ class TailSession:
         self._pending_schema = snapshot_target
 
         cfg, wm = self.cfg, self.watermark
-        B, A = self.B, self.num_actors
+        B, S, A = self.B, self.S, self.num_actors
         actors = self.actors
         required, strict = cfg.required, cfg.strict
 
@@ -234,18 +238,25 @@ class TailSession:
                 batch = batch.filter(ok_op)
             if wm >= 0:
                 batch = batch.filter(pc.greater(batch.column("offset"), wm))
-            batch = add_partition_cols(batch, B, 1)
-            part = batch.column("part").to_numpy(zero_copy_only=False)
-            order = np.argsort(part, kind="stable")
+            batch = add_partition_cols(batch, B, S)
+            part = batch.column("part").to_numpy(zero_copy_only=False).astype(np.int64)
+            if S > 1:
+                salt = batch.column("salt").to_numpy(zero_copy_only=False)
+                gid = part * S + salt.astype(np.int64)
+                batch = batch.drop_columns(["part", "salt"])
+            else:
+                gid = part
+                batch = batch.drop_columns(["part"])
+            order = np.argsort(gid, kind="stable")
             sorted_batch = batch.take(pa.array(order))
-            sp = part[order]
-            bounds = np.flatnonzero(np.r_[True, sp[1:] != sp[:-1]])
+            sg = gid[order]
+            bounds = np.flatnonzero(np.r_[True, sg[1:] != sg[:-1]])
             refs = []
             for i, b in enumerate(bounds):
-                end = bounds[i + 1] if i + 1 < len(bounds) else len(sp)
-                p = int(sp[b])
-                slice_t = sorted_batch.slice(b, end - b).drop_columns(["part"])
-                refs.append(actors[p % A].apply.remote(p, slice_t))
+                end = bounds[i + 1] if i + 1 < len(bounds) else len(sg)
+                g = int(sg[b])
+                slice_t = sorted_batch.slice(b, end - b)
+                refs.append(actors[g % A].apply.remote(g, slice_t))
             applied = sum(ray.get(refs))  # ack = backpressure
             return pa.table({"applied": pa.array([applied], pa.int64())})
 
@@ -287,30 +298,46 @@ class TailSession:
             [a.flush.remote(epoch_dir, fields) for a in self.actors]
         )
         manifest = load_manifest(self.root)
-        updated = {}
+        prior_parts = (
+            {int(k): v for k, v in manifest["partitions"].items()} if manifest else {}
+        )
+        by_part: dict[int, list[dict]] = {}
         for rows in rows_nested:
             for r in rows:
-                updated[str(r["part"])] = {
-                    "files": [
-                        {
-                            "path": r["path"],
-                            "salt": 0,
-                            "rows": r["rows"],
-                            "live_rows": r["live_rows"],
-                            "tombstones": r["tombstones"],
-                            "bytes": r["bytes"],
-                            "epoch": epoch,
-                        }
-                    ],
-                    "salt": 1,
-                    "rows": r["rows"],
-                    "live_rows": r["live_rows"],
-                    "tombstones": r["tombstones"],
-                    "bytes": r["bytes"],
-                    "watermark": r["watermark"],
-                    "events_applied": 0,
+                by_part.setdefault(int(r["part"]), []).append(r)
+        updated: dict[str, dict] = {}
+        for part, rows in by_part.items():
+            new_salts = {int(r["salt"]) for r in rows}
+            files = [
+                {
+                    "path": r["path"],
+                    "salt": int(r["salt"]),
+                    "rows": int(r["rows"]),
+                    "live_rows": int(r["live_rows"]),
+                    "tombstones": int(r["tombstones"]),
+                    "bytes": int(r["bytes"]),
                     "epoch": epoch,
                 }
+                for r in sorted(rows, key=lambda x: int(x["salt"]))
+            ]
+            prior = prior_parts.get(part)
+            if prior:
+                # salt slots untouched this commit carry forward
+                files += [f for f in prior["files"] if f["salt"] not in new_salts]
+            wm_new = max(int(r["watermark"]) for r in rows)
+            if prior:
+                wm_new = max(wm_new, prior.get("watermark", -1))
+            updated[str(part)] = {
+                "files": files,
+                "salt": self.S,
+                "rows": sum(f["rows"] for f in files),
+                "live_rows": sum(f["live_rows"] for f in files),
+                "tombstones": sum(f["tombstones"] for f in files),
+                "bytes": sum(f["bytes"] for f in files),
+                "watermark": wm_new,
+                "events_applied": 0,
+                "epoch": epoch,
+            }
         new_manifest = commit_manifest(
             self.root,
             manifest,
@@ -319,8 +346,11 @@ class TailSession:
             schema=self._pending_schema,
             new_watermark=self.watermark,
             updated_partitions=updated,
-            metrics={"epoch_events_applied": self._pending_events, "salt": 1,
-                     "mode": "tail"},
+            metrics={
+                "epoch_events_applied": self._pending_events,
+                "salt": self.S,
+                "mode": "tail",
+            },
         )
         events = self._pending_events
         self._pending_events = 0
