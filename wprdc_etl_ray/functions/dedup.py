@@ -208,6 +208,7 @@ def minhash_lsh_candidates(
     bands: int = 16,
     shingle_len: int = 3,
     concurrency: int = 4,
+    distinct: bool = True,
 ) -> ray.data.Dataset:
     """Candidate near-duplicate pairs via banded LSH.
 
@@ -266,6 +267,10 @@ def minhash_lsh_candidates(
     cand = bucketed_group_map(
         banded, ["band_id", "band_hash"], pairs_in_bucket, num_buckets=64
     )
+    if not distinct:
+        # caller dedups (e.g. minhash_near_dups drops duplicates on the
+        # already-driver-resident pair list) — skip one exchange
+        return cand
 
     # global distinct pairs (a pair can match in several bands/buckets)
     def distinct_pairs(bucket: pd.DataFrame) -> pd.DataFrame:
@@ -453,9 +458,9 @@ def minhash_near_dups(
     is missed with p≈2e-4 (≈3e-8 at 0.9); the oracle compares exactly
     because the test corpus' true pairs all sit ≥0.9."""
     cand = minhash_lsh_candidates(
-        docs, num_perm=num_perm, bands=bands, concurrency=concurrency
+        docs, num_perm=num_perm, bands=bands, concurrency=concurrency, distinct=False
     )
-    pairs = cand.to_pandas()
+    pairs = cand.to_pandas().drop_duplicates(ignore_index=True)
     if pairs.empty:
         return ray.data.from_arrow(
             pa.table(

@@ -146,28 +146,141 @@ def add_bucket_multi(
     return ds.map_batches(fn, batch_format="pandas")
 
 
+@ray.remote(num_cpus=0)
+class _HashExchangeActor:
+    """Zero-CPU receiving end of the GENERIC direct hash exchange — the
+    CDC exchange pattern (pipelines/cdc.py::_ExchangeActor) generalized
+    to arbitrary keyed group-maps: upstream tasks ``ray.put`` each
+    bucketed Arrow batch ONCE; every actor zero-copy-reads it and takes
+    only its own buckets (``_bucket % A == aid``); ``finalize`` runs the
+    per-bucket pandas kernel. Replaces Ray's sort-based ``groupby`` for
+    co-location-only shuffles — no global sort, one data movement.
+
+    Actors live in a WARM session pool (``_exchange_pool``) and are
+    reused across calls — process spawn cost is paid once per Ray
+    session, not once per operator invocation. Per-call state is keyed
+    by a unique ``tag`` so overlapping exchanges cannot mix buffers."""
+
+    def __init__(self):
+        self.frags: dict[str, list[pa.Table]] = {}
+        self.out_rows: dict[str, int] = {}
+
+    def apply_shared(self, tag: str, t: pa.Table, aid: int, num_actors: int) -> int:
+        b = t.column("_bucket").to_numpy(zero_copy_only=False)
+        idx = np.flatnonzero(b % num_actors == aid)
+        if len(idx):
+            self.frags.setdefault(tag, []).append(t.take(pa.array(idx)))
+        return int(len(idx))
+
+    def finalize(self, tag: str, fn):
+        """Returns the concatenated per-bucket outputs as ONE pa.Table.
+        Returned as the task's return VALUE (owned by the caller, so it
+        outlives the actor); per-call buffers are dropped either way."""
+        frags = self.frags.pop(tag, [])
+        if not frags:
+            self.out_rows[tag] = 0
+            return None
+        allt = pa.concat_tables(frags, promote_options="permissive")
+        df = allt.to_pandas()
+        outs = []
+        for _, grp in df.groupby("_bucket", sort=False):
+            r = fn(grp.drop(columns=["_bucket"]).reset_index(drop=True))
+            if r is not None and len(r):
+                outs.append(r)
+        if not outs:
+            self.out_rows[tag] = 0
+            return None
+        out = pd.concat(outs, ignore_index=True)
+        self.out_rows[tag] = len(out)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def rows_out(self, tag: str) -> int:
+        return self.out_rows.pop(tag, 0)
+
+    def ping(self) -> bool:
+        return True
+
+
+_POOL: list = []
+_POOL_TAG = [0]
+
+
+def _exchange_pool(n: int) -> list:
+    """Warm pool of generic exchange actors for this Ray session;
+    created on first use, revived if the session restarted."""
+    global _POOL
+    if _POOL:
+        try:
+            ray.get(_POOL[0].ping.remote())
+        except Exception:
+            _POOL = []
+    while len(_POOL) < n:
+        _POOL.append(_HashExchangeActor.remote())
+    return _POOL[:n]
+
+
 def bucketed_group_map(
     ds: ray.data.Dataset,
     key_cols: list[str],
     fn_pandas,
     num_buckets: int = 64,
+    exchange: str = "direct",
+    num_actors: int | None = None,
 ) -> ray.data.Dataset:
     """Scalable groupby-apply: hash-bucket the key space into
-    ``num_buckets`` coarse groups (ONE ``map_groups`` task per bucket —
+    ``num_buckets`` coarse groups (ONE kernel invocation per bucket —
     not per key), and run a vectorized pandas groupby inside the bucket.
 
     Ray's ``groupby(key).map_groups(fn)`` invokes ``fn`` once per
     distinct key — per-group Python overhead dominates when keys number
     in the millions. This keeps the same co-location guarantee (all rows
-    of a key share a bucket) with O(num_buckets) task invocations.
+    of a key share a bucket) with O(num_buckets) kernel invocations.
     ``fn_pandas`` receives one bucket's rows and must do its own
-    ``groupby(key_cols)``."""
+    ``groupby(key_cols)``.
+
+    ``exchange="direct"`` (default) routes batches straight to zero-CPU
+    receiver actors keyed by bucket — the merge only needs CO-LOCATION,
+    and Ray's groupby pays for a full range sort it doesn't need (the
+    same 5-10x the CDC path measured). The result is returned as a
+    Dataset over the actors' output blocks (object store, not driver).
+    ``exchange="sort"`` keeps the plain Ray groupby (most general —
+    lazy, no actors)."""
     bucketed = add_bucket_multi(ds, key_cols, num_buckets)
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        return fn_pandas(g.drop(columns=["_bucket"]))
+    if exchange == "sort":
 
-    return bucketed.groupby("_bucket").map_groups(per_bucket, batch_format="pandas")
+        def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            return fn_pandas(g.drop(columns=["_bucket"]))
+
+        return bucketed.groupby("_bucket").map_groups(
+            per_bucket, batch_format="pandas"
+        )
+
+    A = num_actors or min(num_buckets, 16)
+    actors = _exchange_pool(A)
+    _POOL_TAG[0] += 1
+    tag = f"x{_POOL_TAG[0]}"
+
+    def route(batch: pa.Table) -> pa.Table:
+        bref = ray.put(batch)
+        refs = [a.apply_shared.remote(tag, bref, i, A) for i, a in enumerate(actors)]
+        n = sum(ray.get(refs))  # ack = backpressure
+        return pa.table({"n": pa.array([n], pa.int64())})
+
+    bucketed.map_batches(route, batch_format="pyarrow").take_all()  # counts only
+    out_refs = [a.finalize.remote(tag, fn_pandas) for a in actors]
+    # rows_out runs after finalize on each actor's queue, so this get
+    # also confirms every finalize completed
+    counts = ray.get([a.rows_out.remote(tag) for a in actors])
+    refs = [r for r, c in zip(out_refs, counts) if c > 0]
+    if not refs:
+        # empty input: derive the output schema from the kernel itself
+        empty_in = pd.DataFrame(
+            {f.name: pd.Series([], dtype="object") for f in bucketed.schema().base_schema}
+        ).drop(columns=["_bucket"])
+        out = fn_pandas(empty_in)
+        return ray.data.from_arrow(pa.Table.from_pandas(out, preserve_index=False))
+    return ray.data.from_arrow_refs(refs)
 
 
 def grouped_agg(
