@@ -294,3 +294,72 @@ def test_exact_dedup_two_phase_matches_one_pass(ray_session):
     two = sorted(r["doc_id"] for r in exact_dedup(ds, payload=False).take_all())
     one = sorted(r["doc_id"] for r in exact_dedup(ds, payload=True).take_all())
     assert two == one == [0] + list(range(5, 55)) + [55]
+
+
+def test_asof_join_matches_merge_asof(ray_session):
+    from wprdc_etl_ray.functions.relational import asof_join
+
+    rng = np.random.default_rng(5)
+    n = 400
+    left = pd.DataFrame(
+        {
+            "id": np.arange(n, dtype="int64"),
+            "k": rng.integers(0, 7, n),
+            "t": rng.integers(0, 1000, n).astype("int64"),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": rng.integers(0, 7, 60),
+            "t": rng.integers(0, 1000, 60).astype("int64"),
+            "v": rng.normal(size=60),
+        }
+    ).drop_duplicates(["k", "t"])
+    out = (
+        asof_join(rd.from_pandas(left, override_num_blocks=4),
+                  rd.from_pandas(right, override_num_blocks=2),
+                  on="t", by="k", num_buckets=8)
+        .to_pandas()
+        .sort_values("id", ignore_index=True)
+    )
+    ref = pd.merge_asof(
+        left.sort_values("t", kind="stable"), right.sort_values("t", kind="stable"),
+        on="t", by="k", direction="backward",
+    ).sort_values("id", ignore_index=True)
+    assert list(out["id"]) == list(ref["id"])
+    assert out["v"].equals(ref["v"])
+
+
+def test_simhash_near_dups_exact_recall(ray_session):
+    from wprdc_etl_ray.functions.dedup import _POPCOUNT, simhash_near_dups, SimHasher
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 6
+    texts = [base, base + "lambda", base + "lambda mu", "totally different words here now"]
+    ds = docs_ds(texts)
+    out = simhash_near_dups(ds, max_hamming=7, bands=8).to_pandas()
+    got = {(a, b) for a, b in zip(out["doc_a"], out["doc_b"])}
+    # brute-force reference
+    sigs = SimHasher()(pd.DataFrame({"doc_id": range(len(texts)), "text": texts}))
+    sg = sigs["simhash"].to_numpy().astype(np.uint64)
+    exp = set()
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            hd = int(_POPCOUNT[np.array([sg[i] ^ sg[j]], np.uint64).view(np.uint8)].sum())
+            if hd <= 7:
+                exp.add((i, j))
+    assert got == exp and len(got) > 0
+    assert (0, 3) not in got and (1, 3) not in got
+
+
+def test_bpe_token_stats():
+    from wprdc_etl_ray.functions.text import bpe_token_stats
+
+    t = pa.table(
+        {"doc_id": pa.array([0, 1], pa.int64()), "text": ["ab12 cd, x!", None]}
+    )
+    out = bpe_token_stats(t)
+    # tokens: ab, 12, cd, ',', x, '!'
+    assert out.column("n_bpe_tokens").to_pylist() == [6, 0]
+    assert out.column("n_alpha_tokens").to_pylist() == [3, 0]
+    assert out.column("n_numeric_tokens").to_pylist() == [1, 0]
+    assert out.column("n_other_tokens").to_pylist() == [2, 0]

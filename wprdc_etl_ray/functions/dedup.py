@@ -323,6 +323,104 @@ def simhash_signatures(ds: ray.data.Dataset, concurrency: int = 4) -> ray.data.D
     )
 
 
+_POPCOUNT = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(
+    axis=1
+).astype(np.int64)
+
+
+def simhash_near_dups(
+    ds: ray.data.Dataset,
+    max_hamming: int = 7,
+    bands: int = 8,
+    concurrency: int = 4,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Near-duplicate pairs by SimHash Hamming distance — EXACT, not
+    probabilistic, via pigeonhole banding: the 64-bit signature splits
+    into ``bands`` equal bit-bands; any pair within Hamming distance
+    ``bands - 1`` must agree EXACTLY on at least one band, so grouping
+    by (band_id, band_value) and verifying the true Hamming distance
+    inside the bucket has guaranteed recall 1.0 for
+    ``max_hamming <= bands - 1`` (enforced).
+
+    Scale shape: the shuffle carries (doc_id, sig, band key) — never
+    text; within-bucket verification is a vectorized xor + byte-LUT
+    popcount. Caveat: a band value shared by many documents (e.g. the
+    all-zero signature of empty docs) makes an O(m²) bucket — pre-filter
+    degenerate documents upstream if the corpus has them in bulk.
+    Output: (doc_a < doc_b, hamming)."""
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"exact recall requires max_hamming <= bands-1 ({bands - 1}); "
+            f"got {max_hamming} — raise bands or lower the threshold"
+        )
+    if 64 % bands:
+        raise ValueError("bands must divide 64")
+    width = 64 // bands
+    sigs = simhash_signatures(ds, concurrency=concurrency)
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        sig = batch["simhash"].to_numpy().astype(np.uint64)
+        n = len(batch)
+        out_doc = np.repeat(batch["doc_id"].to_numpy(), bands)
+        out_sig = np.repeat(sig, bands)
+        band_id = np.tile(np.arange(bands, dtype=np.int64), n)
+        band_val = (out_sig >> (band_id * width).astype(np.uint64)) & np.uint64(
+            (1 << width) - 1
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": out_doc,
+                "sig": out_sig.view(np.int64),
+                "band_id": band_id,
+                "band_val": band_val.view(np.int64),
+            }
+        )
+
+    banded = sigs.map_batches(explode, batch_format="pandas")
+
+    def pairs_in_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        outs_a, outs_b, outs_h = [], [], []
+        for _, grp in bucket.groupby(["band_id", "band_val"], sort=False):
+            if len(grp) < 2:
+                continue
+            g = grp.drop_duplicates("doc_id")
+            ids = g["doc_id"].to_numpy()
+            sg = g["sig"].to_numpy().astype(np.uint64)
+            ia, ib = np.triu_indices(len(ids), k=1)
+            x = sg[ia] ^ sg[ib]
+            hd = _POPCOUNT[x.view(np.uint8).reshape(-1, 8)].sum(axis=1)
+            keep = hd <= max_hamming
+            outs_a.append(np.minimum(ids[ia], ids[ib])[keep])
+            outs_b.append(np.maximum(ids[ia], ids[ib])[keep])
+            outs_h.append(hd[keep])
+        if not outs_a:
+            return pd.DataFrame(
+                {
+                    "doc_a": pd.Series([], dtype="int64"),
+                    "doc_b": pd.Series([], dtype="int64"),
+                    "hamming": pd.Series([], dtype="int64"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "doc_a": np.concatenate(outs_a).astype("int64"),
+                "doc_b": np.concatenate(outs_b).astype("int64"),
+                "hamming": np.concatenate(outs_h).astype("int64"),
+            }
+        )
+
+    cand = bucketed_group_map(
+        banded, ["band_id", "band_val"], pairs_in_bucket, num_buckets=num_buckets
+    )
+
+    # a pair can verify in several bands: global distinct
+    def distinct_pairs(bucket: pd.DataFrame) -> pd.DataFrame:
+        return bucket.drop_duplicates(ignore_index=True)
+
+    return bucketed_group_map(cand, ["doc_a", "doc_b"], distinct_pairs, num_buckets=16)
+
+
 # --- n-gram Jaccard verification --------------------------------------------
 
 

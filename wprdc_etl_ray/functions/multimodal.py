@@ -50,11 +50,24 @@ class DecodeStub:
             )
         payload = batch.column("payload")
         n_bytes = pc.binary_length(payload).cast(pa.int64())
-        # content address: md5 per payload (inherently per-row digest;
-        # hashlib releases the GIL and the payloads are the batch's bulk)
-        buf = payload.to_pylist()
+        # content address: md5 per payload (inherently a per-row digest;
+        # hashlib releases the GIL). Digests read the Arrow value buffer
+        # through zero-copy memoryview slices — no to_pylist() copy of
+        # every payload into Python bytes objects.
+        arr = payload.combine_chunks() if isinstance(payload, pa.ChunkedArray) else payload
+        if arr.null_count:
+            arr = arr.fill_null(b"")
+        offs = arr.buffers()[1]
+        data = arr.buffers()[2]
+        off = memoryview(offs).cast("i" if arr.type == pa.binary() else "q")
+        mv = memoryview(data) if data is not None else memoryview(b"")
+        base = arr.offset
         digests = pa.array(
-            [hashlib.md5(b or b"").hexdigest() for b in buf], pa.string()
+            [
+                hashlib.md5(mv[off[base + i] : off[base + i + 1]]).hexdigest()
+                for i in range(len(arr))
+            ],
+            pa.string(),
         )
         return pa.table(
             {

@@ -283,6 +283,76 @@ def bucketed_group_map(
     return ray.data.from_arrow_refs(refs)
 
 
+def asof_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: str,
+    by: str,
+    num_buckets: int = 32,
+    suffix: str = "_r",
+) -> ray.data.Dataset:
+    """Backward as-of join: for each left row, the LATEST right row with
+    ``right.on <= left.on`` and the same ``by`` key (exact matches
+    allowed; unmatched left rows keep nulls) — the temporal
+    event-to-dimension join Ray Data has no native operator for.
+
+    Composition (the documented custom-operator pattern): tag the two
+    streams, ONE hash shuffle on ``by`` (direct exchange via
+    bucketed_group_map), vectorized ``pd.merge_asof`` inside each
+    bucket. Partitioning assumption: every row of one ``by`` key lands
+    in one bucket — guaranteed by the hash bucket; per-task memory is
+    O(bucket rows), so size num_buckets to the cluster. Right columns
+    clashing with left names get ``suffix``."""
+    lschema = left.schema().base_schema
+    lnames = list(lschema.names)
+    rnames = list(right.schema().base_schema.names)
+    clash = [c for c in rnames if c in lnames and c not in (on, by)]
+    r_out = [c + suffix if c in clash else c for c in rnames if c not in (on, by)]
+    # the union's permissive concat null-fills each side's missing
+    # columns, which floats left int columns in pandas — restore the
+    # left dtypes inside the bucket (left rows themselves have no
+    # injected nulls)
+    if isinstance(lschema, pa.Schema):
+        ldtypes = dict(lschema.empty_table().to_pandas().dtypes.items())
+    else:  # PandasBlockSchema (names, types)
+        ldtypes = dict(zip(lschema.names, lschema.types))
+
+    def tag_left(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["_side"] = np.int8(0)
+        return batch
+
+    def tag_right(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.rename(columns={c: c + suffix for c in clash})
+        batch["_side"] = np.int8(1)
+        return batch
+
+    both = left.map_batches(tag_left, batch_format="pandas").union(
+        right.map_batches(tag_right, batch_format="pandas")
+    )
+
+    def per_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        l = bucket[bucket["_side"] == 0][lnames].sort_values(on, kind="stable")
+        for c, dt in ldtypes.items():
+            if str(l[c].dtype) != str(dt):
+                try:
+                    l[c] = l[c].astype(dt)
+                except (ValueError, TypeError):
+                    pass  # genuine nulls in a left column: keep as-is
+        r = (
+            bucket[bucket["_side"] == 1][[by, on] + r_out]
+            .dropna(subset=[on])
+            .sort_values(on, kind="stable")
+        )
+        if l.empty:
+            return l
+        out = pd.merge_asof(
+            l, r, on=on, by=by, direction="backward", allow_exact_matches=True
+        )
+        return out
+
+    return bucketed_group_map(both, [by], per_bucket, num_buckets=num_buckets)
+
+
 def grouped_agg(
     ds: ray.data.Dataset,
     keys: list[str],

@@ -77,6 +77,31 @@ def token_stats(batch: pa.Table) -> pa.Table:
     )
 
 
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_token_stats(batch: pa.Table) -> pa.Table:
+    """BPE-ish tokenization stats: alpha runs, digit runs and single
+    punctuation marks as separate tokens (the word-boundary structure a
+    byte-pair tokenizer sees). Pure Arrow ``count_substring_regex`` —
+    RE2 on BOTH engines (pyarrow and DuckDB), so the oracle's
+    ``regexp_extract_all`` lengths match exactly; no Python loop."""
+    text = pc.fill_null(batch.column("text"), "")
+
+    def n(pattern: str) -> pa.Array:
+        return pc.count_substring_regex(text, pattern).cast(pa.int64())
+
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_bpe_tokens": n(BPE_PATTERN),
+            "n_alpha_tokens": n(r"[A-Za-z]+"),
+            "n_numeric_tokens": n(r"[0-9]+"),
+            "n_other_tokens": n(r"[^A-Za-z0-9\s]"),
+        }
+    )
+
+
 class QualityScore:
     """Quality heuristics per document (actor-pool stage): stopword
     ratio, mean word length, alpha ratio — the usual cheap pretraining

@@ -450,6 +450,33 @@ FROM d GROUP BY user_id
 """
 
 
+def q_asof_purchase(sf_dir: str):
+    """As-of join (custom operator — Ray Data has none): every event
+    picks up the user's latest purchase value at-or-before its ts.
+    One hash shuffle on user_id; pd.merge_asof inside the bucket."""
+    from ..functions.relational import asof_join
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    pur = read_table(sf_dir, "events", columns=["user_id", "event_type", "ts", "value"])
+    pur = filter_batches(
+        pur, lambda t: pc.equal(t.column("event_type"), pa.scalar("purchase"))
+    ).select_columns(["user_id", "ts", "value"])
+    out = asof_join(ev, pur, on="ts", by="user_id", num_buckets=16)
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.rename(columns={"value": "last_purchase_value"})
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+SQL_ASOF_PURCHASE = """
+SELECT a.event_id, a.user_id, a.ts, b.value AS last_purchase_value
+FROM events a ASOF LEFT JOIN
+     (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') b
+  ON a.user_id = b.user_id AND a.ts >= b.ts
+"""
+
+
 def q_semi_join_parts(sf_dir: str):
     """Semi join via broadcast key set (no shuffle of the big side)."""
     import pyarrow.parquet as pq
@@ -602,6 +629,74 @@ FROM toks
 """.replace("{stop}", "[" + ",".join(f"'{w}'" for w in _STOPWORDS) + "]")
 
 
+def q_bpe_tokens(sf_dir: str):
+    """BPE-ish token counting — RE2 regex kernels in pure Arrow."""
+    from ..functions.text import bpe_token_stats
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(bpe_token_stats, batch_format="pyarrow")
+
+
+SQL_BPE_TOKENS = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(coalesce(text,''), '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens,
+       CAST(len(regexp_extract_all(coalesce(text,''), '[A-Za-z]+')) AS BIGINT) AS n_alpha_tokens,
+       CAST(len(regexp_extract_all(coalesce(text,''), '[0-9]+')) AS BIGINT) AS n_numeric_tokens,
+       CAST(len(regexp_extract_all(coalesce(text,''), '[^A-Za-z0-9\s]')) AS BIGINT) AS n_other_tokens
+FROM documents
+"""
+
+
+def q_event_windows_sliding(sf_dir: str):
+    """SLIDING event-time window (24h window, 12h hop): every event
+    lands in size/hop windows via an in-batch replicate, then the same
+    partial-pre-agg grouped sum as the tumbling case. window_start is
+    exported as BIGINT epoch-microseconds so both engines compare
+    integers, not timestamp reconstructions."""
+    HOP = 12 * 3600 * 1_000_000
+    ds = read_table(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def windows(t: pa.Table) -> pa.Table:
+        us = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        base = (us // HOP) * HOP
+        et = t.column("event_type")
+        val = t.column("value")
+        out = pa.table(
+            {
+                "event_type": pa.concat_arrays(
+                    [et.combine_chunks(), et.combine_chunks()]
+                ),
+                "window_start_us": pa.array(
+                    np.concatenate([base, base - HOP]), pa.int64()
+                ),
+                "value": pa.concat_arrays([val.combine_chunks(), val.combine_chunks()]),
+            }
+        )
+        return out
+
+    out = grouped_agg(
+        ds.map_batches(windows, batch_format="pyarrow"),
+        ["event_type", "window_start_us"],
+        [("", "count", "n"), ("value", "sum", "sum_value")],
+    )
+    return out.map_batches(_fp_cols({"sum_value": 100}), batch_format="pyarrow").map_batches(
+        _as_int64(["n"]), batch_format="pyarrow"
+    )
+
+
+SQL_EVENT_WINDOWS_SLIDING = """
+WITH w AS (
+  SELECT event_type, value,
+         unnest([(epoch_us(ts) // 43200000000) * 43200000000,
+                 (epoch_us(ts) // 43200000000) * 43200000000 - 43200000000]) AS window_start_us
+  FROM events)
+SELECT event_type, window_start_us,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(FLOOR(SUM(value) * 100 + 0.5) AS BIGINT) AS sum_value
+FROM w GROUP BY event_type, window_start_us
+"""
+
+
 def q_multimodal_features(sf_dir: str):
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return multimodal_features(ds)
@@ -667,7 +762,8 @@ _WRAP = (
 _HORNER = "(a, x) -> (a * 1099511628211::HUGEINT + x) % 18446744073709551616::HUGEINT"
 
 
-def _sql_simhash() -> str:
+def _sql_simhash_ctes() -> str:
+    """Shared CTE chain computing every document's 64-bit simhash."""
     sig = " + ".join(
         f"(CASE WHEN SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) > 0 "
         f"THEN {1 << j}::HUGEINT ELSE 0::HUGEINT END)"
@@ -679,10 +775,26 @@ WITH words AS (
                         ELSE regexp_split_to_array(trim(text), '\\s+') END) AS w
   FROM documents),
 hs AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 16))::UBIGINT AS h FROM words),
-votes AS (SELECT doc_id, {sig} AS sig FROM hs GROUP BY doc_id)
-SELECT d.doc_id, COALESCE({_WRAP.format(e='v.sig')}, 0) AS simhash
-FROM documents d LEFT JOIN votes v ON d.doc_id = v.doc_id
+votes AS (SELECT doc_id, {sig} AS sig FROM hs GROUP BY doc_id),
+sigs AS (
+  SELECT d.doc_id, COALESCE({_WRAP.format(e='v.sig')}, 0) AS simhash
+  FROM documents d LEFT JOIN votes v ON d.doc_id = v.doc_id)"""
+
+
+def _sql_simhash() -> str:
+    return _sql_simhash_ctes() + "\nSELECT doc_id, simhash FROM sigs\n"
+
+
+def _sql_simhash_pairs(max_hamming: int = 7) -> str:
+    return (
+        _sql_simhash_ctes()
+        + f"""
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
 """
+    )
 
 
 def _sql_fingerprint() -> str:
@@ -786,6 +898,15 @@ WHERE (inter * 2000000 + uni) // (2 * uni) >= 800000
 def q_simhash(sf_dir: str):
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return simhash_signatures(ds)
+
+
+def q_simhash_pairs(sf_dir: str):
+    """SimHash near-dup pairs with pigeonhole-exact banding (hamming<=7
+    over 8 bands of 8 bits: guaranteed recall, verified in-bucket)."""
+    from ..functions.dedup import simhash_near_dups
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return simhash_near_dups(ds, max_hamming=7, bands=8)
 
 
 def q_embedding_near_dups(sf_dir: str):
@@ -900,12 +1021,15 @@ def queries():
         "event_windows": q_event_windows,
         "latest_event_per_user": q_latest_event_per_user,
         "sessionize": q_sessionize,
+        "asof_purchase": q_asof_purchase,
         "semi_join_parts": q_semi_join_parts,
         "anti_join_customers": q_anti_join_customers,
         "order_priority": q_order_priority,
         "user_value_stats": q_user_value_stats,
         "dedup_exact": q_dedup_exact,
         "token_stats": q_token_stats,
+        "bpe_tokens": q_bpe_tokens,
+        "event_windows_sliding": q_event_windows_sliding,
         "quality_score": q_quality,
         "multimodal_features": q_multimodal_features,
         "knn_all": q_knn_all,
@@ -915,6 +1039,7 @@ def queries():
         "doc_fingerprint": q_fingerprint,
         "minhash_pairs": q_minhash_pairs,
         "simhash": q_simhash,
+        "simhash_pairs": q_simhash_pairs,
         "embedding_near_dups": q_embedding_near_dups,
         "ivf_topk": q_ivf_topk,
     }
@@ -933,18 +1058,22 @@ def oracle_sql():
         "event_windows": SQL_EVENT_WINDOWS,
         "latest_event_per_user": SQL_LATEST_EVENT,
         "sessionize": SQL_SESSIONIZE,
+        "asof_purchase": SQL_ASOF_PURCHASE,
         "semi_join_parts": SQL_SEMI_JOIN_PARTS,
         "anti_join_customers": SQL_ANTI_JOIN_CUSTOMERS,
         "order_priority": SQL_ORDER_PRIORITY,
         "user_value_stats": SQL_USER_VALUE_STATS,
         "dedup_exact": SQL_DEDUP_EXACT,
         "token_stats": SQL_TOKEN_STATS,
+        "bpe_tokens": SQL_BPE_TOKENS,
+        "event_windows_sliding": SQL_EVENT_WINDOWS_SLIDING,
         "quality_score": SQL_QUALITY,
         "multimodal_features": SQL_MULTIMODAL,
         "knn_all": SQL_KNN_ALL,
         "cosine_topk": SQL_COSINE_TOPK,
         "lang_id": _sql_lang_id(),
         "simhash": _sql_simhash(),
+        "simhash_pairs": _sql_simhash_pairs(),
         "doc_fingerprint": _sql_fingerprint(),
         "minhash_pairs": SQL_MINHASH_PAIRS,
         "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
