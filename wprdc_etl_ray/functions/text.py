@@ -166,13 +166,23 @@ def fingerprint(batch: pa.Table, window: int = 8) -> pa.Table:
     )
 
 
-def lang_id(ds: ray.data.Dataset, concurrency: int = 4) -> ray.data.Dataset:
-    return ds.map_batches(
-        LangId, batch_format="pandas", concurrency=concurrency, batch_size=4096
-    )
+def lang_id(ds: ray.data.Dataset, concurrency: int | None = None) -> ray.data.Dataset:
+    if concurrency:
+        return ds.map_batches(
+            LangId, batch_format="pandas", concurrency=concurrency, batch_size=4096
+        )
+    from .dedup import _memoized
+
+    return ds.map_batches(_memoized(LangId), batch_format="pandas", batch_size=4096)
 
 
-def quality(ds: ray.data.Dataset, concurrency: int = 4) -> ray.data.Dataset:
+def quality(ds: ray.data.Dataset, concurrency: int | None = None) -> ray.data.Dataset:
+    if concurrency:
+        return ds.map_batches(
+            QualityScore, batch_format="pandas", concurrency=concurrency, batch_size=4096
+        )
+    from .dedup import _memoized
+
     return ds.map_batches(
-        QualityScore, batch_format="pandas", concurrency=concurrency, batch_size=4096
+        _memoized(QualityScore), batch_format="pandas", batch_size=4096
     )
