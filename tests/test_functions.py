@@ -391,3 +391,54 @@ def test_topk_per_key_distributed(ray_session):
         .sort_values(["k", "v", "id"], ascending=[True, False, True], ignore_index=True)
     )
     assert out.equals(ref)
+
+
+@pytest.mark.parametrize("broadcast", [True, False])
+def test_connected_components_matches_union_find(ray_session, broadcast):
+    from wprdc_etl_ray.functions.graph import connected_components
+
+    rng = np.random.default_rng(13)
+    # the join path pays ~2s of actor spawn per Dataset.join (4 joins x
+    # rounds) - keep its graph small; the broadcast path gets the big one
+    n_nodes, n_edges = (120, 150) if broadcast else (24, 20)
+    edges = pd.DataFrame(
+        {
+            "doc_a": rng.integers(0, n_nodes, n_edges).astype("int64"),
+            "doc_b": rng.integers(0, n_nodes, n_edges).astype("int64"),
+        }
+    )
+    out = (
+        connected_components(
+            rd.from_pandas(edges, override_num_blocks=3),
+            broadcast=broadcast,
+            # join-path aggregator actors need CPU slots: keep
+            # num_buckets (= join num_partitions) below the session CPUs
+            num_buckets=4 if broadcast else 2,
+        )
+        .to_pandas()
+        .sort_values("node", ignore_index=True)
+    )
+
+    # union-find reference
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(edges["doc_a"], edges["doc_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    ref = {n: find(n) for n in parent}
+    got = dict(zip(out["node"], out["comp"]))
+    # same node set, and comp = min node of the union-find component
+    comp_min: dict[int, int] = {}
+    for n, r in ref.items():
+        comp_min[r] = min(comp_min.get(r, n), n)
+    assert set(got) == set(ref)
+    for n, r in ref.items():
+        assert got[n] == comp_min[r], n

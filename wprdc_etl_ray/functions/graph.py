@@ -1,0 +1,236 @@
+"""Distributed connected components over an edge list — the cluster
+step of a dedup pipeline (near-dup PAIRS → duplicate CLUSTERS → one
+canonical doc per cluster).
+
+Algorithm: iterative **hash-to-min** label propagation with pointer
+jumping. Every node starts labeled with itself; each round a node's
+label drops to the min label among itself, its neighbors, and its
+label's label (path halving). Rounds needed ≈ O(log diameter) thanks to
+the pointer-jumping step; every round is a constant number of
+hash-bucket exchanges over the (node, label) table — nothing is
+materialized on the driver except the per-round change counter.
+
+Scale shape: edges and labels shuffle by node id via the direct hash
+exchange (functions/relational.py); per-round memory is O(nodes/bucket)
+per task. The driver loop carries only iteration control.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray.data
+
+from .relational import bucketed_group_map
+
+
+def _min_label_per_node(parts: list[ray.data.Dataset], num_buckets: int) -> ray.data.Dataset:
+    allc = parts[0]
+    for p in parts[1:]:
+        allc = allc.union(p)
+
+    def per_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("node", sort=False)["lbl"].min().reset_index()
+        return g
+
+    return bucketed_group_map(allc, ["node"], per_bucket, num_buckets=num_buckets)
+
+
+def connected_components(
+    edges: ray.data.Dataset,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    num_buckets: int = 16,
+    max_rounds: int = 64,
+    broadcast: bool = True,
+) -> ray.data.Dataset:
+    """Components of the undirected graph given by (a_col, b_col) edge
+    rows. Returns (node, comp) with comp = min node id in the component,
+    one row per node that appears in any edge.
+
+    ``broadcast=True`` ships the per-round label table via ``ray.put``
+    — right when the node set is small relative to the corpus (the
+    dedup-cluster case: nodes = documents that have at least one
+    near-duplicate). ``broadcast=False`` replaces every label lookup
+    with a partitioned ``Dataset.join`` — fully distributed, no
+    driver-side label materialization, for graphs whose node set is
+    itself at scale."""
+    if not broadcast:
+        return _cc_join_path(edges, a_col, b_col, num_buckets, max_rounds)
+
+    def to_nodes(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "node": np.concatenate(
+                    [batch[a_col].to_numpy(), batch[b_col].to_numpy()]
+                ).astype("int64")
+            }
+        )
+
+    def init_lbl(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.drop_duplicates("node").reset_index(drop=True)
+        g["lbl"] = g["node"]
+        return g
+
+    labels = bucketed_group_map(
+        edges.map_batches(to_nodes, batch_format="pandas"),
+        ["node"],
+        init_lbl,
+        num_buckets=num_buckets,
+    )
+
+    def edge_long(batch: pd.DataFrame) -> pd.DataFrame:
+        a = batch[a_col].to_numpy().astype("int64")
+        b = batch[b_col].to_numpy().astype("int64")
+        return pd.DataFrame(
+            {"src": np.concatenate([a, b]), "dst": np.concatenate([b, a])}
+        )
+
+    directed = edges.map_batches(edge_long, batch_format="pandas")
+
+    for _ in range(max_rounds):
+        lbl_ref = ray.put(labels.to_pandas())  # (nodes, 2) ints — small per round
+        # neighbor candidates: for edge src->dst, dst receives lbl(src)
+        # (vectorized map through the broadcast label table)
+
+        def nbr(batch: pd.DataFrame) -> pd.DataFrame:
+            import ray as _ray
+
+            lt = _ray.get(lbl_ref)
+            m = batch.merge(lt, left_on="src", right_on="node")
+            return pd.DataFrame({"node": m["dst"], "lbl": m["lbl"]})
+
+        cand_n = directed.map_batches(nbr, batch_format="pandas")
+
+        # pointer jumping: node adopts its label's label (path halving)
+        def jump(batch: pd.DataFrame) -> pd.DataFrame:
+            import ray as _ray
+
+            lt = _ray.get(lbl_ref)
+            m = batch.merge(
+                lt.rename(columns={"node": "lbl", "lbl": "lbl2"}), on="lbl"
+            )
+            return pd.DataFrame({"node": m["node"], "lbl": m["lbl2"]})
+
+        cand_j = labels.map_batches(jump, batch_format="pandas")
+
+        new_labels = _min_label_per_node([labels, cand_n, cand_j], num_buckets)
+
+        # convergence check: any label changed this round?
+        def diff(batch: pd.DataFrame) -> pd.DataFrame:
+            import ray as _ray
+
+            lt = _ray.get(lbl_ref)
+            m = batch.merge(lt, on="node", suffixes=("", "_old"))
+            return pd.DataFrame({"c": [int((m["lbl"] != m["lbl_old"]).sum())]})
+
+        changed = sum(r["c"] for r in new_labels.map_batches(diff, batch_format="pandas").take_all())
+        labels = new_labels
+        if changed == 0:
+            break
+
+    def rename(b: pd.DataFrame) -> pd.DataFrame:
+        return b.rename(columns={"lbl": "comp"})
+
+    return labels.map_batches(rename, batch_format="pandas")
+
+
+def _cc_join_path(
+    edges: ray.data.Dataset,
+    a_col: str,
+    b_col: str,
+    num_buckets: int,
+    max_rounds: int,
+) -> ray.data.Dataset:
+    """Fully distributed hash-to-min: label lookups are partitioned hash
+    joins (Dataset.join); only the per-round change COUNT reaches the
+    driver.
+
+    Sizing note: each ``Dataset.join`` spawns ``num_partitions``
+    aggregator actors that need CPU slots — keep ``num_buckets`` below
+    the cluster's free CPUs or the round deadlocks waiting for slots."""
+    from .relational import hash_join
+
+    def to_nodes(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "node": np.concatenate(
+                    [batch[a_col].to_numpy(), batch[b_col].to_numpy()]
+                ).astype("int64")
+            }
+        )
+
+    def init_lbl(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.drop_duplicates("node").reset_index(drop=True)
+        g["lbl"] = g["node"]
+        return g
+
+    labels = bucketed_group_map(
+        edges.map_batches(to_nodes, batch_format="pandas"),
+        ["node"],
+        init_lbl,
+        num_buckets=num_buckets,
+    )
+
+    def edge_long(batch: pd.DataFrame) -> pd.DataFrame:
+        a = batch[a_col].to_numpy().astype("int64")
+        b = batch[b_col].to_numpy().astype("int64")
+        return pd.DataFrame(
+            {"src": np.concatenate([a, b]), "dst": np.concatenate([b, a])}
+        )
+
+    directed = edges.map_batches(edge_long, batch_format="pandas").materialize()
+
+    for _ in range(max_rounds):
+        # dst receives lbl(src): one partitioned join edges ⋈ labels
+        nbr = hash_join(
+            directed, labels, on="src", right_on="node", num_partitions=num_buckets
+        ).select_columns(["dst", "lbl"])
+
+        def as_node(b: pd.DataFrame) -> pd.DataFrame:
+            return b.rename(columns={"dst": "node"})
+
+        cand_n = nbr.map_batches(as_node, batch_format="pandas")
+
+        # pointer jumping: labels ⋈ labels on lbl = node
+        def lbl_as_key(b: pd.DataFrame) -> pd.DataFrame:
+            return b.rename(columns={"node": "jnode", "lbl": "jlbl"})
+
+        jump = hash_join(
+            labels,
+            labels.map_batches(lbl_as_key, batch_format="pandas"),
+            on="lbl",
+            right_on="jnode",
+            num_partitions=num_buckets,
+        ).select_columns(["node", "jlbl"])
+
+        def as_lbl(b: pd.DataFrame) -> pd.DataFrame:
+            return b.rename(columns={"jlbl": "lbl"})
+
+        cand_j = jump.map_batches(as_lbl, batch_format="pandas")
+
+        new_labels = _min_label_per_node([labels, cand_n, cand_j], num_buckets)
+
+        joined = hash_join(
+            new_labels,
+            labels.map_batches(
+                lambda b: b.rename(columns={"lbl": "lbl_old"}), batch_format="pandas"
+            ),
+            on="node",
+            num_partitions=num_buckets,
+        )
+
+        def ndiff(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"c": [int((b["lbl"] != b["lbl_old"]).sum())]})
+
+        changed = sum(
+            r["c"] for r in joined.map_batches(ndiff, batch_format="pandas").take_all()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+
+    return labels.map_batches(
+        lambda b: b.rename(columns={"lbl": "comp"}), batch_format="pandas"
+    )

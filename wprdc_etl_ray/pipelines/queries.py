@@ -1009,6 +1009,43 @@ WHERE (inter * 2000000 + uni) // (2 * uni) >= 800000
 """
 
 
+def q_dedup_clusters(sf_dir: str):
+    """Full dedup pipeline tail: near-dup PAIRS → duplicate CLUSTERS
+    (distributed connected components, hash-to-min label propagation
+    with pointer jumping) → canonical = min doc_id per cluster."""
+    from ..functions.dedup import minhash_near_dups
+    from ..functions.graph import connected_components
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = minhash_near_dups(ds, threshold_micro=800_000)
+    cc = connected_components(pairs)
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": b["node"].astype("int64"),
+                "canonical_id": b["comp"].astype("int64"),
+            }
+        )
+
+    return cc.map_batches(finish, batch_format="pandas")
+
+
+def _sql_dedup_clusters() -> str:
+    return f"""
+WITH RECURSIVE p AS ({SQL_MINHASH_PAIRS}),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM p
+          UNION ALL SELECT doc_b, doc_a FROM p),
+nodes AS (SELECT DISTINCT a AS n FROM edges),
+reach AS (
+  SELECT n, n AS m FROM nodes
+  UNION
+  SELECT r.n, e.b AS m FROM reach r JOIN edges e ON r.m = e.a)
+SELECT n AS doc_id, CAST(MIN(m) AS BIGINT) AS canonical_id
+FROM reach GROUP BY n
+"""
+
+
 def q_simhash(sf_dir: str):
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return simhash_signatures(ds)
@@ -1155,6 +1192,7 @@ def queries():
         "lang_id": q_lang_id,
         "doc_fingerprint": q_fingerprint,
         "minhash_pairs": q_minhash_pairs,
+        "dedup_clusters": q_dedup_clusters,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
         "embedding_near_dups": q_embedding_near_dups,
@@ -1196,6 +1234,7 @@ def oracle_sql():
         "simhash_pairs": _sql_simhash_pairs(),
         "doc_fingerprint": _sql_fingerprint(),
         "minhash_pairs": SQL_MINHASH_PAIRS,
+        "dedup_clusters": _sql_dedup_clusters(),
         "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
         "ivf_topk": _sql_ivf_topk(),
     }
