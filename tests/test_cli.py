@@ -1,0 +1,54 @@
+"""CLI end-to-end: init/gen/ingest/show/check/compact(--to-salt)/query
+driven through main() in-process (reference manage.py parity, C7)."""
+
+import json
+import os
+
+import pytest
+
+from wprdc_etl_ray.cli import main
+from wprdc_etl_ray.state.manifest import load_manifest
+
+
+def run(capsys, *argv):
+    main(list(argv))
+    return capsys.readouterr().out
+
+
+def test_cli_full_lifecycle(ray_session, tmp_path, capsys):
+    wal_out = str(tmp_path / "w")
+    root = str(tmp_path / "t")
+    out = run(capsys, "gen", wal_out, "--events", "3000", "--segment-rows", "800")
+    wal = json.loads(out.strip().splitlines()[-1])["wal"]
+
+    out = run(capsys, "ingest", wal, root, "--partitions", "4", "--salt", "2")
+    res = json.loads(out.strip().splitlines()[-1])
+    assert res["events"] == 3000 and not res["skipped"]
+
+    out = run(capsys, "show", root)
+    m = json.loads(out)
+    assert m["epoch"] == 1 and m["metrics"]["salt"] == 2
+
+    with pytest.raises(SystemExit) as e:
+        run(capsys, "check", root, wal)
+    assert e.value.code == 0
+    assert json.loads(capsys.readouterr().out.strip().splitlines()[-1])["equal"]
+
+    # re-salt migration via compact
+    out = run(capsys, "compact", root, "--to-salt", "1")
+    assert json.loads(out.strip().splitlines()[-1])["partitions"] == 4
+    assert load_manifest(root)["metrics"]["salt"] == 1
+    with pytest.raises(SystemExit) as e:
+        run(capsys, "check", root, wal)
+    assert e.value.code == 0
+
+
+def test_cli_query_runner(ray_session, capsys):
+    with pytest.raises(SystemExit) as e:
+        run(capsys, "query", "list")
+    assert e.value.code == 0
+    names = json.loads(capsys.readouterr().out)["queries"]
+    assert "value_bands" in names and "cdc_flagship" in names
+
+    out = run(capsys, "query", "value_bands", "--sf-dir", "/root/testdata/sf0.001")
+    assert json.loads(out.strip().splitlines()[-1])["rows"] == 3

@@ -10,6 +10,7 @@ Commands:
   show     <table_root>                   manifest summary (epoch, watermark, lineage)
   read     <table_root> [--limit N]       print committed rows
   check    <table_root> <wal_dir>         verify table == replay oracle (DuckDB)
+  query    <name> [--sf-dir D]            run any operator pipeline ('list' to enumerate)
 
 Owns its Ray session (guarded init) — the ONLY library-adjacent place
 allowed to call ray.init besides bench.py and the test fixture.
@@ -128,7 +129,11 @@ def cmd_compact(args):
     _ray()
     from .pipelines.cdc import compact
 
-    res = compact(args.table_root, drop_tombstones=args.drop_tombstones)
+    res = compact(
+        args.table_root,
+        drop_tombstones=args.drop_tombstones,
+        to_salt=args.to_salt,
+    )
     print(
         json.dumps(
             {
@@ -138,6 +143,27 @@ def cmd_compact(args):
             }
         )
     )
+
+
+def cmd_query(args):
+    """Run any operator pipeline from the driver-harness registry over a
+    testdata directory (the user-facing runner for SURVEY.md §2 ops)."""
+    _ray()
+    import ray.data as rd
+
+    from .pipelines.queries import queries
+
+    reg = queries()
+    if args.name == "list" or args.name not in reg:
+        print(json.dumps({"queries": sorted(reg)}, indent=1))
+        sys.exit(0 if args.name == "list" else 1)
+    out = reg[args.name](args.sf_dir)
+    if isinstance(out, rd.Dataset):
+        out = out.to_pandas()
+    elif not hasattr(out, "head"):
+        out = out.to_pandas()
+    print(out.head(args.limit).to_string(index=False))
+    print(json.dumps({"query": args.name, "rows": len(out)}))
 
 
 def cmd_show(args):
@@ -234,7 +260,17 @@ def main(argv=None):
     sp = sub.add_parser("compact")
     sp.add_argument("table_root")
     sp.add_argument("--drop-tombstones", action="store_true")
+    sp.add_argument(
+        "--to-salt", type=int, default=None,
+        help="re-salt the table (hot-key layout migration)",
+    )
     sp.set_defaults(fn=cmd_compact)
+
+    sp = sub.add_parser("query")
+    sp.add_argument("name", help="'list' to enumerate")
+    sp.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    sp.add_argument("--limit", type=int, default=20)
+    sp.set_defaults(fn=cmd_query)
 
     sp = sub.add_parser("show")
     sp.add_argument("table_root")
