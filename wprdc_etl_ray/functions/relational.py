@@ -132,7 +132,11 @@ def add_bucket(
 
 def _column_hash(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     """Deterministic uint64 hash of one Arrow column (int/float/string/
-    bool) — vectorized, no pandas conversion."""
+    bool) — vectorized, no pandas conversion. Null keys hash as a fill
+    value (all nulls co-locate — required for group correctness; they
+    merely share a bucket with the fill value's hash)."""
+    if col.null_count:
+        col = col.fill_null("" if pa.types.is_string(col.type) else 0)
     t = col.type
     if pa.types.is_string(t) or pa.types.is_large_string(t):
         return hash_strings(col)

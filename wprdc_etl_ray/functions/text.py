@@ -166,6 +166,52 @@ def fingerprint(batch: pa.Table, window: int = 8) -> pa.Table:
     )
 
 
+def corpus_freq_score(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Two-pass GLOBAL-statistic scoring (the unigram-LM shape without
+    float logs, so the oracle is bit-exact): pass 1 aggregates corpus
+    token frequencies (partial pre-agg groupby — the shuffle carries one
+    row per distinct token per block); pass 2 broadcasts the frequency
+    table (``ray.put`` once; vocabulary is Zipf-small relative to the
+    corpus) and scores each doc with the MEAN corpus frequency of its
+    tokens in exact integer micro-units (``Σfreq·10^6 // n``).
+
+    High score = built from common tokens (boilerplate-ish); low score
+    = rare vocabulary. The same two-pass plumbing carries a real LM."""
+    import ray as _ray
+
+    from .hashing import segment_sums, split_flat
+    from .relational import grouped_agg
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        flat, _ = split_flat(batch["text"])
+        return pd.DataFrame({"w": flat})
+
+    counts = grouped_agg(
+        ds.map_batches(explode, batch_format="pandas"), ["w"], [("", "count", "c")]
+    ).to_pandas()
+    freq = dict(zip(counts["w"], counts["c"].astype("int64")))
+    ref = _ray.put(freq)
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        fr = _ray.get(ref)
+        flat, lens = split_flat(batch["text"])
+        if len(flat):
+            codes, vocab = pd.factorize(flat)
+            vf = np.fromiter((fr.get(w, 0) for w in vocab), dtype=np.int64, count=len(vocab))
+            per_doc = segment_sums(vf[codes], lens)
+        else:
+            per_doc = np.zeros(len(lens), dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": lens.astype("int64"),
+                "freq_score": (per_doc * 1_000_000) // np.maximum(lens, 1),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pandas")
+
+
 def lang_id(ds: ray.data.Dataset, concurrency: int | None = None) -> ray.data.Dataset:
     if concurrency:
         return ds.map_batches(

@@ -811,6 +811,30 @@ FROM w GROUP BY event_type, window_start_us
 """
 
 
+def q_corpus_freq(sf_dir: str):
+    """Two-pass global-statistic scoring (corpus token frequency)."""
+    from ..functions.text import corpus_freq_score
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return corpus_freq_score(ds)
+
+
+SQL_CORPUS_FREQ = r"""
+WITH words AS (
+  SELECT doc_id, unnest(CASE WHEN trim(coalesce(text,'')) = '' THEN []::VARCHAR[]
+                        ELSE regexp_split_to_array(trim(text), '\s+') END) AS w
+  FROM documents),
+cnt AS (SELECT w, COUNT(*) AS c FROM words GROUP BY w),
+per_doc AS (
+  SELECT words.doc_id, SUM(c) AS s, COUNT(*) AS n
+  FROM words JOIN cnt USING (w) GROUP BY words.doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(p.s * 1000000 // p.n, 0) AS BIGINT) AS freq_score
+FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+"""
+
+
 def q_multimodal_features(sf_dir: str):
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return multimodal_features(ds)
@@ -1185,6 +1209,7 @@ def queries():
         "bpe_tokens": q_bpe_tokens,
         "event_windows_sliding": q_event_windows_sliding,
         "quality_score": q_quality,
+        "corpus_freq": q_corpus_freq,
         "multimodal_features": q_multimodal_features,
         "knn_all": q_knn_all,
         "cosine_topk": q_cosine_topk,
@@ -1226,6 +1251,7 @@ def oracle_sql():
         "bpe_tokens": SQL_BPE_TOKENS,
         "event_windows_sliding": SQL_EVENT_WINDOWS_SLIDING,
         "quality_score": SQL_QUALITY,
+        "corpus_freq": SQL_CORPUS_FREQ,
         "multimodal_features": SQL_MULTIMODAL,
         "knn_all": SQL_KNN_ALL,
         "cosine_topk": SQL_COSINE_TOPK,
