@@ -442,3 +442,24 @@ def test_connected_components_matches_union_find(ray_session, broadcast):
     assert set(got) == set(ref)
     for n, r in ref.items():
         assert got[n] == comp_min[r], n
+
+
+def test_blocked_near_dups_empty_result(ray_session):
+    """No pair meets the threshold -> empty Dataset, no crash (the
+    empty-bucket path of grouped_pandas_map)."""
+    from wprdc_etl_ray.functions.similarity import blocked_near_dup_pairs
+
+    rng = np.random.default_rng(21)
+    mat = rng.normal(size=(40, 16))
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(40), pa.int64()),
+                "embedding": pa.array(
+                    [list(map(float, r)) for r in mat], pa.list_(pa.float32())
+                ),
+            }
+        )
+    )
+    out = blocked_near_dup_pairs(ds, threshold=0.9999, n_blocks=3)
+    assert out.count() == 0

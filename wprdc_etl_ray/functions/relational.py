@@ -297,11 +297,21 @@ def bucketed_group_map(
     counts = ray.get([a.rows_out.remote(tag) for a in actors])
     refs = [r for r, c in zip(out_refs, counts) if c > 0]
     if not refs:
-        # empty input: derive the output schema from the kernel itself
-        empty_in = pd.DataFrame(
-            {f.name: pd.Series([], dtype="object") for f in bucketed.schema().base_schema}
-        ).drop(columns=["_bucket"])
-        out = fn_pandas(empty_in)
+        # empty result: derive the output schema from the kernel itself;
+        # kernels that cannot process an empty frame yield a 0-column
+        # empty Dataset (consumers see 0 rows either way)
+        try:
+            empty_in = pd.DataFrame(
+                {
+                    f.name: pd.Series([], dtype="object")
+                    for f in bucketed.schema().base_schema
+                }
+            ).drop(columns=["_bucket"])
+            out = fn_pandas(empty_in)
+            if out is None:
+                out = pd.DataFrame()
+        except Exception:
+            out = pd.DataFrame()
         return ray.data.from_arrow(pa.Table.from_pandas(out, preserve_index=False))
     return ray.data.from_arrow_refs(refs)
 
@@ -367,7 +377,7 @@ def asof_join(
             .sort_values(on, kind="stable")
         )
         if l.empty:
-            return l
+            return None  # exchange skips empty buckets (schema-safe)
         out = pd.merge_asof(
             l, r, on=on, by=by, direction="backward", allow_exact_matches=True
         )
@@ -506,14 +516,17 @@ def grouped_pandas_map(
     millions of keys prefer a vectorized per-bucket kernel via
     bucketed_group_map)."""
 
-    def per_bucket(b: pd.DataFrame) -> pd.DataFrame:
+    def per_bucket(b: pd.DataFrame) -> pd.DataFrame | None:
         outs = []
         for _, g in b.groupby(key_cols, sort=False):
             r = fn_per_group(g.reset_index(drop=True))
             if r is not None and len(r):
                 outs.append(r)
         if not outs:
-            return fn_per_group(b.iloc[0:0])
+            # all groups empty-handed; the exchange skips None results
+            # (fn_per_group may not accept an empty frame — e.g. kernels
+            # that read the group key from row 0)
+            return None
         return pd.concat(outs, ignore_index=True)
 
     return bucketed_group_map(ds, key_cols, per_bucket, num_buckets=num_buckets)
