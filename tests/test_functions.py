@@ -463,3 +463,30 @@ def test_blocked_near_dups_empty_result(ray_session):
     )
     out = blocked_near_dup_pairs(ds, threshold=0.9999, n_blocks=3)
     assert out.count() == 0
+
+
+def test_ivf_query_batch_matches_per_query(ray_session, tmp_path):
+    """Batch path == per-query path over the same persisted index, and
+    its candidates equal an exact numpy scan of the probed cells."""
+    from wprdc_etl_ray.functions.similarity import IvfIndex
+
+    rng = np.random.default_rng(6)
+    mat = rng.normal(size=(400, 16))
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(400), pa.int64()),
+                "embedding": pa.array(
+                    [list(map(float, r)) for r in mat], pa.list_(pa.float32())
+                ),
+            }
+        )
+    )
+    idx = IvfIndex.build(ds, str(tmp_path / "ivf"), n_cells=8)
+    queries = mat[[3, 77, 200]]
+    batch = idx.query_batch(queries, k=4, n_probe=3)
+    for qid, qv in enumerate(queries):
+        single = idx.query(qv, k=4, n_probe=3)
+        got = batch[batch["qid"] == qid].reset_index(drop=True)
+        assert list(got["vec_id"]) == list(single["vec_id"]), qid
+        assert list(got["cosine"]) == list(single["cosine"]), qid

@@ -348,6 +348,79 @@ class IvfIndex:
         q = q / max(np.linalg.norm(q), 1e-12)
         return np.argsort(-(self.centroids @ q))[:n_probe].tolist()
 
+    def query_batch(
+        self, queries: np.ndarray, k: int = 5, n_probe: int = 4
+    ) -> pd.DataFrame:
+        """Top-k for MANY queries — the IVF scale path: queries are
+        grouped by probed cell, each touched cell's files are scanned
+        ONCE for all of its queries (one Ray task per cell, matmul of
+        cell-matrix × cell-queries), and the driver merges only the
+        k × n_probe candidate rows per query. A cell untouched by any
+        query is never read.
+
+        Returns (qid, vec_id, cosine micro) with exactly min(k, hits)
+        rows per query, ordered by (qid, -cosine, vec_id)."""
+        import glob as _glob
+        import os
+
+        q = np.asarray(queries, np.float64)
+        q = q / np.linalg.norm(q, axis=1, keepdims=True).clip(min=1e-12)
+        order = np.argsort(-(q @ self.centroids.T), axis=1)[:, :n_probe]
+        by_cell: dict[int, list[int]] = {}
+        for qid, cells in enumerate(order):
+            for c in cells:
+                by_cell.setdefault(int(c), []).append(qid)
+
+        @ray.remote
+        def scan_cell(files: list[str], sub_q: np.ndarray, qids: np.ndarray, id_col: str):
+            # one cell = one task's worth: read directly with pyarrow
+            import pyarrow as pa2
+            import pyarrow.parquet as pq2
+
+            tabs = [pq2.read_table(f, columns=[id_col, "embedding"]) for f in files]
+            tab = pa2.concat_tables(tabs) if len(tabs) > 1 else tabs[0]
+            ids = tab.column(id_col).to_numpy(zero_copy_only=False)
+            mat = np.stack(
+                [np.asarray(x, np.float64) for x in tab.column("embedding").to_pylist()]
+            )
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True).clip(min=1e-12)
+            sims = sub_q @ mat.T  # (q_in_cell, cell_rows)
+            take = min(k, sims.shape[1])
+            idx = np.argpartition(-sims, take - 1, axis=1)[:, :take]
+            rows = np.repeat(qids, take)
+            return pd.DataFrame(
+                {
+                    "qid": rows,
+                    id_col: ids[idx].ravel().astype("int64"),
+                    "cosine": np.take_along_axis(sims, idx, axis=1).ravel(),
+                }
+            )
+
+        refs = []
+        for c, qids in by_cell.items():
+            files = _glob.glob(
+                os.path.join(self.index_dir, "cells", f"cell={c}", "*.parquet")
+            )
+            if not files:
+                continue
+            refs.append(
+                scan_cell.remote(files, q[qids], np.asarray(qids, np.int64), self.id_col)
+            )
+        if not refs:
+            return pd.DataFrame(
+                {"qid": pd.Series([], dtype="int64"),
+                 self.id_col: pd.Series([], dtype="int64"),
+                 "cosine": pd.Series([], dtype="int64")}
+            )
+        cand = pd.concat(ray.get(refs), ignore_index=True)
+        cand = cand.sort_values(
+            ["qid", "cosine", self.id_col], ascending=[True, False, True],
+            kind="stable", ignore_index=True,
+        )
+        out = cand.groupby("qid", sort=False).head(k).reset_index(drop=True)
+        out["cosine"] = np.floor(out["cosine"] * 1_000_000 + 0.5).astype("int64")
+        return out
+
     def query(
         self, query: np.ndarray, k: int = 5, n_probe: int = 4
     ) -> pd.DataFrame:

@@ -1152,6 +1152,76 @@ def q_ivf_topk(sf_dir: str):
     return idx.query(qvec, k=5, n_probe=_IVF_PROBE)
 
 
+_IVF_BATCH_QIDS = (0, 1, 2)
+
+
+def _ivf_query_vecs(sf_dir: str) -> np.ndarray:
+    import pyarrow.parquet as pq
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    out = []
+    for qid in _IVF_BATCH_QIDS:
+        out.append(
+            np.asarray(
+                emb.filter(pc.equal(emb.column("vec_id"), qid)).column("embedding")[0].as_py(),
+                dtype=np.float64,
+            )
+        )
+    return np.stack(out)
+
+
+def q_ivf_topk_batch(sf_dir: str):
+    """Multi-query IVF: queries grouped by probed cell, each touched
+    cell scanned ONCE for all its queries (the large-query-set scale
+    path). Oracle = per-query exact top-k over the same probed cells."""
+    from ..functions.similarity import IvfIndex
+
+    cent = _ivf_centroids(sf_dir)
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    index_dir = os.path.join(
+        "/tmp/graft_ivf", os.path.basename(os.path.normpath(sf_dir))
+    )
+    if os.path.exists(os.path.join(index_dir, "centroids.json")):
+        idx = IvfIndex.open(index_dir)
+    else:
+        idx = IvfIndex.build(ds, index_dir, n_cells=_IVF_CELLS, centroids=cent)
+    out = idx.query_batch(_ivf_query_vecs(sf_dir), k=5, n_probe=_IVF_PROBE)
+    out["qid"] = out["qid"].astype("int64")
+    return out
+
+
+def _sql_ivf_topk_batch(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    cent = _ivf_centroids(sf_dir)
+    qs = _ivf_query_vecs(sf_dir)
+
+    def lit(v: np.ndarray) -> str:
+        return "[" + ", ".join(repr(float(x)) for x in v) + "]::DOUBLE[]"
+
+    scores = ", ".join(
+        f"list_cosine_similarity(CAST(embedding AS DOUBLE[]), {lit(c)})" for c in cent
+    )
+    selects = []
+    for qid, q in zip(_IVF_BATCH_QIDS, qs):
+        qn = q / max(np.linalg.norm(q), 1e-12)
+        probes = np.argsort(-(cent @ qn))[: _IVF_PROBE].tolist()
+        probe_list = ", ".join(str(p) for p in probes)
+        selects.append(
+            f"""(
+  SELECT {qid}::BIGINT AS qid, vec_id,
+         CAST(FLOOR(list_cosine_similarity(CAST(embedding AS DOUBLE[]), {lit(q)}) * 1000000 + 0.5) AS BIGINT) AS cosine
+  FROM cells WHERE cell IN ({probe_list})
+  ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), {lit(q)}) DESC, vec_id
+  LIMIT 5)"""
+        )
+    return f"""
+WITH assigned AS (
+  SELECT vec_id, embedding, [{scores}] AS sc FROM embeddings),
+cells AS (
+  SELECT vec_id, embedding, list_position(sc, list_max(sc)) - 1 AS cell FROM assigned)
+{" UNION ALL ".join(selects)}
+"""
+
+
 def _sql_ivf_topk(sf_dir: str = "/root/testdata/sf0.01") -> str:
     cent = _ivf_centroids(sf_dir)
     q = _ivf_query_vec(sf_dir)
@@ -1222,6 +1292,7 @@ def queries():
         "simhash_pairs": q_simhash_pairs,
         "embedding_near_dups": q_embedding_near_dups,
         "ivf_topk": q_ivf_topk,
+        "ivf_topk_batch": q_ivf_topk_batch,
     }
 
 
@@ -1263,4 +1334,5 @@ def oracle_sql():
         "dedup_clusters": _sql_dedup_clusters(),
         "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
         "ivf_topk": _sql_ivf_topk(),
+        "ivf_topk_batch": _sql_ivf_topk_batch(),
     }
