@@ -490,3 +490,30 @@ def test_ivf_query_batch_matches_per_query(ray_session, tmp_path):
         got = batch[batch["qid"] == qid].reset_index(drop=True)
         assert list(got["vec_id"]) == list(single["vec_id"]), qid
         assert list(got["cosine"]) == list(single["cosine"]), qid
+
+
+def test_multimodal_pipeline_chain(ray_session):
+    from wprdc_etl_ray.functions.multimodal import ImageDecodeStub, multimodal_pipeline
+
+    texts = ["abc", "", "x" * 300, "你好世界"]
+    rows = sorted(
+        multimodal_pipeline(docs_ds(texts), concurrency=1).take_all(),
+        key=lambda r: r["doc_id"],
+    )
+    for i, t in enumerate(texts):
+        b = t.encode("utf-8")
+        first = b[0] if b else 0
+        w, h = 16 + first % 240, 16 + len(b) % 240
+        assert rows[i]["width"] == w and rows[i]["height"] == h, i
+        long = max(w, h)
+        ow = max(1, (w * 64) // long) if long > 64 else w
+        oh = max(1, (h * 64) // long) if long > 64 else h
+        assert rows[i]["out_width"] == ow and rows[i]["out_height"] == oh, i
+        assert rows[i]["n_frames"] == 1 + len(b) // 16
+        assert rows[i]["sampled_frames"] == min(4, 1 + len(b) // 16)
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        ImageDecodeStub(mode="real")(
+            pa.table({"doc_id": [0], "payload": [b"x"]})
+        )

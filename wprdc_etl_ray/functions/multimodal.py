@@ -91,3 +91,112 @@ def multimodal_features(
         concurrency=concurrency,
         batch_size=batch_size,
     )
+
+
+class ImageDecodeStub:
+    """Image-decode stage (actor pool): payload bytes → typed dimension
+    metadata. ``mode='fake'`` derives deterministic dimensions from the
+    payload (width = 16 + first_byte % 240, height = 16 + n_bytes % 240)
+    — a pure function of the bytes, so the driver oracle can reproduce
+    it in SQL; ``mode='real'`` raises where PIL plugs in. The payload
+    column stays Arrow binary end to end."""
+
+    def __init__(self, mode: str = "fake"):
+        if mode not in ("fake", "real"):
+            raise ValueError(mode)
+        self.mode = mode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.mode == "real":
+            raise NotImplementedError("plug PIL.Image.open here")
+        import numpy as np
+
+        payload = batch.column("payload")
+        arr = payload.combine_chunks() if isinstance(payload, pa.ChunkedArray) else payload
+        if arr.null_count:
+            arr = arr.fill_null(b"")
+        n = pc.binary_length(arr).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        # first byte per payload, vectorized from the value buffer
+        offs = np.frombuffer(
+            arr.buffers()[1], dtype=np.int32 if arr.type == pa.binary() else np.int64
+        )
+        data = arr.buffers()[2]
+        buf = (
+            np.frombuffer(data, dtype=np.uint8) if data is not None else np.zeros(0, np.uint8)
+        )
+        base = arr.offset
+        starts = offs[base : base + len(arr)]
+        first = np.where(n > 0, buf[np.minimum(starts, max(len(buf) - 1, 0))], 0)
+        width = 16 + (first.astype(np.int64) % 240)
+        height = 16 + (n % 240)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "payload": arr,
+                "width": pa.array(width, pa.int64()),
+                "height": pa.array(height, pa.int64()),
+            }
+        )
+
+
+def resize_meta(batch: pa.Table, max_side: int = 64) -> pa.Table:
+    """Resize planning (stateless, vectorized): target dims preserving
+    aspect ratio with the long side clamped to ``max_side`` — exact
+    integer math (floor), so the oracle matches. A real resize would
+    map the payload through the codec here; the metadata contract is
+    what downstream stages consume."""
+    import numpy as np
+
+    w = batch.column("width").to_numpy(zero_copy_only=False)
+    h = batch.column("height").to_numpy(zero_copy_only=False)
+    long_side = np.maximum(w, h)
+    scale_needed = long_side > max_side
+    out_w = np.where(scale_needed, np.maximum(1, (w * max_side) // long_side), w)
+    out_h = np.where(scale_needed, np.maximum(1, (h * max_side) // long_side), h)
+    t = batch.drop_columns([c for c in ("payload",) if c in batch.schema.names])
+    t = t.append_column("out_width", pa.array(out_w.astype("int64"), pa.int64()))
+    return t.append_column("out_height", pa.array(out_h.astype("int64"), pa.int64()))
+
+
+def frame_sample_plan(batch: pa.Table, every: int = 16, max_frames: int = 4) -> pa.Table:
+    """Frame-sampling plan for video-like payloads: n_frames =
+    1 + n_bytes // ``every`` (fake frame index), sampled =
+    min(``max_frames``, n_frames) — the uniform-stride sampling layout a
+    real ffmpeg stage would fill with actual frames."""
+    n = pc.binary_length(batch.column("payload")).cast(pa.int64())
+    import numpy as np
+
+    nb = n.to_numpy(zero_copy_only=False)
+    n_frames = 1 + nb // every
+    sampled = np.minimum(max_frames, n_frames)
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_frames": pa.array(n_frames, pa.int64()),
+            "sampled_frames": pa.array(sampled, pa.int64()),
+        }
+    )
+
+
+def multimodal_pipeline(
+    ds: ray.data.Dataset, concurrency: int = 4, batch_size: int = 512, max_side: int = 64
+) -> ray.data.Dataset:
+    """The full multimodal chain: attach payload → image decode (actor
+    pool) → resize plan → frame-sample plan, joined on doc_id inside
+    one streaming pipeline (payload stays Arrow binary until dropped)."""
+    with_payload = ds.map_batches(attach_payload, batch_format="pyarrow")
+    decoded = with_payload.map_batches(
+        ImageDecodeStub,
+        fn_constructor_kwargs={"mode": "fake"},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=batch_size,
+    )
+
+    def combine(batch: pa.Table) -> pa.Table:
+        frames = frame_sample_plan(batch)
+        resized = resize_meta(batch, max_side=max_side)
+        out = resized.append_column("n_frames", frames.column("n_frames"))
+        return out.append_column("sampled_frames", frames.column("sampled_frames"))
+
+    return decoded.map_batches(combine, batch_format="pyarrow", batch_size=batch_size)

@@ -848,6 +848,46 @@ FROM documents
 """
 
 
+def q_multimodal_pipeline(sf_dir: str):
+    """Full multimodal chain: payload → image-decode (actor pool, fake
+    dims as a pure function of the bytes) → resize plan → frame-sample
+    plan. The deterministic fake makes the whole chain oracle-checkable;
+    a real codec swaps into ImageDecodeStub(mode='real')."""
+    from ..functions.multimodal import multimodal_pipeline
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return multimodal_pipeline(ds)
+
+
+SQL_MULTIMODAL_PIPELINE = """
+WITH b AS (
+  SELECT doc_id,
+         octet_length(encode(coalesce(text,''))) AS n,
+         CASE WHEN octet_length(encode(coalesce(text,''))) = 0 THEN 0
+              ELSE ('0x' || substr(hex(encode(text)), 1, 2))::INT END AS first_byte
+  FROM documents),
+dims AS (
+  SELECT doc_id,
+         16 + (first_byte % 240) AS width,
+         16 + (n % 240) AS height,
+         n
+  FROM b),
+resized AS (
+  SELECT doc_id, width, height, n,
+         CASE WHEN GREATEST(width, height) > 64
+              THEN GREATEST(1, (width * 64) // GREATEST(width, height)) ELSE width END AS out_width,
+         CASE WHEN GREATEST(width, height) > 64
+              THEN GREATEST(1, (height * 64) // GREATEST(width, height)) ELSE height END AS out_height
+  FROM dims)
+SELECT doc_id,
+       CAST(width AS BIGINT) AS width, CAST(height AS BIGINT) AS height,
+       CAST(out_width AS BIGINT) AS out_width, CAST(out_height AS BIGINT) AS out_height,
+       CAST(1 + n // 16 AS BIGINT) AS n_frames,
+       CAST(LEAST(4, 1 + n // 16) AS BIGINT) AS sampled_frames
+FROM resized
+"""
+
+
 def q_knn_all(sf_dir: str):
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return all_pairs_nn(ds)
@@ -1281,6 +1321,7 @@ def queries():
         "quality_score": q_quality,
         "corpus_freq": q_corpus_freq,
         "multimodal_features": q_multimodal_features,
+        "multimodal_pipeline": q_multimodal_pipeline,
         "knn_all": q_knn_all,
         "cosine_topk": q_cosine_topk,
         # rows-only (heuristic / not SQL-expressible)
@@ -1324,6 +1365,7 @@ def oracle_sql():
         "quality_score": SQL_QUALITY,
         "corpus_freq": SQL_CORPUS_FREQ,
         "multimodal_features": SQL_MULTIMODAL,
+        "multimodal_pipeline": SQL_MULTIMODAL_PIPELINE,
         "knn_all": SQL_KNN_ALL,
         "cosine_topk": SQL_COSINE_TOPK,
         "lang_id": _sql_lang_id(),
