@@ -5,14 +5,17 @@ One entry per implemented operator/pipeline; each callable takes
 Column names are IDENTICAL between the Ray implementation and the
 oracle SQL (the driver's value-hash sorts columns by name).
 
-Precision policy (engine-agnostic float comparison): float aggregates
-are exported as FIXED-POINT BIGINT — sums in cents via
-``floor(x*100 + 0.5)``, means/ratios/cosines in micro-units, with
-means computed by exact integer division from the cents sum
-(``cents * 10^4 // n``). Raw per-row doubles (no re-aggregation) are
-kept as doubles: identical IEEE ops give bit-identical values. Cosines
-are computed in float64 on BOTH sides (DuckDB list_cosine_similarity
-is cast to DOUBLE[]).
+Precision policy (engine-agnostic float comparison): every float
+AGGREGATE is converted to FIXED-POINT BIGINT **per row, before
+aggregation** (``floor(x*100+0.5)`` cents / basis points) so the sums
+are exact integers — identical under every association order, engine,
+partitioning and data scale. (Rounding a float SUM instead drifts by
+1 ulp at large N when engines associate additions differently —
+observed at sf0.1 and eliminated by this policy.) Means/ratios derive
+by exact integer division (``cents * 10^4 // n``). Raw per-row doubles
+(no re-aggregation) are kept as doubles: identical IEEE ops give
+bit-identical values. Cosines are computed in float64 on BOTH sides
+(DuckDB list_cosine_similarity is cast to DOUBLE[]).
 """
 
 from __future__ import annotations
@@ -49,13 +52,17 @@ from ..functions.text import fingerprint, lang_id, quality, token_stats
 # --- helpers -----------------------------------------------------------------
 
 
-def _fp_cols(spec: dict[str, int]):
-    """Fixed-point conversion floor(x*scale + 0.5) -> int64 — the
-    engine-agnostic way to compare float aggregates (identical integer
-    definition on the DuckDB side; no double-representation mismatch)."""
+def _to_cents_cols(cols: list[str], scale: int = 100):
+    """PER-ROW fixed-point conversion floor(x*scale+0.5) -> int64,
+    applied BEFORE any aggregation. Integer sums are exact under every
+    association order, so the result is identical across engines,
+    partitionings and data scales — unlike rounding a float SUM, which
+    drifts by 1 ulp at large N when the two engines associate the
+    additions differently (observed at sf0.1). The SQL side mirrors
+    with SUM(CAST(FLOOR(x*scale+0.5) AS BIGINT))."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        for col, scale in spec.items():
+        for col in cols:
             i = batch.schema.get_field_index(col)
             v = pc.floor(
                 pc.add(pc.multiply(batch.column(col).cast(pa.float64()), float(scale)), 0.5)
@@ -200,13 +207,18 @@ def q_pricing_summary(sf_dir: str):
         ds, lambda t: pc.less_equal(t.column("l_shipdate"), pa.scalar(pd.Timestamp("1998-09-02")))
     )
 
-    def revenue(t: pa.Table) -> pa.Table:
+    def to_units(t: pa.Table) -> pa.Table:
+        # per-row integer units BEFORE aggregation (exact at any scale):
+        # qty/price in cents, discount in basis points; disc_price =
+        # price_cents * (100 - disc_bp), an exact integer in 1e-4 $
+        t = _to_cents_cols(["l_quantity", "l_extendedprice", "l_discount"])(t)
         disc = pc.multiply(
-            t.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), t.column("l_discount"))
+            t.column("l_extendedprice"),
+            pc.subtract(pa.scalar(100, pa.int64()), t.column("l_discount")),
         )
         return t.append_column("disc_price", disc)
 
-    ds = ds.map_batches(revenue, batch_format="pyarrow")
+    ds = ds.map_batches(to_units, batch_format="pyarrow")
     out = grouped_agg(
         ds,
         ["l_returnflag", "l_linestatus"],
@@ -220,8 +232,9 @@ def q_pricing_summary(sf_dir: str):
     )
 
     def finish(t: pa.Table) -> pa.Table:
-        t = _fp_cols({"sum_qty": 100, "sum_base_price": 100, "sum_disc_price": 100, "_sum_disc": 100})(t)
-        t = _as_int64(["count_order"])(t)
+        t = _as_int64(
+            ["sum_qty", "sum_base_price", "sum_disc_price", "_sum_disc", "count_order"]
+        )(t)
         t = _avg_micro(t, "avg_qty", "sum_qty", "count_order")
         t = _avg_micro(t, "avg_disc", "_sum_disc", "count_order")
         return t.drop_columns(["_sum_disc"])
@@ -230,15 +243,21 @@ def q_pricing_summary(sf_dir: str):
 
 
 SQL_PRICING = """
+WITH u AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)      AS qty_c,
+         CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_c,
+         CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)      AS disc_bp
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '1998-09-02')
 SELECT l_returnflag, l_linestatus,
-       CAST(FLOOR(SUM(l_quantity) * 100 + 0.5) AS BIGINT)                      AS sum_qty,
-       CAST(FLOOR(SUM(l_extendedprice) * 100 + 0.5) AS BIGINT)                 AS sum_base_price,
-       CAST(FLOOR(SUM(l_extendedprice * (1 - l_discount)) * 100 + 0.5) AS BIGINT) AS sum_disc_price,
-       CAST(COUNT(*) AS BIGINT)                                                AS count_order,
-       CAST(FLOOR(SUM(l_quantity) * 100 + 0.5) AS BIGINT) * 10000 // COUNT(*)  AS avg_qty,
-       CAST(FLOOR(SUM(l_discount) * 100 + 0.5) AS BIGINT) * 10000 // COUNT(*)  AS avg_disc
-FROM lineitem
-WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+       CAST(SUM(qty_c) AS BIGINT)                    AS sum_qty,
+       CAST(SUM(price_c) AS BIGINT)                  AS sum_base_price,
+       CAST(SUM(price_c * (100 - disc_bp)) AS BIGINT) AS sum_disc_price,
+       CAST(COUNT(*) AS BIGINT)                      AS count_order,
+       CAST(SUM(qty_c) AS BIGINT) * 10000 // COUNT(*)   AS avg_qty,
+       CAST(SUM(disc_bp) AS BIGINT) * 10000 // COUNT(*) AS avg_disc
+FROM u
 GROUP BY l_returnflag, l_linestatus
 """
 
@@ -300,19 +319,20 @@ def q_segment_revenue(sf_dir: str):
     orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
     cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
     j = hash_join(orders, cust, on="o_custkey", right_on="c_custkey", num_partitions=8)
+    j = j.map_batches(_to_cents_cols(["o_totalprice"]), batch_format="pyarrow")
     out = grouped_agg(
         j,
         ["c_mktsegment"],
         [("o_totalprice", "sum", "total_revenue"), ("", "count", "n_orders")],
     )
-    return out.map_batches(_fp_cols({"total_revenue": 100}), batch_format="pyarrow").map_batches(
-        _as_int64(["n_orders"]), batch_format="pyarrow"
+    return out.map_batches(
+        _as_int64(["total_revenue", "n_orders"]), batch_format="pyarrow"
     )
 
 
 SQL_SEGMENT_REVENUE = """
 SELECT c_mktsegment,
-       CAST(FLOOR(SUM(o_totalprice) * 100 + 0.5) AS BIGINT) AS total_revenue,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_revenue,
        CAST(COUNT(*) AS BIGINT)                             AS n_orders
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
@@ -331,6 +351,7 @@ def q_region_customers(sf_dir: str):
     ]
     cust = read_table(sf_dir, "customer", columns=["c_nationkey", "c_acctbal"])
     j = broadcast_join(cust, dim, on="c_nationkey", right_on="n_nationkey")
+    j = j.map_batches(_to_cents_cols(["c_acctbal"]), batch_format="pyarrow")
     out = grouped_agg(
         j,
         ["r_name"],
@@ -338,8 +359,7 @@ def q_region_customers(sf_dir: str):
     )
 
     def finish(t: pa.Table) -> pa.Table:
-        t = _fp_cols({"_sum_bal": 100})(t)
-        t = _as_int64(["n_customers"])(t)
+        t = _as_int64(["_sum_bal", "n_customers"])(t)
         t = _avg_micro(t, "avg_acctbal", "_sum_bal", "n_customers")
         return t.drop_columns(["_sum_bal"])
 
@@ -349,7 +369,7 @@ def q_region_customers(sf_dir: str):
 SQL_REGION_CUSTOMERS = """
 SELECT r_name,
        CAST(COUNT(*) AS BIGINT) AS n_customers,
-       CAST(FLOOR(SUM(c_acctbal) * 100 + 0.5) AS BIGINT) * 10000 // COUNT(*) AS avg_acctbal
+       CAST(SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) * 10000 // COUNT(*) AS avg_acctbal
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
@@ -377,19 +397,19 @@ def q_event_windows(sf_dir: str):
         )
 
     out = grouped_agg(
-        ds.map_batches(bucket, batch_format="pyarrow"),
+        ds.map_batches(bucket, batch_format="pyarrow").map_batches(
+            _to_cents_cols(["value"]), batch_format="pyarrow"
+        ),
         ["event_type", "day"],
         [("", "count", "n"), ("value", "sum", "sum_value")],
     )
-    return out.map_batches(_fp_cols({"sum_value": 100}), batch_format="pyarrow").map_batches(
-        _as_int64(["n"]), batch_format="pyarrow"
-    )
+    return out.map_batches(_as_int64(["n", "sum_value"]), batch_format="pyarrow")
 
 
 SQL_EVENT_WINDOWS = """
 SELECT event_type, date_trunc('day', ts) AS day,
        CAST(COUNT(*) AS BIGINT) AS n,
-       CAST(FLOOR(SUM(value) * 100 + 0.5) AS BIGINT) AS sum_value
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value
 FROM events GROUP BY event_type, date_trunc('day', ts)
 """
 
@@ -485,18 +505,17 @@ def q_semi_join_parts(sf_dir: str):
     keys = parts.filter(pc.greater(parts.column("p_size"), 40)).column("p_partkey")
     ds = read_table(sf_dir, "lineitem", columns=["l_partkey", "l_returnflag", "l_quantity"])
     f = semi_join(ds, keys.to_numpy(), "l_partkey")
+    f = f.map_batches(_to_cents_cols(["l_quantity"]), batch_format="pyarrow")
     out = grouped_agg(
         f, ["l_returnflag"], [("", "count", "n"), ("l_quantity", "sum", "sum_qty")]
     )
-    return out.map_batches(_fp_cols({"sum_qty": 100}), batch_format="pyarrow").map_batches(
-        _as_int64(["n"]), batch_format="pyarrow"
-    )
+    return out.map_batches(_as_int64(["n", "sum_qty"]), batch_format="pyarrow")
 
 
 SQL_SEMI_JOIN_PARTS = """
 SELECT l_returnflag,
        CAST(COUNT(*) AS BIGINT) AS n,
-       CAST(FLOOR(SUM(l_quantity) * 100 + 0.5) AS BIGINT) AS sum_qty
+       CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty
 FROM lineitem
 WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size > 40)
 GROUP BY l_returnflag
@@ -554,20 +573,26 @@ GROUP BY o_orderpriority
 
 def q_user_value_stats(sf_dir: str):
     ds = read_table(sf_dir, "events", columns=["user_id", "value"])
+
+    def add_cents(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "value_c",
+            pc.floor(pc.add(pc.multiply(t.column("value").cast(pa.float64()), 100.0), 0.5)).cast(pa.int64()),
+        )
+
     out = grouped_agg(
-        ds,
+        ds.map_batches(add_cents, batch_format="pyarrow"),
         ["user_id"],
         [
             ("", "count", "n"),
-            ("value", "sum", "sum_value"),
+            ("value_c", "sum", "sum_value"),
             ("value", "min", "min_value"),
             ("value", "max", "max_value"),
         ],
     )
 
     def finish(t: pa.Table) -> pa.Table:
-        t = _fp_cols({"sum_value": 100})(t)
-        t = _as_int64(["n"])(t)
+        t = _as_int64(["n", "sum_value"])(t)
         return _avg_micro(t, "avg_value", "sum_value", "n")
 
     return out.map_batches(finish, batch_format="pyarrow")
@@ -576,10 +601,10 @@ def q_user_value_stats(sf_dir: str):
 SQL_USER_VALUE_STATS = """
 SELECT user_id,
        CAST(COUNT(*) AS BIGINT) AS n,
-       CAST(FLOOR(SUM(value) * 100 + 0.5) AS BIGINT) AS sum_value,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value,
        MIN(value)               AS min_value,
        MAX(value)               AS max_value,
-       CAST(FLOOR(SUM(value) * 100 + 0.5) AS BIGINT) * 10000 // COUNT(*) AS avg_value
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) * 10000 // COUNT(*) AS avg_value
 FROM events GROUP BY user_id
 """
 
@@ -678,13 +703,13 @@ def q_value_bands(sf_dir: str):
         )
 
     out = grouped_agg(
-        ds.map_batches(bin_batch, batch_format="pyarrow"),
+        ds.map_batches(bin_batch, batch_format="pyarrow").map_batches(
+            _to_cents_cols(["value"]), batch_format="pyarrow"
+        ),
         ["band"],
         [("", "count", "n"), ("value", "sum", "sum_value")],
     )
-    return out.map_batches(_fp_cols({"sum_value": 100}), batch_format="pyarrow").map_batches(
-        _as_int64(["n"]), batch_format="pyarrow"
-    )
+    return out.map_batches(_as_int64(["n", "sum_value"]), batch_format="pyarrow")
 
 
 SQL_VALUE_BANDS = """
@@ -692,7 +717,7 @@ WITH bands(lo, hi, band) AS (
   VALUES (0.0, 5.0, 'low'), (5.0, 25.0, 'mid'), (25.0, 1e308, 'high'))
 SELECT band,
        CAST(COUNT(*) AS BIGINT) AS n,
-       CAST(FLOOR(SUM(value) * 100 + 0.5) AS BIGINT) AS sum_value
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value
 FROM events JOIN bands ON value >= lo AND value < hi
 GROUP BY band
 """
@@ -789,13 +814,13 @@ def q_event_windows_sliding(sf_dir: str):
         return out
 
     out = grouped_agg(
-        ds.map_batches(windows, batch_format="pyarrow"),
+        ds.map_batches(windows, batch_format="pyarrow").map_batches(
+            _to_cents_cols(["value"]), batch_format="pyarrow"
+        ),
         ["event_type", "window_start_us"],
         [("", "count", "n"), ("value", "sum", "sum_value")],
     )
-    return out.map_batches(_fp_cols({"sum_value": 100}), batch_format="pyarrow").map_batches(
-        _as_int64(["n"]), batch_format="pyarrow"
-    )
+    return out.map_batches(_as_int64(["n", "sum_value"]), batch_format="pyarrow")
 
 
 SQL_EVENT_WINDOWS_SLIDING = """
@@ -806,7 +831,7 @@ WITH w AS (
   FROM events)
 SELECT event_type, window_start_us,
        CAST(COUNT(*) AS BIGINT) AS n,
-       CAST(FLOOR(SUM(value) * 100 + 0.5) AS BIGINT) AS sum_value
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value
 FROM w GROUP BY event_type, window_start_us
 """
 
