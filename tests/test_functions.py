@@ -517,3 +517,28 @@ def test_multimodal_pipeline_chain(ray_session):
         ImageDecodeStub(mode="real")(
             pa.table({"doc_id": [0], "payload": [b"x"]})
         )
+
+
+def test_cosine_lsh_high_recall_on_near_dups(ray_session):
+    """Near-identical vectors (cosine ~1) collide in every band with
+    probability ~1 -> LSH must recover them; random pairs are mostly
+    pruned (the sub-quadratic point)."""
+    from wprdc_etl_ray.functions.similarity import cosine_lsh_near_dups
+
+    rng = np.random.default_rng(17)
+    base = rng.normal(size=(30, 32))
+    dups = base[:10] + rng.normal(scale=1e-3, size=(10, 32))  # 10 near-dup pairs
+    mat = np.vstack([base, dups])
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(40), pa.int64()),
+                "embedding": pa.array(
+                    [list(map(float, r)) for r in mat], pa.list_(pa.float32())
+                ),
+            }
+        )
+    )
+    out = cosine_lsh_near_dups(ds, threshold=0.99).to_pandas()
+    got = {(a, b) for a, b in zip(out["vec_a"], out["vec_b"])}
+    assert {(i, 30 + i) for i in range(10)} <= got

@@ -86,3 +86,36 @@ def test_csv_encoding_latin1(ray_session, tmp_path):
     p.write_bytes("id,name,amount\n1,café,1.5\n2,süß,2.5\n".encode("latin-1"))
     out = read_csv_source(str(p), schema=SCHEMA, encoding="latin-1").take_all()
     assert [r["name"] for r in out] == ["café", "süß"]
+
+
+def test_resumable_write_skips_completed_partitions(ray_session, tmp_path):
+    import os
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from wprdc_etl_ray.sources.sinks import (
+        completed_partitions,
+        read_resumable,
+        resumable_write,
+    )
+
+    out = str(tmp_path / "out")
+    df = pd.DataFrame({"k": np.arange(100) % 4, "v": np.arange(100)})
+    r1 = resumable_write(rd.from_pandas(df, override_num_blocks=3), out, "k")
+    assert sorted(r1["written"]) == ["0", "1", "2", "3"] and not r1["skipped"]
+
+    # simulate a partial redo: remove one marker, rerun — only that
+    # partition is rewritten, the rest are skipped
+    os.remove(os.path.join(out, "_SUCCESS-2"))
+    r2 = resumable_write(rd.from_pandas(df, override_num_blocks=3), out, "k")
+    assert r2["written"] == ["2"] and r2["skipped"] == ["0", "1", "3"]
+    assert completed_partitions(out) == {"0", "1", "2", "3"}
+
+    got = read_resumable(out).to_pandas()
+    # hive partition values come back as strings
+    got["k"] = got["k"].astype(str)
+    assert set(got["v"][got["k"] == "2"]) == set(df["v"][df["k"] == 2])
+    counts = got.groupby("k").size()
+    assert all(counts.loc[str(k)] >= 25 for k in range(4))

@@ -467,3 +467,103 @@ def ivf_topk(
     else:
         idx = IvfIndex.build(ds, index_dir, n_cells=n_cells, seed=seed, id_col=id_col)
     return idx.query(query, k=k, n_probe=n_probe)
+
+
+def lsh_planes(dim: int, n_planes: int = 16, seed: int = 99) -> np.ndarray:
+    """Fixed-seed random hyperplanes for cosine LSH — shared by the Ray
+    signature stage and the driver-side SQL oracle generator."""
+    rng = np.random.default_rng(seed)
+    return rng.normal(size=(n_planes, dim))
+
+
+def cosine_lsh_near_dups(
+    ds: ray.data.Dataset,
+    threshold: float = 0.2,
+    id_col: str = "vec_id",
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 99,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """APPROXIMATE near-dup pairs by cosine via random-hyperplane LSH —
+    the sub-quadratic ANN path (the exact block-pair join does the full
+    O(N²) matmul work; this one only compares vectors whose sign
+    signatures collide in some band).
+
+    signature bit j = sign(dot(v, plane_j)); split into ``bands`` bands;
+    vectors sharing any band's bits are candidates; candidates are
+    VERIFIED by true cosine ≥ threshold inside the bucket. Deterministic
+    (fixed-seed planes), so the driver oracle reproduces the exact same
+    bucketing + verification in SQL — it checks the pipeline, and
+    recall vs the exact join is the documented LSH tradeoff
+    (P[candidate] = 1-(1-(1-θ/π)^(bits/band))^bands).
+
+    Scale shape: the shuffle carries (id, band key, embedding-as-list);
+    per-bucket work is an m×m matmul over the bucket's collisions only."""
+    if n_planes % bands:
+        raise ValueError("bands must divide n_planes")
+    width = n_planes // bands
+    first = ds.take(1)
+    dim = len(first[0]["embedding"])
+    planes = lsh_planes(dim, n_planes, seed)
+    pref = ray.put(planes)
+    shifts = np.arange(n_planes, dtype=np.uint64)
+
+    def sign_bands(batch: "pa.Table"):
+        import pyarrow as pa
+
+        pl = ray.get(pref)
+        mat = np.stack(
+            [np.asarray(x, np.float64) for x in batch.column("embedding").to_pylist()]
+        )
+        bits = (mat @ pl.T) > 0  # (n, n_planes)
+        sig = (bits.astype(np.uint64) << shifts[None, :]).sum(axis=1)
+        outs = []
+        for b in range(bands):
+            bv = (sig >> np.uint64(b * width)) & np.uint64((1 << width) - 1)
+            t = batch.append_column("band_id", pa.array(np.full(len(sig), b), pa.int64()))
+            t = t.append_column("band_val", pa.array(bv.astype(np.int64), pa.int64()))
+            outs.append(t)
+        import pyarrow as pa2
+
+        return pa2.concat_tables(outs)
+
+    banded = ds.map_batches(sign_bands, batch_format="pyarrow")
+
+    from .relational import bucketed_group_map
+
+    def pairs_in_bucket(bucket: pd.DataFrame) -> pd.DataFrame | None:
+        outs_a, outs_b, outs_c = [], [], []
+        for _, grp in bucket.groupby(["band_id", "band_val"], sort=False):
+            if len(grp) < 2:
+                continue
+            g = grp.drop_duplicates(id_col)
+            ids = g[id_col].to_numpy()
+            mat = _normalize(np.stack(g["embedding"].to_numpy()).astype(np.float64))
+            sims = mat @ mat.T
+            ia, ib = np.triu_indices(len(ids), k=1)
+            c = sims[ia, ib]
+            keep = c >= threshold
+            outs_a.append(np.minimum(ids[ia], ids[ib])[keep])
+            outs_b.append(np.maximum(ids[ia], ids[ib])[keep])
+            outs_c.append(c[keep])
+        if not outs_a:
+            return None
+        return pd.DataFrame(
+            {
+                "vec_a": np.concatenate(outs_a).astype("int64"),
+                "vec_b": np.concatenate(outs_b).astype("int64"),
+                "cosine": np.floor(np.concatenate(outs_c) * 1_000_000 + 0.5).astype(
+                    "int64"
+                ),
+            }
+        )
+
+    cand = bucketed_group_map(
+        banded, ["band_id", "band_val"], pairs_in_bucket, num_buckets=num_buckets
+    )
+
+    def distinct_pairs(bucket: pd.DataFrame) -> pd.DataFrame:
+        return bucket.drop_duplicates(ignore_index=True)
+
+    return bucketed_group_map(cand, ["vec_a", "vec_b"], distinct_pairs, num_buckets=16)

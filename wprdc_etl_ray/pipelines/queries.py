@@ -1167,6 +1167,56 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 """
 
 
+def q_cosine_lsh_pairs(sf_dir: str):
+    """Sub-quadratic ANN near-dups via random-hyperplane LSH (sign
+    signatures → band buckets → in-bucket cosine verify). Oracle
+    reproduces the exact same bucketing in SQL (plane literals inlined),
+    so the pipeline is checked end to end; recall vs the exact
+    block-pair join is the documented LSH tradeoff."""
+    from ..functions.similarity import cosine_lsh_near_dups
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return cosine_lsh_near_dups(ds, threshold=0.2)
+
+
+def _sql_cosine_lsh(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    import pyarrow.parquet as pq
+
+    from ..functions.similarity import lsh_planes
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    dim = len(emb.column("embedding")[0])
+    planes = lsh_planes(dim, 16, seed=99)
+
+    def lit(v) -> str:
+        return "[" + ", ".join(repr(float(x)) for x in v) + "]::DOUBLE[]"
+
+    terms = " + ".join(
+        f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), {lit(p)}) > 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j, p in enumerate(planes)
+    )
+    return f"""
+WITH sigs AS (
+  SELECT vec_id, ({terms})::BIGINT AS sig FROM embeddings),
+bands AS (
+  SELECT vec_id, t.b AS band_id, (sig >> (t.b * 4)) & 15 AS band_val
+  FROM sigs CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) t),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.vec_id < b.vec_id)
+SELECT vec_a, vec_b,
+       CAST(FLOOR(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                         CAST(eb.embedding AS DOUBLE[])) * 1000000 + 0.5) AS BIGINT) AS cosine
+FROM cand
+JOIN embeddings ea ON cand.vec_a = ea.vec_id
+JOIN embeddings eb ON cand.vec_b = eb.vec_id
+WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                             CAST(eb.embedding AS DOUBLE[])) >= 0.2
+"""
+
+
 _IVF_CELLS, _IVF_PROBE, _IVF_SEED = 16, 4, 7
 
 
@@ -1357,6 +1407,7 @@ def queries():
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
         "embedding_near_dups": q_embedding_near_dups,
+        "cosine_lsh_pairs": q_cosine_lsh_pairs,
         "ivf_topk": q_ivf_topk,
         "ivf_topk_batch": q_ivf_topk_batch,
     }
@@ -1400,6 +1451,7 @@ def oracle_sql():
         "minhash_pairs": SQL_MINHASH_PAIRS,
         "dedup_clusters": _sql_dedup_clusters(),
         "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
+        "cosine_lsh_pairs": _sql_cosine_lsh(),
         "ivf_topk": _sql_ivf_topk(),
         "ivf_topk_batch": _sql_ivf_topk_batch(),
     }
