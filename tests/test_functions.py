@@ -542,3 +542,12 @@ def test_cosine_lsh_high_recall_on_near_dups(ray_session):
     out = cosine_lsh_near_dups(ds, threshold=0.99).to_pandas()
     got = {(a, b) for a, b in zip(out["vec_a"], out["vec_b"])}
     assert {(i, 30 + i) for i in range(10)} <= got
+
+
+def test_connected_components_empty_edges(ray_session):
+    from wprdc_etl_ray.functions.graph import connected_components
+
+    edges = pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                          "doc_b": pd.Series([], dtype="int64")})
+    out = connected_components(rd.from_pandas(edges))
+    assert out.count() == 0
