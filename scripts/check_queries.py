@@ -115,6 +115,10 @@ def main():
             print(f"PASS  {name}: {len(mine)} rows ({dt:.1f}s)")
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+    con.close()
+    import ray
+
+    ray.shutdown()  # explicit: a lingering session kept burning CPU once
     sys.exit(1 if n_fail else 0)
 
 
