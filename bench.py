@@ -171,6 +171,65 @@ def run_bench() -> dict:
     return result
 
 
+def run_tail() -> dict:
+    """Tail-mode throughput: the same WAL delivered in segment WAVES to
+    a live TailSession (stateful merger actors), poll+commit per wave —
+    the north rule's "tail -> upsert -> committed Parquet" measured in
+    its incremental form (the headline measures the batch replay form;
+    both share the merge/commit machinery)."""
+    import glob as _glob
+
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from wprdc_etl_ray.pipelines.cdc import CDCConfig
+    from wprdc_etl_ray.pipelines.tail import TailSession
+
+    sf = _sf_of(SF_DIR)
+    wal, n_events = prepare_wal(sf)
+    segs = sorted(_glob.glob(os.path.join(wal, "seg-*.parquet")))
+    waves = 4
+    per = (len(segs) + waves - 1) // waves
+
+    live_wal = os.path.join(BENCH_TMP, f"tail-wal-{NUM_CPUS}")
+    root = os.path.join(BENCH_TMP, f"tail-table-{NUM_CPUS}")
+    shutil.rmtree(live_wal, ignore_errors=True)
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(live_wal)
+
+    sess = TailSession(live_wal, root, CDCConfig(num_partitions=64), num_actors=16)
+    t0 = time.perf_counter()
+    applied = 0
+    for w in range(waves):
+        for s_ in segs[w * per : (w + 1) * per]:
+            os.link(s_, os.path.join(live_wal, os.path.basename(s_)))
+        applied += sess.poll()
+        sess.commit()
+    wall = time.perf_counter() - t0
+    sess.shutdown()
+    assert applied == n_events, (applied, n_events)
+    result = {
+        "metric": "cdc_tail_mode",
+        "value": round(wall, 3),
+        "unit": "sec",
+        "events": n_events,
+        "waves": waves,
+        "num_cpus": NUM_CPUS,
+        "events_per_sec": round(n_events / wall, 1),
+    }
+    ray.shutdown()
+    return result
+
+
 def run_scaling() -> dict:
     """Same headline job at N and 4N CPUs in fresh processes — the
     sandbox proxy for the north rule's N vs 4N node criterion.
@@ -227,5 +286,7 @@ def run_scaling() -> dict:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--tail" in sys.argv:
+        print(json.dumps(run_tail()))
     else:
         print(json.dumps(run_bench()))
