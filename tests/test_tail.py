@@ -204,3 +204,28 @@ def test_tail_schema_evolution_mid_stream(ray_session, tmp_path, log):
     oracle = replay_oracle_pandas(log)
     cmp = got.select(oracle.schema.names).cast(oracle.schema)
     assert cmp.equals(oracle)
+
+
+def test_tail_commit_refuses_foreign_epoch(ray_session, tmp_path, log):
+    """An external writer advancing the table mid-session must make the
+    tail commit fail loudly (its resident snapshots are stale) instead
+    of silently overwriting the other writer's partitions."""
+    import glob as _glob
+
+    from wprdc_etl_ray.errors import ConcurrentCommitError
+
+    write_wal(str(tmp_path / "full"), log, segment_rows=1500)
+    segs = sorted(_glob.glob(str(tmp_path / "full" / "wal" / "seg-*.parquet")))
+    wal = str(tmp_path / "wal")
+    os.makedirs(wal)
+    root = str(tmp_path / "t")
+
+    sess = TailSession(wal, root, CDCConfig(num_partitions=4), num_actors=2)
+    for s in segs[:2]:
+        os.link(s, os.path.join(wal, os.path.basename(s)))
+    sess.poll()
+    # external batch writer commits first
+    run_ingest(str(tmp_path / "full" / "wal"), root, CDCConfig(num_partitions=4))
+    with pytest.raises(ConcurrentCommitError):
+        sess.commit()
+    sess.shutdown()

@@ -298,6 +298,21 @@ class TailSession:
             [a.flush.remote(epoch_dir, fields) for a in self.actors]
         )
         manifest = load_manifest(self.root)
+        # a tail session owns its table: if another writer advanced the
+        # manifest beneath us, our actors' resident snapshots are stale
+        # and committing would silently overwrite the other writer's
+        # partitions — the generic epoch check can't catch this because
+        # we (correctly) base carried-forward entries on the manifest we
+        # just loaded. Fail loudly instead; the operator restarts the
+        # session (which reloads committed state and replays the WAL).
+        cur_epoch = manifest["epoch"] if manifest else 0
+        if cur_epoch != self.epoch:
+            from ..errors import ConcurrentCommitError
+
+            raise ConcurrentCommitError(
+                f"table advanced to epoch {cur_epoch} while this tail session "
+                f"was at epoch {self.epoch}; restart the TailSession"
+            )
         prior_parts = (
             {int(k): v for k, v in manifest["partitions"].items()} if manifest else {}
         )
