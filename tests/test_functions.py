@@ -551,3 +551,25 @@ def test_connected_components_empty_edges(ray_session):
                           "doc_b": pd.Series([], dtype="int64")})
     out = connected_components(rd.from_pandas(edges))
     assert out.count() == 0
+
+
+def test_feature_hash_embed_end_to_end_near_dups(ray_session):
+    """documents -> hashing-trick embeddings -> exact cosine near-dup
+    join recovers textual near-duplicates (the model-free closure of the
+    embed->ANN pipeline)."""
+    from wprdc_etl_ray.functions.embed import feature_hash_embed
+    from wprdc_etl_ray.functions.similarity import blocked_near_dup_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    texts = [base, base + "slightly changed", "completely different content here now",
+             "another unrelated bag of words entirely"]
+    emb = feature_hash_embed(docs_ds(texts)).map_batches(
+        lambda b: pd.DataFrame(
+            {"vec_id": b["doc_id"], "embedding": [list(map(float, v)) for v in b["embedding"]]}
+        ),
+        batch_format="pandas",
+    )
+    pairs = blocked_near_dup_pairs(emb, threshold=0.8, n_blocks=2).to_pandas()
+    got = {(a, b) for a, b in zip(pairs["vec_a"], pairs["vec_b"])}
+    assert (0, 1) in got
+    assert (0, 2) not in got and (2, 3) not in got

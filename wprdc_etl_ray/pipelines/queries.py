@@ -836,6 +836,41 @@ FROM w GROUP BY event_type, window_start_us
 """
 
 
+def q_embed_stats(sf_dir: str):
+    """Feature-hashing document embeddings (model-free embedder): the
+    oracle compares the exact integer projections norm_sq / nnz of the
+    hashed ±1 bucket vector per document."""
+    from ..functions.embed import embed_stats
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return embed_stats(ds)
+
+
+SQL_EMBED_STATS = r"""
+WITH words AS (
+  SELECT doc_id, unnest(CASE WHEN trim(coalesce(text,'')) = '' THEN []::VARCHAR[]
+                        ELSE regexp_split_to_array(trim(text), '\s+') END) AS w
+  FROM documents),
+hs AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(w), 1, 16))::UBIGINT % 64 AS bucket,
+         CASE WHEN (('0x' || substr(md5(w), 1, 16))::UBIGINT >> 63) & 1 = 1
+              THEN 1 ELSE -1 END AS sign
+  FROM words),
+vecs AS (
+  SELECT doc_id, bucket, SUM(sign) AS v FROM hs GROUP BY doc_id, bucket),
+stats AS (
+  SELECT doc_id,
+         SUM(v * v) AS norm_sq,
+         SUM(CASE WHEN v <> 0 THEN 1 ELSE 0 END) AS nnz
+  FROM vecs GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(s.norm_sq, 0) AS BIGINT) AS norm_sq,
+       CAST(COALESCE(s.nnz, 0) AS BIGINT) AS nnz
+FROM documents d LEFT JOIN stats s ON d.doc_id = s.doc_id
+"""
+
+
 def q_corpus_freq(sf_dir: str):
     """Two-pass global-statistic scoring (corpus token frequency)."""
     from ..functions.text import corpus_freq_score
@@ -1395,6 +1430,7 @@ def queries():
         "event_windows_sliding": q_event_windows_sliding,
         "quality_score": q_quality,
         "corpus_freq": q_corpus_freq,
+        "embed_stats": q_embed_stats,
         "multimodal_features": q_multimodal_features,
         "multimodal_pipeline": q_multimodal_pipeline,
         "knn_all": q_knn_all,
@@ -1440,6 +1476,7 @@ def oracle_sql():
         "event_windows_sliding": SQL_EVENT_WINDOWS_SLIDING,
         "quality_score": SQL_QUALITY,
         "corpus_freq": SQL_CORPUS_FREQ,
+        "embed_stats": SQL_EMBED_STATS,
         "multimodal_features": SQL_MULTIMODAL,
         "multimodal_pipeline": SQL_MULTIMODAL_PIPELINE,
         "knn_all": SQL_KNN_ALL,
