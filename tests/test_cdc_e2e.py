@@ -309,3 +309,49 @@ def test_attempt_dirs_separate_racing_jobs():
     assert a != b
     assert a == attempt_epoch_dir(2, "ingest|upsert|99|B8|S1|seg-1,seg-2")
     assert a.startswith("epoch=000002-")
+
+
+def test_point_read_conversation(ray_session, tmp_path, log):
+    """read_conversation touches only the owning partition and returns
+    the same rows as a full-scan filter, in turn order."""
+    from wprdc_etl_ray.pipelines.cdc import read_conversation, read_transcripts_arrow
+
+    write_wal(str(tmp_path), log, segment_rows=2000)
+    root = str(tmp_path / "t")
+    run_ingest(str(tmp_path / "wal"), root, CDCConfig(num_partitions=8, salt=2))
+    full = read_transcripts_arrow(root)
+    conv = full.column("conv_id")[0].as_py()
+    got = read_conversation(root, conv)
+    import pyarrow.compute as pc
+
+    want = full.filter(pc.equal(full.column("conv_id"), conv))
+    want = want.sort_by([("turn_idx", "ascending")])
+    assert got.select(want.schema.names).cast(want.schema).equals(want)
+    assert read_conversation(root, "no-such-conv").num_rows == 0
+
+
+def test_partial_tombstone_gc(ray_session, tmp_path, log):
+    """drop_tombstones with min_tombstone_ratio rewrites only partitions
+    holding garbage; reads are unchanged and targeted partitions lose
+    their tombstones."""
+    from wprdc_etl_ray.pipelines.cdc import compact
+
+    write_wal(str(tmp_path), log, segment_rows=2000)
+    root = str(tmp_path / "t")
+    run_ingest(str(tmp_path / "wal"), root, CDCConfig(num_partitions=8))
+    before = load_manifest(root)
+    ratios = sorted(
+        e["tombstones"] / e["rows"] for e in before["partitions"].values() if e["rows"]
+    )
+    thr = (ratios[len(ratios) // 2] + ratios[len(ratios) // 2 - 1]) / 2  # median split
+    dirty = {
+        p for p, e in before["partitions"].items()
+        if e["rows"] and e["tombstones"] / e["rows"] >= thr
+    }
+    assert dirty and len(dirty) < 8, "need a mixed dirty/clean split"
+    res = compact(root, drop_tombstones=True, min_tombstone_ratio=thr)
+    assert res.partitions_updated == len(dirty)
+    after = load_manifest(root)
+    for p in dirty:
+        assert after["partitions"][p]["tombstones"] == 0
+    check_equal(root, log)

@@ -671,21 +671,29 @@ def compact(
     table_root: str,
     drop_tombstones: bool = False,
     to_salt: int | None = None,
+    min_tombstone_ratio: float = 0.0,
 ) -> CommitResult:
-    """Rewrite every partition into one file per salt run at the current
-    epoch — merging accumulated per-epoch runs and (optionally) dropping
-    tombstones.
+    """Rewrite partitions into one file per salt run at the current
+    epoch. (Each incremental epoch already rewrites its TOUCHED salt
+    slots fully merged, so steady-state layout is one file per slot —
+    compaction exists for the table-maintenance moves that ingest never
+    does: re-salting the layout and garbage-collecting tombstones.)
 
-    LSM maintenance for long-lived tables: incremental epochs append
-    runs per partition; compaction folds them. ``drop_tombstones=True``
-    garbage-collects delete markers — ONLY safe once no event with
-    ``ts`` older than the tombstones can still arrive (the operator's
-    late-data horizon); with the default False, compaction never changes
-    read results (tested).
+    ``drop_tombstones=True`` garbage-collects delete markers — ONLY
+    safe once no event with ``ts`` older than the tombstones can still
+    arrive (the operator's late-data horizon); with the default False,
+    compaction never changes read results (tested).
 
     One Ray task per partition (no shuffle — each partition's runs are
     already co-located by construction); the commit is the same atomic
     manifest flip, so a crashed compaction leaves the table untouched.
+
+    ``min_tombstone_ratio`` is the partial-GC policy knob (applies with
+    ``drop_tombstones=True``): only partitions whose tombstone share
+    (tombstones / rows) reaches the ratio are rewritten; the rest carry
+    forward untouched. At 10^10 events most partitions are cold — a
+    full rewrite every GC cycle would be pure write amplification, so
+    target the partitions actually holding garbage.
     """
     manifest = load_manifest(table_root)
     if manifest is None or not manifest["partitions"]:
@@ -699,7 +707,9 @@ def compact(
     cur_salt = int(manifest.get("metrics", {}).get("salt", 1))
     new_salt = cur_salt if to_salt is None else to_salt
     epoch_dir = attempt_epoch_dir(
-        epoch, f"compact|{drop_tombstones}|{new_salt}|{manifest['global_watermark']}"
+        epoch,
+        f"compact|{drop_tombstones}|{new_salt}|{min_tombstone_ratio}"
+        f"|{manifest['global_watermark']}",
     )
 
     @ray.remote
@@ -768,6 +778,18 @@ def compact(
         return out
 
     parts = {int(k): v for k, v in manifest["partitions"].items()}
+    if drop_tombstones and min_tombstone_ratio > 0 and to_salt is None:
+        parts = {
+            p: e
+            for p, e in parts.items()
+            if e.get("rows", 0)
+            and e.get("tombstones", 0) / e["rows"] >= min_tombstone_ratio
+        }
+        if not parts:
+            return CommitResult(
+                epoch=manifest["epoch"], global_watermark=manifest["global_watermark"],
+                events_read=0, partitions_updated=0, manifest=manifest, skipped=True,
+            )
     results = ray.get(
         [compact_part.remote(p, e) for p, e in sorted(parts.items())]
     )
@@ -849,6 +871,33 @@ def read_transcripts(
         return batch.select(want)
 
     return ray.data.read_parquet(files).map_batches(clean, batch_format="pyarrow")
+
+
+def read_conversation(table_root: str, conv_id: str) -> pa.Table:
+    """Point lookup: read ONE conversation touching only the partition
+    that owns it — `hash(conv_id) % B` resolves the partition from the
+    manifest, so a point read costs O(table/B) IO instead of a scan
+    (the datastore-GET analog of the reference's resource reads)."""
+    from ..stages.partition import partition_of
+
+    manifest = load_manifest(table_root)
+    if manifest is None or not manifest["partitions"]:
+        return pa.table({})
+    B = int(manifest["num_partitions"])
+    part = int(partition_of(pa.array([conv_id]), B)[0])
+    entry = manifest["partitions"].get(str(part))
+    if not entry:
+        return pa.table({})
+    target = public_schema(manifest)
+    tables = []
+    for f in entry["files"]:
+        t = pq.read_table(os.path.join(table_root, f["path"]))
+        t = normalize_batch(t, target)
+        tables.append(t.filter(pc.equal(t.column("conv_id"), conv_id)))
+    allt = pa.concat_tables(tables)
+    allt = allt.filter(pc.equal(allt.column("_deleted"), False))
+    allt = allt.drop_columns([c for c in INTERNAL_COLS if c in allt.schema.names])
+    return allt.sort_by([("turn_idx", "ascending")])
 
 
 def read_transcripts_arrow(table_root: str) -> pa.Table:
