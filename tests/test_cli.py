@@ -52,3 +52,16 @@ def test_cli_query_runner(ray_session, capsys):
 
     out = run(capsys, "query", "value_bands", "--sf-dir", "/root/testdata/sf0.001")
     assert json.loads(out.strip().splitlines()[-1])["rows"] == 3
+
+
+def test_cli_point_read(ray_session, tmp_path, capsys):
+    wal_out = str(tmp_path / "w")
+    root = str(tmp_path / "t")
+    out = run(capsys, "gen", wal_out, "--events", "2000", "--segment-rows", "800")
+    wal = json.loads(out.strip().splitlines()[-1])["wal"]
+    run(capsys, "ingest", wal, root, "--partitions", "4")
+    out = run(capsys, "read", root, "--limit", "1")
+    conv = json.loads(out.strip().splitlines()[0])["conv_id"]
+    out = run(capsys, "read", root, "--conv", conv, "--limit", "5")
+    rows = [json.loads(l) for l in out.strip().splitlines()]
+    assert rows and all(r["conv_id"] == conv for r in rows)

@@ -193,6 +193,14 @@ def cmd_show(args):
 
 def cmd_read(args):
     _ray()
+    if args.conv:
+        # point lookup: only the owning partition's files are read
+        from .pipelines.cdc import read_conversation
+
+        t = read_conversation(args.table_root, args.conv)
+        for row in t.to_pylist()[: args.limit]:
+            print(json.dumps(row, default=str))
+        return
     from .pipelines.cdc import read_transcripts
 
     ds = read_transcripts(args.table_root)
@@ -279,6 +287,7 @@ def main(argv=None):
     sp = sub.add_parser("read")
     sp.add_argument("table_root")
     sp.add_argument("--limit", type=int, default=20)
+    sp.add_argument("--conv", default=None, help="point-read one conversation")
     sp.set_defaults(fn=cmd_read)
 
     sp = sub.add_parser("check")
