@@ -573,3 +573,40 @@ def test_feature_hash_embed_end_to_end_near_dups(ray_session):
     got = {(a, b) for a, b in zip(pairs["vec_a"], pairs["vec_b"])}
     assert (0, 1) in got
     assert (0, 2) not in got and (2, 3) not in got
+
+
+@pytest.mark.parametrize("direction", ["forward", "nearest"])
+def test_asof_join_directions(ray_session, direction):
+    from wprdc_etl_ray.functions.relational import asof_join
+
+    rng = np.random.default_rng(7)
+    left = pd.DataFrame(
+        {
+            "id": np.arange(200, dtype="int64"),
+            "k": rng.integers(0, 5, 200),
+            "t": rng.integers(0, 500, 200).astype("int64"),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": rng.integers(0, 5, 40),
+            "t": rng.integers(0, 500, 40).astype("int64"),
+            "v": rng.normal(size=40),
+        }
+    ).drop_duplicates(["k", "t"])
+    out = (
+        asof_join(
+            rd.from_pandas(left, override_num_blocks=3),
+            rd.from_pandas(right, override_num_blocks=2),
+            on="t", by="k", num_buckets=4, direction=direction,
+        )
+        .to_pandas()
+        .sort_values("id", ignore_index=True)
+    )
+    ref = pd.merge_asof(
+        left.sort_values("t", kind="stable"),
+        right.sort_values("t", kind="stable"),
+        on="t", by="k", direction=direction,
+    ).sort_values("id", ignore_index=True)
+    assert out["v"].equals(ref["v"])
+

@@ -238,3 +238,19 @@ def test_topk_per_key_matches_pandas_window(rows, k):
         .sort_values(["key", "val", "uid"], ignore_index=True)
     )
     assert twice.equals(ref)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.text(max_size=30), max_size=8), st.sampled_from([16, 64]))
+def test_feature_hash_matrix_matches_loop(texts, dim):
+    import hashlib
+
+    from wprdc_etl_ray.functions.embed import feature_hash_matrix
+
+    got = feature_hash_matrix(pd.Series(texts, dtype=object), dim=dim)
+    for i, t in enumerate(texts):
+        ref = np.zeros(dim, dtype=np.int64)
+        for w in (t or "").split():
+            h = int.from_bytes(hashlib.md5(w.encode("utf-8")).digest()[:8], "big")
+            ref[h % dim] += 1 if (h >> 63) & 1 else -1
+        assert (got[i] == ref).all(), i

@@ -323,11 +323,14 @@ def asof_join(
     by: str,
     num_buckets: int = 32,
     suffix: str = "_r",
+    direction: str = "backward",
 ) -> ray.data.Dataset:
-    """Backward as-of join: for each left row, the LATEST right row with
-    ``right.on <= left.on`` and the same ``by`` key (exact matches
-    allowed; unmatched left rows keep nulls) — the temporal
-    event-to-dimension join Ray Data has no native operator for.
+    """As-of join: for each left row, the right row with the same ``by``
+    key that is LATEST at-or-before (``direction="backward"``, default),
+    EARLIEST at-or-after (``"forward"``) or closest (``"nearest"``) in
+    ``on``; exact matches allowed; unmatched left rows keep nulls — the
+    temporal event-to-dimension join Ray Data has no native operator
+    for.
 
     Composition (the documented custom-operator pattern): tag the two
     streams, ONE hash shuffle on ``by`` (direct exchange via
@@ -379,7 +382,7 @@ def asof_join(
         if l.empty:
             return None  # exchange skips empty buckets (schema-safe)
         out = pd.merge_asof(
-            l, r, on=on, by=by, direction="backward", allow_exact_matches=True
+            l, r, on=on, by=by, direction=direction, allow_exact_matches=True
         )
         return out
 

@@ -651,8 +651,16 @@ def q_user_value_spread(sf_dir: str):
     def spread(bucket: pd.DataFrame) -> pd.DataFrame:
         xc = np.floor(bucket["value"].to_numpy() * 100 + 0.5).astype("int64")
         b = pd.DataFrame({"user_id": bucket["user_id"], "xc": xc, "x2": xc * xc})
+
+        def p95(v: pd.Series) -> int:
+            # exact discrete percentile: sorted[floor(0.95*(n-1))], the
+            # same zero-based index rule the SQL window mirror uses
+            a = np.sort(v.to_numpy())
+            return int(a[int(np.floor(0.95 * (len(a) - 1)))])
+
         g = b.groupby("user_id", sort=False).agg(
-            n=("xc", "size"), s=("xc", "sum"), s2=("x2", "sum"), med=("xc", "median")
+            n=("xc", "size"), s=("xc", "sum"), s2=("x2", "sum"),
+            med=("xc", "median"), p95_cents=("xc", p95),
         ).reset_index()
         n = g["n"].to_numpy().astype("int64")
         s = g["s"].to_numpy().astype("int64")
@@ -665,6 +673,7 @@ def q_user_value_spread(sf_dir: str):
                 "median_micro": np.floor(g["med"].to_numpy() * 10000 + 0.5).astype(
                     "int64"
                 ),
+                "p95_cents": g["p95_cents"].astype("int64"),
             }
         )
 
@@ -673,13 +682,23 @@ def q_user_value_spread(sf_dir: str):
 
 SQL_USER_VALUE_SPREAD = """
 WITH c AS (
-  SELECT user_id, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS xc FROM events)
-SELECT user_id,
+  SELECT user_id, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS xc FROM events),
+r AS (
+  SELECT user_id, xc,
+         row_number() OVER (PARTITION BY user_id ORDER BY xc) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM c),
+p AS (
+  SELECT user_id, xc AS p95_cents FROM r
+  WHERE rn = 1 + CAST(FLOOR(0.95 * (n - 1)) AS BIGINT))
+SELECT c2.user_id,
        CAST(COUNT(*) AS BIGINT) AS n,
        CAST((COUNT(*) * SUM(xc * xc) - SUM(xc) * SUM(xc))
             // (COUNT(*) * COUNT(*)) AS BIGINT) AS var_cents2,
-       CAST(FLOOR(median(xc) * 10000 + 0.5) AS BIGINT) AS median_micro
-FROM c GROUP BY user_id
+       CAST(FLOOR(median(xc) * 10000 + 0.5) AS BIGINT) AS median_micro,
+       CAST(ANY_VALUE(p.p95_cents) AS BIGINT) AS p95_cents
+FROM c c2 JOIN p ON c2.user_id = p.user_id
+GROUP BY c2.user_id
 """
 
 
