@@ -106,8 +106,8 @@ def test_resumable_write_skips_completed_partitions(ray_session, tmp_path):
     r1 = resumable_write(rd.from_pandas(df, override_num_blocks=3), out, "k")
     assert sorted(r1["written"]) == ["0", "1", "2", "3"] and not r1["skipped"]
 
-    # simulate a partial redo: remove one marker, rerun — only that
-    # partition is rewritten, the rest are skipped
+    # simulate a crashed attempt: marker removed AND a stray partial
+    # file left behind — the rerun must clear it, not append to it
     os.remove(os.path.join(out, "_SUCCESS-2"))
     r2 = resumable_write(rd.from_pandas(df, override_num_blocks=3), out, "k")
     assert r2["written"] == ["2"] and r2["skipped"] == ["0", "1", "3"]
@@ -118,4 +118,5 @@ def test_resumable_write_skips_completed_partitions(ray_session, tmp_path):
     got["k"] = got["k"].astype(str)
     assert set(got["v"][got["k"] == "2"]) == set(df["v"][df["k"] == 2])
     counts = got.groupby("k").size()
-    assert all(counts.loc[str(k)] >= 25 for k in range(4))
+    # unmarked dirs are CLEARED before rewrite: exactly one copy per row
+    assert all(counts.loc[str(k)] == 25 for k in range(4))

@@ -21,6 +21,29 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / np.linalg.norm(m, axis=1, keepdims=True).clip(min=1e-12)
 
 
+def list_col_matrix(col) -> np.ndarray:
+    """Arrow list<float> column -> (n, d) float64 matrix WITHOUT a
+    to_pylist() Python-object copy: flatten the child values buffer and
+    reshape (valid for fixed-length embedding lists; ragged input falls
+    back to a per-row build)."""
+    import pyarrow as pa
+
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if not hasattr(arr, "flatten"):
+        # Ray tensor-extension array (pandas-born block): already (n, d)
+        return np.asarray(arr.to_numpy(), dtype=np.float64)
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(arr)
+    if n == 0:
+        return flat.reshape(0, 0)
+    if len(flat) % n == 0:
+        offs = arr.offsets.to_numpy(zero_copy_only=False)
+        widths = np.diff(offs)
+        if (widths == widths[0]).all():
+            return flat.reshape(n, -1)
+    return np.stack([np.asarray(x, np.float64) for x in arr.to_pylist()])
+
+
 def brute_force_topk(
     ds: ray.data.Dataset,
     query: np.ndarray,
@@ -380,10 +403,7 @@ class IvfIndex:
             tabs = [pq2.read_table(f, columns=[id_col, "embedding"]) for f in files]
             tab = pa2.concat_tables(tabs) if len(tabs) > 1 else tabs[0]
             ids = tab.column(id_col).to_numpy(zero_copy_only=False)
-            mat = np.stack(
-                [np.asarray(x, np.float64) for x in tab.column("embedding").to_pylist()]
-            )
-            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True).clip(min=1e-12)
+            mat = _normalize(list_col_matrix(tab.column("embedding")))
             sims = sub_q @ mat.T  # (q_in_cell, cell_rows)
             take = min(k, sims.shape[1])
             idx = np.argpartition(-sims, take - 1, axis=1)[:, :take]
@@ -513,9 +533,7 @@ def cosine_lsh_near_dups(
         import pyarrow as pa
 
         pl = ray.get(pref)
-        mat = np.stack(
-            [np.asarray(x, np.float64) for x in batch.column("embedding").to_pylist()]
-        )
+        mat = list_col_matrix(batch.column("embedding"))
         bits = (mat @ pl.T) > 0  # (n, n_planes)
         sig = (bits.astype(np.uint64) << shifts[None, :]).sum(axis=1)
         outs = []

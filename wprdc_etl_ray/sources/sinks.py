@@ -56,6 +56,16 @@ def resumable_write(
 
     done = completed_partitions(out_dir)
 
+    # idempotence: a crashed previous attempt may have left PARTIAL
+    # files in unmarked partition dirs; appending to them would
+    # duplicate rows once the partition finally gets its marker. Clear
+    # unmarked dirs first (they are invisible to readers by contract).
+    import shutil as _shutil
+
+    for d in glob.glob(os.path.join(out_dir, "data", "*=*")):
+        if os.path.basename(d).split("=", 1)[1] not in done:
+            _shutil.rmtree(d, ignore_errors=True)
+
     def drop_done(batch: pa.Table) -> pa.Table:
         import numpy as np
         import pyarrow.compute as pc
