@@ -3,6 +3,12 @@ against its oracle_sql() via DuckDB (row count + schema + order-
 insensitive values), the way CORRECTNESS_r{N}.json is produced.
 
 Usage: python scripts/check_queries.py [sf_dir] [query ...]
+
+Note: a few oracles are bound to sf0.01 BY CONSTRUCTION (the scale the
+driver compares at): cdc_* embed the sf0.01 WAL path, ivf_* /
+cosine_lsh_pairs / dedup_clusters inline centroids/planes derived from
+the sf0.01 tables. Running those at another sf mismatches by design;
+every other query is sf-agnostic (aggregates verified at sf0.1 too).
 """
 
 from __future__ import annotations

@@ -610,3 +610,33 @@ def test_asof_join_directions(ray_session, direction):
     ).sort_values("id", ignore_index=True)
     assert out["v"].equals(ref["v"])
 
+
+
+def test_direct_exchange_equals_sort_path_random(ray_session):
+    """The warm-pool direct hash exchange and Ray's sort-based groupby
+    must agree with a pandas reference on random keyed data (several
+    cardinalities incl. nulls in the key)."""
+    from wprdc_etl_ray.functions.relational import bucketed_group_map
+
+    rng = np.random.default_rng(31)
+    for card, n in ((3, 200), (97, 1000), (997, 1500)):
+        k = rng.integers(0, card, n).astype("float64")
+        k[rng.random(n) < 0.02] = np.nan  # null keys co-locate too
+        df = pd.DataFrame({"k": k, "v": rng.integers(0, 1000, n).astype("int64")})
+        ds = rd.from_pandas(df, override_num_blocks=4)
+
+        def agg(bucket: pd.DataFrame) -> pd.DataFrame:
+            return bucket.groupby("k", sort=False, dropna=False)["v"].sum().reset_index()
+
+        for exchange in ("direct", "sort"):
+            out = (
+                bucketed_group_map(ds, ["k"], agg, num_buckets=8, exchange=exchange)
+                .to_pandas()
+                .sort_values("k", ignore_index=True, na_position="last")
+            )
+            ref = (
+                df.groupby("k", dropna=False)["v"].sum().reset_index()
+                .sort_values("k", ignore_index=True, na_position="last")
+            )
+            assert len(out) == len(ref), (card, exchange)
+            assert out["v"].equals(ref["v"]), (card, exchange)
