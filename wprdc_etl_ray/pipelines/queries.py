@@ -890,6 +890,49 @@ FROM documents d LEFT JOIN stats s ON d.doc_id = s.doc_id
 """
 
 
+def q_lang_source_stats(sf_dir: str):
+    """Text stats grouped by document METADATA (lang × source): doc
+    counts + exact integer token sums/means — the text kernels composed
+    with the relational layer over the catalog columns."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang", "source", "text"])
+
+    def tokens(t: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(pc.fill_null(t.column("text"), ""))
+        toks = pc.split_pattern_regex(trimmed, r"\s+")
+        n = pc.list_value_length(toks).cast(pa.int64())
+        empty = pc.equal(trimmed, "")
+        n = pc.if_else(empty, pa.scalar(0, pa.int64()), n)
+        return pa.table(
+            {"lang": t.column("lang"), "source": t.column("source"), "n_tokens": n}
+        )
+
+    out = grouped_agg(
+        ds.map_batches(tokens, batch_format="pyarrow"),
+        ["lang", "source"],
+        [("", "count", "n_docs"), ("n_tokens", "sum", "sum_tokens")],
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = _as_int64(["n_docs", "sum_tokens"])(t)
+        return _avg_micro(t, "avg_tokens_micro", "sum_tokens", "n_docs")
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_LANG_SOURCE_STATS = r"""
+WITH t AS (
+  SELECT lang, source,
+         CASE WHEN trim(coalesce(text,'')) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+  FROM documents)
+SELECT lang, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       CAST(SUM(n_tokens) AS BIGINT) * 10000 // COUNT(*) AS avg_tokens_micro
+FROM t GROUP BY lang, source
+"""
+
+
 def q_corpus_freq(sf_dir: str):
     """Two-pass global-statistic scoring (corpus token frequency)."""
     from ..functions.text import corpus_freq_score
@@ -1449,6 +1492,7 @@ def queries():
         "event_windows_sliding": q_event_windows_sliding,
         "quality_score": q_quality,
         "corpus_freq": q_corpus_freq,
+        "lang_source_stats": q_lang_source_stats,
         "embed_stats": q_embed_stats,
         "multimodal_features": q_multimodal_features,
         "multimodal_pipeline": q_multimodal_pipeline,
@@ -1495,6 +1539,7 @@ def oracle_sql():
         "event_windows_sliding": SQL_EVENT_WINDOWS_SLIDING,
         "quality_score": SQL_QUALITY,
         "corpus_freq": SQL_CORPUS_FREQ,
+        "lang_source_stats": SQL_LANG_SOURCE_STATS,
         "embed_stats": SQL_EMBED_STATS,
         "multimodal_features": SQL_MULTIMODAL,
         "multimodal_pipeline": SQL_MULTIMODAL_PIPELINE,
