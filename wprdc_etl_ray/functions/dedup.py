@@ -4,14 +4,18 @@ embedding-cosine near-dup.
 
 Scale shapes (the part that matters at 100 TB):
 - exact: hash-partition on a content hash, keep-first per group — only
-  the 8-byte hash + id shuffles when ``payload=False``;
+  the 8-byte hash + id shuffles when ``payload=False`` (default; the
+  text payload re-shuffles for REPEATED hashes only);
 - MinHash/LSH: shingle → minhash signature per batch (vectorized),
-  explode to (band, band_hash) rows, ``groupby`` the bands, emit
-  candidate pairs per bucket — classic banded LSH where the shuffle
-  carries band keys, not documents;
-- SimHash: 64-bit signature per doc, bucket by bit-prefix;
+  explode to (band, band_hash) rows, bucket the bands, emit candidate
+  pairs per bucket — classic banded LSH where the shuffle carries band
+  keys, not documents; ``minhash_near_dups`` verifies candidates with a
+  distributed exact-Jaccard stage;
+- SimHash: 64-bit signature per doc; ``simhash_near_dups`` buckets by
+  8-bit bands — pigeonhole-EXACT for Hamming ≤ bands-1 — and verifies
+  the true distance in-bucket (xor + popcount LUT);
 - verification: n-gram Jaccard on candidate PAIRS only (never all
-  pairs).
+  pairs), co-located by one pair_id shuffle.
 """
 
 from __future__ import annotations
