@@ -640,3 +640,18 @@ def test_direct_exchange_equals_sort_path_random(ray_session):
             )
             assert len(out) == len(ref), (card, exchange)
             assert out["v"].equals(ref["v"]), (card, exchange)
+
+
+def test_streaming_dedup_across_datasets(ray_session):
+    from wprdc_etl_ray.functions.dedup import StreamingDeduper
+
+    d = StreamingDeduper(num_actors=3)
+    try:
+        a = d.apply(docs_ds(["x", "y", "x", "z"])).to_pandas()
+        assert sorted(a["text"]) == ["x", "y", "z"]
+        # a LATER dataset: previously-seen texts are dropped too
+        b = d.apply(docs_ds(["x", "w", "z", "w"], start_id=100)).to_pandas()
+        assert sorted(b["text"]) == ["w"]
+        assert d.unique_count() == 4
+    finally:
+        d.shutdown()

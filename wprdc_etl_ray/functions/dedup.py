@@ -633,3 +633,74 @@ def embedding_near_dups(
     return blocked_near_dup_pairs(
         ds, threshold=threshold, id_col=id_col, n_blocks=n_blocks
     )
+
+
+# --- streaming exact dedup ----------------------------------------------------
+
+
+@ray.remote
+class DedupStateActor:
+    """Shard of the global seen-hash set for STREAMING dedup (one actor
+    owns hashes with ``h % num_actors == aid``). State is O(unique
+    hashes · 8 B) sharded across the pool — the standard streaming-dedup
+    memory shape; at 10^11+ uniques plug a spillable store (RocksDB)
+    behind the same two methods."""
+
+    def __init__(self):
+        self.seen: set[int] = set()
+
+    def first_seen(self, hashes: np.ndarray) -> np.ndarray:
+        """Mark hashes seen; return the boolean mask of FIRST sightings
+        (duplicates within one call keep only their first position)."""
+        out = np.zeros(len(hashes), dtype=bool)
+        seen = self.seen
+        for i, h in enumerate(hashes.tolist()):
+            if h not in seen:
+                seen.add(h)
+                out[i] = True
+        return out
+
+    def size(self) -> int:
+        return len(self.seen)
+
+
+class StreamingDeduper:
+    """Streaming exact dedup over a (possibly unbounded) sequence of
+    Datasets: rows whose content hash was already seen — in ANY earlier
+    batch or dataset — are dropped; first sightings pass through.
+
+    Which duplicate of a text survives depends on arrival order (inherent
+    to streaming); the SET of surviving texts is exact and deterministic.
+    Use batch ``exact_dedup`` when a deterministic representative (min
+    id) is required."""
+
+    def __init__(self, text_col: str = "text", num_actors: int = 8):
+        self.text_col = text_col
+        self.actors = [DedupStateActor.remote() for _ in range(num_actors)]
+
+    def apply(self, ds: ray.data.Dataset) -> ray.data.Dataset:
+        actors, A, text_col = self.actors, len(self.actors), self.text_col
+
+        def fn(batch: pa.Table) -> pa.Table:
+            h = hash_strings(batch.column(text_col)).astype(np.int64)
+            owner = (h.astype(np.uint64) % np.uint64(A)).astype(np.int64)
+            keep = np.zeros(len(h), dtype=bool)
+            refs, slots = [], []
+            for a in range(A):
+                idx = np.flatnonzero(owner == a)
+                if len(idx):
+                    refs.append(actors[a].first_seen.remote(h[idx]))
+                    slots.append(idx)
+            for idx, r in zip(slots, ray.get(refs)):
+                keep[idx] = r
+            return batch.filter(pa.array(keep))
+
+        return ds.map_batches(fn, batch_format="pyarrow")
+
+    def unique_count(self) -> int:
+        return sum(ray.get([a.size.remote() for a in self.actors]))
+
+    def shutdown(self):
+        for a in self.actors:
+            ray.kill(a)
+        self.actors = []
