@@ -57,10 +57,15 @@ def codepoints_flat(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
 
 def md5_word_hashes(words: np.ndarray) -> np.ndarray:
     """uint64 md5-prefix hash per token (see module docstring). md5 runs
-    once per UNIQUE token; the per-token path is a numpy gather."""
+    once per UNIQUE token; the per-token path is a numpy gather.
+
+    Deduplication uses ``np.unique`` (true Python string comparison) —
+    NOT ``pd.factorize``, whose C string hashtable NUL-truncates keys
+    and would collide tokens differing only past an embedded NUL
+    (caught by the hypothesis property test)."""
     if len(words) == 0:
         return np.array([], dtype=np.uint64)
-    codes, vocab = pd.factorize(words)
+    vocab, codes = np.unique(words, return_inverse=True)
     vh = np.fromiter(
         (
             int.from_bytes(hashlib.md5(str(w).encode("utf-8")).digest()[:8], "big")

@@ -196,7 +196,8 @@ def corpus_freq_score(ds: ray.data.Dataset) -> ray.data.Dataset:
         fr = _ray.get(ref)
         flat, lens = split_flat(batch["text"])
         if len(flat):
-            codes, vocab = pd.factorize(flat)
+            # np.unique, not pd.factorize: the latter NUL-truncates keys
+            vocab, codes = np.unique(flat, return_inverse=True)
             vf = np.fromiter((fr.get(w, 0) for w in vocab), dtype=np.int64, count=len(vocab))
             per_doc = segment_sums(vf[codes], lens)
         else:
