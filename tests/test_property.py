@@ -254,3 +254,36 @@ def test_feature_hash_matrix_matches_loop(texts, dim):
             h = int.from_bytes(hashlib.md5(w.encode("utf-8")).digest()[:8], "big")
             ref[h % dim] += 1 if (h >> 63) & 1 else -1
         assert (got[i] == ref).all(), i
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=122), max_size=40), max_size=6))
+def test_minhash_signatures_match_loop(texts):
+    """The flat-array shingle/boundary arithmetic in MinHasher equals a
+    per-document Python reference (short-doc fallback included)."""
+    from wprdc_etl_ray.functions.dedup import MinHasher
+
+    mh = MinHasher(num_perm=8)
+    got = mh(
+        pd.DataFrame(
+            {"doc_id": pd.Series(range(len(texts)), dtype="int64"),
+             "text": pd.Series(texts, dtype=object)}
+        )
+    )
+
+    M = np.uint64
+    for i, t in enumerate(texts):
+        words = np.asarray((t or "").split(), dtype=object)
+        if len(words):
+            wh = pd.util.hash_array(words).astype(np.uint64)
+        else:
+            wh = np.array([], dtype=np.uint64)
+        if len(wh) >= 3:
+            sh = wh[:-2] * mh._C1 + wh[1:-1] * mh._C2 + wh[2:] * mh._C3
+        else:
+            sh = np.array([np.add.reduce(wh, dtype=np.uint64) if len(wh) else M(0)],
+                          dtype=np.uint64)
+        ref = np.minimum.reduce(
+            mh.a[:, None] * sh[None, :] + mh.b[:, None], axis=1
+        ).astype(np.int64)
+        assert list(got["sig"][i]) == list(ref), (i, t)

@@ -175,6 +175,8 @@ class MinHasher:
 
     def _shingles_flat(self, texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
         """All docs' shingle hashes concatenated + per-doc counts."""
+        if len(texts) == 0:  # empty batch: dtype may not be string-like
+            return np.array([], dtype=np.uint64), np.array([], dtype=np.int64)
         words_per_doc = texts.fillna("").str.split()
         lens = words_per_doc.map(len).to_numpy(dtype=np.int64)
         flat = np.concatenate(
@@ -217,6 +219,10 @@ class MinHasher:
         return sh, m
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return pd.DataFrame(
+                {"doc_id": pd.Series([], dtype="int64"), "sig": pd.Series([], dtype=object)}
+            )
         sh, m = self._shingles_flat(batch["text"])
         # one outer product for the whole batch, then per-doc min
         v = self.a[:, None] * sh[None, :] + self.b[:, None]  # (P, S) mod 2^64

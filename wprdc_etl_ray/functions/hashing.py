@@ -36,6 +36,8 @@ def split_flat(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
 
     Same semantics as ``str.split()`` / DuckDB
     ``regexp_split_to_array(trim(text), '\\s+')`` with empty → 0 words."""
+    if len(texts) == 0:  # empty batch: dtype may not be string-like
+        return np.array([], dtype=object), np.array([], dtype=np.int64)
     words_per_doc = texts.fillna("").str.split()
     lens = words_per_doc.map(len).to_numpy(dtype=np.int64)
     flat = np.concatenate(
