@@ -7,9 +7,10 @@ SQL on DuckDB (the driver's oracle side). Two primitives satisfy that:
 
 - **md5 word hash** — uint64 = big-endian first 8 bytes of
   ``md5(utf8(word))``. SQL: ``('0x' || substr(md5(w), 1, 16))::UBIGINT``.
-  numpy side hashes each UNIQUE token once (``pd.factorize`` first —
-  vocabulary is Zipf-small relative to the token stream) and scatters
-  through the codes; there is no per-row/per-doc Python loop.
+  numpy side hashes each UNIQUE token once (``np.unique`` first —
+  vocabulary is Zipf-small relative to the token stream; NOT
+  ``pd.factorize``, which NUL-truncates keys) and scatters through the
+  codes; there is no per-row/per-doc Python loop.
 - **Horner polynomial hash mod 2^64** with base B=1099511628211 —
   ``acc = (acc*B + x) mod 2^64``. SQL: ``list_reduce`` over HUGEINTs.
   numpy side evaluates ALL segments (documents / sliding windows) of a

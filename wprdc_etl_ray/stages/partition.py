@@ -27,7 +27,14 @@ def hash_strings(arr: pa.ChunkedArray | pa.Array | np.ndarray) -> np.ndarray:
     For Arrow input the column is dictionary-encoded first and only the
     DISTINCT values are SipHashed, then scattered back through the
     indices — conversation ids repeat ~turns-per-conv times, so this
-    cuts the per-row object-hash cost by that factor."""
+    cuts the per-row object-hash cost by that factor.
+
+    Caveat (audited): pandas' C siphash NUL-truncates, so strings
+    differing only past an embedded NUL collide. Every use of this hash
+    is collision-TOLERANT — partitioning/bucketing only co-locates more
+    rows, and exact_dedup re-verifies colliding hashes on the actual
+    text — so correctness is unaffected; kernels that need NUL-faithful
+    hashing use functions/hashing.py::md5_word_hashes instead."""
     import pyarrow.compute as pc
 
     if isinstance(arr, (pa.ChunkedArray, pa.Array)):
