@@ -86,12 +86,18 @@ class CDCConfig:
     salt: int = 1  # >1 splits hot conversations across sub-groups (X4)
     batch_size: int = 262144
     # shuffle implementation for the ONE exchange:
+    #   "auto"   — pick by planned epoch size (parquet metadata, free):
+    #     "sort" below ~8M events (lower fixed cost), "direct" above
+    #     (measured round 2 on this host: 24M events sort 16.9 s vs
+    #     direct 11.4 s with the warm actor pool; 6M: sort 2.5 s vs
+    #     direct 3.1 s — the crossover is the per-batch routing RPCs).
     #   "direct" — decode tasks route per-group Arrow slices straight to
-    #     zero-CPU exchange actors (hash exchange; no global sort). 5-10x
-    #     faster than "sort" here: Ray's groupby is a full range SORT and
-    #     the merge only needs co-location, not order.
-    #   "sort"  — ray.data groupby().map_groups (simplest, most general).
-    exchange: str = "direct"
+    #     zero-CPU exchange actors (hash exchange; no global sort); the
+    #     actor pool is warm per session.
+    #   "sort"   — ray.data groupby().map_groups (simplest, most general).
+    # Both produce byte-identical tables (tested).
+    exchange: str = "auto"
+    auto_exchange_threshold: int = 8_000_000
     # zero-CPU receiver actors; 32 works across 4..32-CPU nodes (more
     # actors than CPUs just means smaller finalize slices; fewer makes
     # finalize chunks too big to overlap)
@@ -310,53 +316,65 @@ class _MergeWrite:
 class _ExchangeActor:
     """Zero-CPU receiving end of the direct hash exchange.
 
-    Each actor owns a contiguous range of (part, salt) groups. During
+    Each actor owns a strided set of (part, salt) groups. During
     routing it only appends zero-copy Arrow slices (num_cpus=0 so the
     decode tasks keep every CPU); ``finalize`` then does the per-group
     merge+write via the same ``_MergeWrite`` as the sort path — output
     files are byte-identical between exchanges (the arg-max merge is
-    input-order-independent)."""
+    input-order-independent).
 
-    def __init__(self, writer: "_MergeWrite", salt: int, compact_rows: int = 4_000_000):
-        self.writer = writer
-        self.salt = salt
-        self.frags: list[pa.Table] = []
-        self.buffered_rows = 0
-        # combiner: when the buffer exceeds this, pre-merge to winners
-        # only — bounds actor memory to O(live keys per actor) instead
-        # of O(epoch events per actor) on huge epochs
-        self.compact_rows = compact_rows
-        # per-gid routed-event counts, accumulated BEFORE compaction so
-        # events_applied / lineage metrics count every routed event even
-        # when _maybe_compact collapses the buffer to winners-only
-        self.raw_counts: dict[int, int] = {}
+    Actors live in a WARM per-session pool (``_cdc_exchange_pool``) and
+    are reused across epochs/tables — spawning 32 processes per ingest
+    cost 2-3 s, which dominated small epochs. Per-RUN state is keyed by
+    a unique ``tag`` (configured via ``begin``)."""
 
-    def _count_gids(self, gid) -> None:
+    def __init__(self):
+        self.runs: dict[str, dict] = {}
+
+    def begin(self, tag: str, writer: "_MergeWrite", salt: int, compact_rows: int) -> bool:
+        self.runs[tag] = {
+            "writer": writer,
+            "salt": salt,
+            "compact_rows": compact_rows,
+            "frags": [],
+            "buffered_rows": 0,
+            # per-gid routed-event counts, accumulated BEFORE compaction
+            # so events_applied / lineage count every routed event even
+            # when the combiner collapses the buffer to winners-only
+            "raw_counts": {},
+        }
+        return True
+
+    @staticmethod
+    def _count_gids(st: dict, gid) -> None:
         import numpy as np
 
         vals, counts = np.unique(gid, return_counts=True)
+        rc = st["raw_counts"]
         for g, c in zip(vals.tolist(), counts.tolist()):
-            self.raw_counts[int(g)] = self.raw_counts.get(int(g), 0) + int(c)
+            rc[int(g)] = rc.get(int(g), 0) + int(c)
 
-    def _maybe_compact(self):
-        if self.buffered_rows < self.compact_rows or not self.frags:
+    @staticmethod
+    def _maybe_compact(st: dict):
+        if st["buffered_rows"] < st["compact_rows"] or not st["frags"]:
             return
         import numpy as np
 
-        allt = pa.concat_tables(self.frags, promote_options="permissive")
+        allt = pa.concat_tables(st["frags"], promote_options="permissive")
         gid = allt.column("_gid").to_numpy(zero_copy_only=False).astype(np.int64)
         winners, _ = winner_indices(allt, outer=gid)
-        self.frags = [allt.take(pa.array(np.sort(winners)))]
-        self.buffered_rows = self.frags[0].num_rows
+        st["frags"] = [allt.take(pa.array(np.sort(winners)))]
+        st["buffered_rows"] = st["frags"][0].num_rows
 
-    def apply(self, t: pa.Table) -> int:
-        self.frags.append(t)
-        self.buffered_rows += t.num_rows
-        self._count_gids(t.column("_gid").to_numpy(zero_copy_only=False))
-        self._maybe_compact()
+    def apply(self, tag: str, t: pa.Table) -> int:
+        st = self.runs[tag]
+        st["frags"].append(t)
+        st["buffered_rows"] += t.num_rows
+        self._count_gids(st, t.column("_gid").to_numpy(zero_copy_only=False))
+        self._maybe_compact(st)
         return t.num_rows
 
-    def apply_shared(self, t: pa.Table, aid: int, num_actors: int) -> int:
+    def apply_shared(self, tag: str, t: pa.Table, aid: int, num_actors: int) -> int:
         """Shared-object routing: the WHOLE decoded batch is put in the
         object store once; every actor zero-copy-reads it and takes only
         its own groups (gid % num_actors == aid). Saves the map-side
@@ -364,39 +382,41 @@ class _ExchangeActor:
         is copied exactly twice total (actor take + parquet encode)."""
         import numpy as np
 
+        st = self.runs[tag]
         gid = t.column("_gid").to_numpy(zero_copy_only=False)
         idx = np.flatnonzero(gid % num_actors == aid)
         if len(idx) == 0:
             return 0
         mine = t.take(pa.array(idx))
-        self.frags.append(mine)
-        self.buffered_rows += len(idx)
-        self._count_gids(gid[idx])
-        self._maybe_compact()
+        st["frags"].append(mine)
+        st["buffered_rows"] += len(idx)
+        self._count_gids(st, gid[idx])
+        self._maybe_compact(st)
         return len(idx)
 
-    def finalize(self) -> list[dict]:
+    def finalize(self, tag: str) -> list[dict]:
         import numpy as np
 
-        if not self.frags:
+        st = self.runs.pop(tag)
+        if not st["frags"]:
             return []
-        allt = pa.concat_tables(self.frags, promote_options="permissive")
-        self.frags = []
-        self.buffered_rows = 0
+        allt = pa.concat_tables(st["frags"], promote_options="permissive")
         gid = allt.column("_gid").to_numpy(zero_copy_only=False).astype(np.int64)
         # ONE narrow lexsort dedups every owned group at once; the wide
         # payload is then touched once per group (winner rows only).
         winners, wgid = winner_indices(allt, outer=gid)
-        raw_counts = self.raw_counts  # accumulated pre-compaction
+        raw_counts = st["raw_counts"]  # accumulated pre-compaction
         allt = allt.drop_columns(["_gid"])
         bounds = np.flatnonzero(np.r_[True, wgid[1:] != wgid[:-1]])
         out = []
+        salt = st["salt"]
+        writer = st["writer"]
         for i, b in enumerate(bounds):
             end = bounds[i + 1] if i + 1 < len(bounds) else len(wgid)
             g = int(wgid[b])
-            part, salt_val = g // self.salt, g % self.salt
+            part, salt_val = g // salt, g % salt
             group = allt.take(pa.array(winners[b:end]))
-            stat = self.writer.merge_and_write(
+            stat = writer.merge_and_write(
                 part,
                 salt_val,
                 group,
@@ -405,6 +425,27 @@ class _ExchangeActor:
             )
             out.append({c: stat.column(c)[0].as_py() for c in stat.schema.names})
         return out
+
+    def ping(self) -> bool:
+        return True
+
+
+_CDC_POOL: list = []
+_CDC_TAG = [0]
+
+
+def _cdc_exchange_pool(n: int) -> list:
+    """Warm pool of exchange actors for this Ray session; revived if the
+    session restarted."""
+    global _CDC_POOL
+    if _CDC_POOL:
+        try:
+            ray.get(_CDC_POOL[0].ping.remote())
+        except Exception:
+            _CDC_POOL = []
+    while len(_CDC_POOL) < n:
+        _CDC_POOL.append(_ExchangeActor.remote())
+    return _CDC_POOL[:n]
 
 
 def _direct_exchange(
@@ -431,11 +472,11 @@ def _direct_exchange(
     n_groups = B * S
     if num_actors is None:
         num_actors = max(2, int(ray.cluster_resources().get("CPU", 8)))
-    actors = [
-        _ExchangeActor.remote(writer, S, compact_rows)
-        for _ in range(min(num_actors, n_groups))
-    ]
+    actors = _cdc_exchange_pool(min(num_actors, n_groups))
     A = len(actors)
+    _CDC_TAG[0] += 1
+    tag = f"cdc{_CDC_TAG[0]}"
+    ray.get([a.begin.remote(tag, writer, S, compact_rows) for a in actors])
 
     def route(batch: pa.Table) -> pa.Table:
         part = batch.column("part").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -451,17 +492,13 @@ def _direct_exchange(
         # (gid % A interleaving spreads a hot partition's salt groups
         # over different actors)
         bref = ray.put(batch)
-        refs = [a.apply_shared.remote(bref, i, A) for i, a in enumerate(actors)]
+        refs = [a.apply_shared.remote(tag, bref, i, A) for i, a in enumerate(actors)]
         applied = sum(ray.get(refs))
         return pa.table({"applied": pa.array([applied], pa.int64())})
 
     routed = ds.map_batches(route, batch_format="pyarrow")
     routed.take_all()  # drives the routing to completion (counts only)
-    try:
-        nested = ray.get([a.finalize.remote() for a in actors])
-    finally:
-        for a in actors:
-            ray.kill(a)
+    nested = ray.get([a.finalize.remote(tag) for a in actors])
     return [r for rows in nested for r in rows]
 
 
@@ -577,11 +614,17 @@ def run_ingest(
         target_schema=snapshot_target,
     )
 
-    if cfg.exchange == "direct":
+    exchange = cfg.exchange
+    if exchange == "auto":
+        # planned epoch size from parquet footers only (no data read)
+        planned_rows = sum(pq.ParquetFile(p).metadata.num_rows for p in chosen)
+        exchange = "direct" if planned_rows >= cfg.auto_exchange_threshold else "sort"
+
+    if exchange == "direct":
         stats = _direct_exchange(
             ds, writer, B, S, cfg.num_exchange_actors, cfg.exchange_compact_rows
         )
-    elif cfg.exchange == "sort":
+    elif exchange == "sort":
 
         def merge_write(group: pa.Table) -> pa.Table:
             return writer(group)
@@ -592,7 +635,7 @@ def run_ingest(
         )
         stats = stats_ds.take_all()  # ≤ B×S tiny rows on the driver
     else:
-        raise InvalidConfigError(f"unknown exchange {cfg.exchange!r}")
+        raise InvalidConfigError(f"unknown exchange {exchange!r}")
 
     # assemble per-partition entries: rewritten salt runs from this
     # epoch + carried-forward runs for salt slots with no new events
