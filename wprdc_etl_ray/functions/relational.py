@@ -135,13 +135,27 @@ def _column_hash(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     bool) — vectorized, no pandas conversion. Null keys hash as a fill
     value (all nulls co-locate — required for group correctness; they
     merely share a bucket with the fill value's hash)."""
+    if pa.types.is_null(col.type):
+        # an ALL-null block arrives untyped (e.g. a pandas NaN slice):
+        # hash as the numeric fill value so it co-locates with nulls in
+        # typed numeric blocks (string keys that are entirely null per
+        # block are not supported as grouping keys)
+        v = np.zeros(len(col), dtype=np.uint64)
+        return (v + np.uint64(0x9E3779B97F4A7C15)) * np.uint64(0xBF58476D1CE4E5B9)
     if col.null_count:
         col = col.fill_null("" if pa.types.is_string(col.type) else 0)
     t = col.type
     if pa.types.is_string(t) or pa.types.is_large_string(t):
         return hash_strings(col)
     if pa.types.is_floating(t):
-        v = col.cast(pa.float64()).to_numpy(zero_copy_only=False).view(np.uint64)
+        f = col.cast(pa.float64()).to_numpy(zero_copy_only=False)
+        # canonicalize before bit-viewing: -0.0 == 0.0 under groupby but
+        # has different bits (collapse via +0.0), and every NaN payload
+        # must land in one bucket (rewrite to the canonical np.nan)
+        f = f + 0.0
+        if np.isnan(f).any():
+            f = np.where(np.isnan(f), np.float64("nan"), f)
+        v = f.view(np.uint64)
     elif pa.types.is_timestamp(t):
         v = col.cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.uint64)
     else:
@@ -175,53 +189,185 @@ class _HashExchangeActor:
     CDC exchange pattern (pipelines/cdc.py::_ExchangeActor) generalized
     to arbitrary keyed group-maps: upstream tasks ``ray.put`` each
     bucketed Arrow batch ONCE; every actor zero-copy-reads it and takes
-    only its own buckets (``_bucket % A == aid``); ``finalize`` runs the
-    per-bucket pandas kernel. Replaces Ray's sort-based ``groupby`` for
-    co-location-only shuffles — no global sort, one data movement.
+    only its own buckets (``_bucket % A == aid``). Replaces Ray's
+    sort-based ``groupby`` for co-location-only shuffles — no global
+    sort, one data movement.
+
+    Receiver memory is BOUNDED three ways (the CDC exchange's combiner
+    idea generalized):
+
+    - buffers are kept PER BUCKET (``_bucket`` stripped at arrival);
+    - an optional ``pre_reduce`` combiner (a pandas kernel with the
+      same in/out schema, idempotent under re-application — e.g. local
+      top-k / arg-max / drop_duplicates) compacts any bucket whose
+      buffer exceeds ``compact_rows``, keeping reducible exchanges at
+      O(result) memory;
+    - non-reducible buckets SPILL to node-local parquet once the
+      actor's total buffered rows exceed ``spill_rows`` — actor heap
+      stays O(spill_rows · row width); finalize re-reads one bucket at
+      a time, so peak memory during finalize is O(largest bucket), not
+      O(actor share).
+
+    ``finalize`` is a STREAMING GENERATOR: it yields one output table
+    per bucket (owned by the caller — generator yields are task
+    returns), never concatenating the whole share or converting it to
+    pandas in one shot.
 
     Actors live in a WARM session pool (``_exchange_pool``) and are
     reused across calls — process spawn cost is paid once per Ray
     session, not once per operator invocation. Per-call state is keyed
-    by a unique ``tag`` so overlapping exchanges cannot mix buffers."""
+    by a unique ``tag`` (``begin``/``abort`` bracket a run, so a failed
+    run cannot pin its buffers in the session-lifetime actors)."""
 
     def __init__(self):
-        self.frags: dict[str, list[pa.Table]] = {}
-        self.out_rows: dict[str, int] = {}
+        self.runs: dict[str, dict] = {}
+        # session-lifetime counters (observability: tests + memory audits)
+        self.n_spills = 0
+        self.n_compactions = 0
+
+    def lifetime_stats(self) -> dict:
+        return {"spills": self.n_spills, "compactions": self.n_compactions}
+
+    def begin(
+        self,
+        tag: str,
+        pre_reduce=None,
+        compact_rows: int = 500_000,
+        spill_rows: int = 4_000_000,
+    ) -> bool:
+        self.runs[tag] = {
+            "buckets": {},  # bucket_id -> list[pa.Table] (no _bucket col)
+            "rows": {},  # bucket_id -> in-memory buffered rows
+            "spills": {},  # bucket_id -> list[parquet path]
+            "total": 0,
+            "pre_reduce": pre_reduce,
+            "compact_rows": compact_rows,
+            "spill_rows": spill_rows,
+            "spill_dir": None,
+            "seq": 0,
+        }
+        return True
+
+    def _compact_bucket(self, st: dict, bid: int) -> None:
+        allt = pa.concat_tables(st["buckets"][bid], promote_options="permissive")
+        out = st["pre_reduce"](allt.to_pandas())
+        t = pa.Table.from_pandas(out, preserve_index=False)
+        st["total"] -= st["rows"][bid] - t.num_rows
+        st["buckets"][bid] = [t]
+        st["rows"][bid] = t.num_rows
+        self.n_compactions += 1
+
+    def _spill_bucket(self, tag: str, st: dict, bid: int) -> None:
+        import os
+        import tempfile
+
+        import pyarrow.parquet as pq
+
+        if st["spill_dir"] is None:
+            st["spill_dir"] = tempfile.mkdtemp(prefix=f"xchg-{tag}-")
+        st["seq"] += 1
+        path = os.path.join(st["spill_dir"], f"b{bid}-{st['seq']}.parquet")
+        allt = pa.concat_tables(st["buckets"][bid], promote_options="permissive")
+        pq.write_table(allt, path)
+        st["spills"].setdefault(bid, []).append(path)
+        st["total"] -= st["rows"][bid]
+        st["buckets"][bid] = []
+        st["rows"][bid] = 0
+        self.n_spills += 1
+
+    def _maybe_bound(self, tag: str, st: dict) -> None:
+        if st["pre_reduce"] is not None:
+            for bid, n in st["rows"].items():
+                if n >= st["compact_rows"] and len(st["buckets"][bid]) > 1:
+                    self._compact_bucket(st, bid)
+        while st["total"] >= st["spill_rows"]:
+            bid = max(st["rows"], key=st["rows"].get)
+            if st["rows"][bid] == 0:
+                break
+            self._spill_bucket(tag, st, bid)
 
     def apply_shared(self, tag: str, t: pa.Table, aid: int, num_actors: int) -> int:
+        st = self.runs[tag]
         b = t.column("_bucket").to_numpy(zero_copy_only=False)
         idx = np.flatnonzero(b % num_actors == aid)
-        if len(idx):
-            self.frags.setdefault(tag, []).append(t.take(pa.array(idx)))
+        if len(idx) == 0:
+            return 0
+        mine = t.take(pa.array(idx))
+        mb = b[idx]
+        order = np.argsort(mb, kind="stable")
+        mine = mine.take(pa.array(order)).drop_columns(["_bucket"])
+        # drop schema metadata: pandas-extension entries don't survive
+        # worker boundaries (and unhashable metadata defeats Ray's
+        # schema dedup — the "Failed to hash the schemas" noise)
+        mine = mine.replace_schema_metadata(None)
+        mbs = mb[order]
+        bounds = np.flatnonzero(np.r_[True, mbs[1:] != mbs[:-1]])
+        for i, s in enumerate(bounds):
+            e = bounds[i + 1] if i + 1 < len(bounds) else len(mbs)
+            bid = int(mbs[s])
+            st["buckets"].setdefault(bid, []).append(mine.slice(s, e - s))
+            st["rows"][bid] = st["rows"].get(bid, 0) + int(e - s)
+        st["total"] += int(len(idx))
+        self._maybe_bound(tag, st)
         return int(len(idx))
 
     def finalize(self, tag: str, fn):
-        """Returns the concatenated per-bucket outputs as ONE pa.Table.
-        Returned as the task's return VALUE (owned by the caller, so it
-        outlives the actor); per-call buffers are dropped either way."""
-        frags = self.frags.pop(tag, [])
-        if not frags:
-            self.out_rows[tag] = 0
-            return None
-        allt = pa.concat_tables(frags, promote_options="permissive")
-        df = allt.to_pandas()
-        outs = []
-        for _, grp in df.groupby("_bucket", sort=False):
-            r = fn(grp.drop(columns=["_bucket"]).reset_index(drop=True))
-            if r is not None and len(r):
-                outs.append(r)
-        if not outs:
-            self.out_rows[tag] = 0
-            return None
-        out = pd.concat(outs, ignore_index=True)
-        self.out_rows[tag] = len(out)
-        return pa.Table.from_pandas(out, preserve_index=False)
+        """Yield one output table per owned bucket (streaming — peak
+        memory is one bucket, not the actor's whole share)."""
+        import pyarrow.parquet as pq
 
-    def rows_out(self, tag: str) -> int:
-        return self.out_rows.pop(tag, 0)
+        st = self.runs.pop(tag)
+        try:
+            bids = sorted(set(st["buckets"]) | set(st["spills"]))
+            for bid in bids:
+                tables = [pq.read_table(p) for p in st["spills"].pop(bid, [])]
+                tables += st["buckets"].pop(bid, [])
+                if not tables:
+                    continue
+                allt = pa.concat_tables(tables, promote_options="permissive")
+                del tables
+                r = fn(allt.to_pandas())
+                if r is not None and len(r):
+                    yield pa.Table.from_pandas(r, preserve_index=False)
+        finally:
+            self._cleanup(st)
+
+    @staticmethod
+    def _cleanup(st: dict) -> None:
+        import os
+        import shutil
+
+        for paths in st["spills"].values():
+            for p in paths:
+                try:
+                    os.unlink(p)
+                except OSError:
+                    pass
+        if st["spill_dir"]:
+            shutil.rmtree(st["spill_dir"], ignore_errors=True)
+
+    def abort(self, tag: str) -> bool:
+        """Drop a failed run's buffers + spill files (called from the
+        driver's try/finally — warm actors outlive the run, so state
+        must not outlive it)."""
+        st = self.runs.pop(tag, None)
+        if st is not None:
+            self._cleanup(st)
+        return True
 
     def ping(self) -> bool:
         return True
+
+    def debug_state(self) -> dict:
+        """Test/ops hook: per-run buffered rows + spill file counts."""
+        return {
+            tag: {
+                "total": st["total"],
+                "rows": dict(st["rows"]),
+                "spill_files": sum(len(v) for v in st["spills"].values()),
+            }
+            for tag, st in self.runs.items()
+        }
 
 
 _POOL: list = []
@@ -242,13 +388,33 @@ def _exchange_pool(n: int) -> list:
     return _POOL[:n]
 
 
+# measured generic crossover (BASELINE.md "generic exchange auto"): with
+# the warm pool, the direct exchange beats Ray's sort-based groupby well
+# below the CDC path's 8M crossover; sort only wins when the whole input
+# is a handful of blocks. Re-measured each round.
+GENERIC_SORT_MAX_ROWS = 100_000
+
+
+def _planned_rows(ds: ray.data.Dataset) -> int | None:
+    """Row count from plan METADATA only (no execution) — parquet
+    footers / in-memory blocks; None when a transform hides the count."""
+    try:
+        return ds._meta_count()
+    except Exception:
+        return None
+
+
 def bucketed_group_map(
     ds: ray.data.Dataset,
     key_cols: list[str],
     fn_pandas,
     num_buckets: int = 64,
-    exchange: str = "direct",
+    exchange: str = "auto",
     num_actors: int | None = None,
+    pre_reduce=None,
+    compact_rows: int = 500_000,
+    spill_rows: int = 4_000_000,
+    planned_rows: int | None = None,
 ) -> ray.data.Dataset:
     """Scalable groupby-apply: hash-bucket the key space into
     ``num_buckets`` coarse groups (ONE kernel invocation per bucket —
@@ -261,13 +427,31 @@ def bucketed_group_map(
     ``fn_pandas`` receives one bucket's rows and must do its own
     ``groupby(key_cols)``.
 
-    ``exchange="direct"`` (default) routes batches straight to zero-CPU
-    receiver actors keyed by bucket — the merge only needs CO-LOCATION,
-    and Ray's groupby pays for a full range sort it doesn't need (the
-    same 5-10x the CDC path measured). The result is returned as a
-    Dataset over the actors' output blocks (object store, not driver).
-    ``exchange="sort"`` keeps the plain Ray groupby (most general —
-    lazy, no actors)."""
+    ``exchange="direct"`` routes batches straight to zero-CPU receiver
+    actors keyed by bucket — the merge only needs CO-LOCATION, and Ray's
+    groupby pays for a full range sort it doesn't need. The result is
+    returned as a Dataset over the actors' per-bucket output blocks
+    (object store, not driver). ``exchange="sort"`` keeps the plain Ray
+    groupby (most general — lazy, no actors, retry-idempotent).
+    ``exchange="auto"`` (default) picks sort for small inputs (planned
+    size from ``planned_rows`` or plan metadata; unknown → direct,
+    since the warm pool makes direct the winner at every measured
+    scale above tiny inputs).
+
+    Receiver memory: pass ``pre_reduce`` (same-schema idempotent
+    combiner, e.g. the per-bucket kernel itself for top-k / arg-max /
+    distinct) to keep reducible exchanges at O(result) actor memory;
+    non-reducible buckets spill to node-local parquet past
+    ``spill_rows`` total buffered rows per actor (finalize re-reads one
+    bucket at a time). Fault model: the routing stage runs with
+    ``max_retries=0`` — a mid-route worker loss fails the exchange
+    (state is aborted in the driver's finally) instead of silently
+    re-applying a batch to the stateful receivers; callers retry the
+    whole operator, which is idempotent."""
+    if exchange == "auto":
+        n = planned_rows if planned_rows is not None else _planned_rows(ds)
+        exchange = "sort" if (n is not None and n <= GENERIC_SORT_MAX_ROWS) else "direct"
+
     bucketed = add_bucket_multi(ds, key_cols, num_buckets)
 
     if exchange == "sort":
@@ -283,6 +467,9 @@ def bucketed_group_map(
     actors = _exchange_pool(A)
     _POOL_TAG[0] += 1
     tag = f"x{_POOL_TAG[0]}"
+    ray.get(
+        [a.begin.remote(tag, pre_reduce, compact_rows, spill_rows) for a in actors]
+    )
 
     def route(batch: pa.Table) -> pa.Table:
         bref = ray.put(batch)
@@ -290,12 +477,24 @@ def bucketed_group_map(
         n = sum(ray.get(refs))  # ack = backpressure
         return pa.table({"n": pa.array([n], pa.int64())})
 
-    bucketed.map_batches(route, batch_format="pyarrow").take_all()  # counts only
-    out_refs = [a.finalize.remote(tag, fn_pandas) for a in actors]
-    # rows_out runs after finalize on each actor's queue, so this get
-    # also confirms every finalize completed
-    counts = ray.get([a.rows_out.remote(tag) for a in actors])
-    refs = [r for r, c in zip(out_refs, counts) if c > 0]
+    refs: list = []
+    ok = False
+    try:
+        # max_retries=0: routing is a stateful side effect — see docstring
+        bucketed.map_batches(
+            route, batch_format="pyarrow", max_retries=0
+        ).take_all()  # counts only
+        gens = [a.finalize.remote(tag, fn_pandas) for a in actors]
+        for g in gens:  # all actors stream concurrently; drain in order
+            refs.extend(list(g))
+        ok = True
+    finally:
+        if not ok:  # failed run: drop buffers/spills in the warm actors
+            for a in actors:
+                try:
+                    a.abort.remote(tag)
+                except Exception:
+                    pass
     if not refs:
         # empty result: derive the output schema from the kernel itself;
         # kernels that cannot process an empty frame yield a 0-column
@@ -502,8 +701,12 @@ def latest_per_key(
         return argmax_per_key(t, key_cols, order_cols).to_pandas()
 
     # final reduce through the direct exchange (co-location only — no
-    # sort needed; the arg-max kernel sorts its narrow keys itself)
-    return bucketed_group_map(pre, [key_cols[0]], per_bucket, num_buckets=num_buckets)
+    # sort needed; the arg-max kernel sorts its narrow keys itself).
+    # The kernel is its own combiner (idempotent, schema-preserving) —
+    # passing it as pre_reduce bounds receiver memory to O(live keys).
+    return bucketed_group_map(
+        pre, [key_cols[0]], per_bucket, num_buckets=num_buckets, pre_reduce=per_bucket
+    )
 
 
 def grouped_pandas_map(
@@ -511,6 +714,8 @@ def grouped_pandas_map(
     key_cols: list[str],
     fn_per_group,
     num_buckets: int = 32,
+    num_actors: int | None = None,
+    spill_rows: int = 4_000_000,
 ) -> ray.data.Dataset:
     """Per-DISTINCT-KEY group map through the direct exchange: one
     bucket task per hash bucket, ``fn_per_group`` applied to each key's
@@ -532,7 +737,14 @@ def grouped_pandas_map(
             return None
         return pd.concat(outs, ignore_index=True)
 
-    return bucketed_group_map(ds, key_cols, per_bucket, num_buckets=num_buckets)
+    return bucketed_group_map(
+        ds,
+        key_cols,
+        per_bucket,
+        num_buckets=num_buckets,
+        num_actors=num_actors,
+        spill_rows=spill_rows,
+    )
 
 
 def topk_per_key(
@@ -566,7 +778,10 @@ def topk_per_key(
         s = bucket.sort_values(order_cols, ascending=asc, kind="stable")
         return s.groupby(key_cols, sort=False).head(k)
 
-    return bucketed_group_map(pre, key_cols, per_bucket, num_buckets=num_buckets)
+    # top-k is its own combiner: receiver memory stays O(k · keys)
+    return bucketed_group_map(
+        pre, key_cols, per_bucket, num_buckets=num_buckets, pre_reduce=per_bucket
+    )
 
 
 def distinct_sorted(ds: ray.data.Dataset, column: str) -> pa.Table:

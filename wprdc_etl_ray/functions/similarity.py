@@ -60,11 +60,15 @@ def brute_force_topk(
     q = q / max(np.linalg.norm(q), 1e-12)
     qref = ray.put(q)
 
-    def local_topk(batch: pd.DataFrame) -> pd.DataFrame:
+    def local_topk(batch) -> pd.DataFrame:
+        # pyarrow batch + list_col_matrix: the embedding column never
+        # round-trips through the pandas tensor-extension encoding (its
+        # parquet metadata only reconstructs in workers that already
+        # registered the extension dtype — a scheduling-dependent trap)
         qv = ray.get(qref)
-        mat = _normalize(np.stack(batch["embedding"].to_numpy()).astype(np.float64))
+        mat = _normalize(list_col_matrix(batch.column("embedding")))
         sims = mat @ qv
-        ids = batch[id_col].to_numpy()
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         if exclude is not None:
             keep = ids != exclude
             ids, sims = ids[keep], sims[keep]
@@ -72,7 +76,7 @@ def brute_force_topk(
         idx = np.argpartition(-sims, take - 1)[:take] if take else np.array([], int)
         return pd.DataFrame({id_col: ids[idx], "cosine": sims[idx]})
 
-    cand = ds.map_batches(local_topk, batch_format="pandas").to_pandas()
+    cand = ds.map_batches(local_topk, batch_format="pyarrow").to_pandas()
     cand = cand.sort_values(
         ["cosine", id_col], ascending=[False, True], ignore_index=True
     ).head(k)
@@ -343,14 +347,19 @@ class IvfIndex:
         )
         cref = ray.put(cent)
 
-        def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        def assign(batch: "pa.Table") -> "pa.Table":
+            # stays Arrow end to end: the written cell files keep the
+            # plain list<float> schema (no pandas tensor-extension
+            # metadata, which poisons later to_pandas in fresh workers)
+            import pyarrow as pa
+
             c = ray.get(cref)
-            mat = _normalize(np.stack(batch["embedding"].to_numpy()).astype(np.float64))
-            batch["cell"] = (mat @ c.T).argmax(axis=1).astype("int32")
-            return batch
+            mat = _normalize(list_col_matrix(batch.column("embedding")))
+            cell = (mat @ c.T).argmax(axis=1).astype("int32")
+            return batch.append_column("cell", pa.array(cell, pa.int32()))
 
         os.makedirs(index_dir, exist_ok=True)
-        ds.map_batches(assign, batch_format="pandas").write_parquet(
+        ds.map_batches(assign, batch_format="pyarrow").write_parquet(
             os.path.join(index_dir, "cells"), partition_cols=["cell"]
         )
         with open(os.path.join(index_dir, "centroids.json"), "w") as f:

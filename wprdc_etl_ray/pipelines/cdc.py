@@ -426,6 +426,13 @@ class _ExchangeActor:
             out.append({c: stat.column(c)[0].as_py() for c in stat.schema.names})
         return out
 
+    def abort(self, tag: str) -> bool:
+        """Drop a failed run's buffers (driver try/finally) — the warm
+        pool outlives the run, so a raised route/merge must not leave
+        its Arrow frags pinned in the session-lifetime actors."""
+        self.runs.pop(tag, None)
+        return True
+
     def ping(self) -> bool:
         return True
 
@@ -496,9 +503,26 @@ def _direct_exchange(
         applied = sum(ray.get(refs))
         return pa.table({"applied": pa.array([applied], pa.int64())})
 
-    routed = ds.map_batches(route, batch_format="pyarrow")
-    routed.take_all()  # drives the routing to completion (counts only)
-    nested = ray.get([a.finalize.remote(tag) for a in actors])
+    ok = False
+    try:
+        # max_retries=0: routing mutates receiver-actor state — a Ray
+        # task retry would re-apply its batches (duplicate events). A
+        # mid-route worker loss fails the epoch instead; the whole
+        # ingest is idempotent (deterministic merge + manifest flip),
+        # so the caller re-runs the epoch.
+        routed = ds.map_batches(
+            route, batch_format="pyarrow", max_retries=0
+        )
+        routed.take_all()  # drives the routing to completion (counts only)
+        nested = ray.get([a.finalize.remote(tag) for a in actors])
+        ok = True
+    finally:
+        if not ok:  # failed run: unpin its frags from the warm pool
+            for a in actors:
+                try:
+                    a.abort.remote(tag)
+                except Exception:
+                    pass
     return [r for rows in nested for r in rows]
 
 
