@@ -296,6 +296,40 @@ def test_exact_dedup_two_phase_matches_one_pass(ray_session):
     assert two == one == [0] + list(range(5, 55)) + [55]
 
 
+def test_exact_dedup_bloom_matches_exact(ray_session):
+    from wprdc_etl_ray.functions.dedup import exact_dedup
+
+    texts = ["dup"] * 5 + [f"unique {i}" for i in range(50)] + ["dup2", "dup2"]
+    ds = docs_ds(texts)
+    want = [0] + list(range(5, 55)) + [55]
+    got = sorted(r["doc_id"] for r in exact_dedup(ds, repeated_filter="bloom").take_all())
+    assert got == want
+    # a deliberately saturated filter (300 repeated keys x 8 probes into
+    # the 1024-bit minimum at 1 bit/key -> nearly everything is a false
+    # positive) must STILL give the exact result: FPs only reroute rows
+    # through phase 2, where the group-by-actual-text resolves them alone
+    texts_fp = [f"dup {i}" for i in range(300)] * 2 + [f"unique {i}" for i in range(100)]
+    ds_fp = docs_ds(texts_fp)
+    want_fp = sorted(
+        r["doc_id"] for r in exact_dedup(ds_fp, repeated_filter="exact").take_all()
+    )
+    got_fp = sorted(
+        r["doc_id"]
+        for r in exact_dedup(
+            ds_fp, repeated_filter="bloom", bloom_bits_per_key=1
+        ).take_all()
+    )
+    assert got_fp == want_fp == list(range(300)) + list(range(600, 700))
+
+
+def test_exact_dedup_bloom_no_repeats(ray_session):
+    from wprdc_etl_ray.functions.dedup import exact_dedup
+
+    ds = docs_ds([f"unique {i}" for i in range(20)])
+    got = sorted(r["doc_id"] for r in exact_dedup(ds, repeated_filter="bloom").take_all())
+    assert got == list(range(20))
+
+
 def test_asof_join_matches_merge_asof(ray_session):
     from wprdc_etl_ray.functions.relational import asof_join
 

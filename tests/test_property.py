@@ -287,3 +287,28 @@ def test_minhash_signatures_match_loop(texts):
             mh.a[:, None] * sh[None, :] + mh.b[:, None], axis=1
         ).astype(np.int64)
         assert list(got["sig"][i]) == list(ref), (i, t)
+
+
+def test_minhash_signature_independent_of_batch_composition():
+    """A short doc's fallback shingle must not change when empty docs
+    share (or trail) its batch — regression for the clipped-reduceat
+    bug where a trailing empty doc truncated the previous doc's word-
+    hash sum (signature depended on batch composition)."""
+    from wprdc_etl_ray.functions.dedup import MinHasher
+
+    mh = MinHasher(num_perm=8)
+
+    def sig(texts, want_idx):
+        out = mh(
+            pd.DataFrame(
+                {"doc_id": pd.Series(range(len(texts)), dtype="int64"),
+                 "text": pd.Series(texts, dtype=object)}
+            )
+        )
+        return list(out["sig"][want_idx])
+
+    alone = sig(["a b"], 0)
+    assert sig(["a b", ""], 0) == alone          # trailing empty doc
+    assert sig(["", "a b"], 1) == alone          # leading empty doc
+    assert sig(["a b", "", ""], 0) == alone      # multiple trailing empties
+    assert sig(["x y z w", "a b", ""], 1) == alone  # mixed long + short + empty

@@ -59,6 +59,8 @@ def exact_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     payload: bool = False,
+    repeated_filter: str = "exact",
+    bloom_bits_per_key: int = 16,
 ) -> ray.data.Dataset:
     """One representative (min id) per distinct text. Exact, not
     probabilistic — hash collisions are resolved on the actual text.
@@ -70,9 +72,21 @@ def exact_dedup(
     collisions), grouping by the actual text inside the bucket. The wide
     text column never rides the exchange for unique documents — at a
     low-duplication corpus the shuffle shrinks from O(corpus bytes) to
-    O(16 bytes · rows + dup bytes). The repeated-hash set is broadcast
-    (``ray.put``); at extreme scale substitute a Bloom filter — same
-    plumbing, phase 2 then re-verifies its false positives anyway.
+    O(16 bytes · rows + dup bytes).
+
+    ``repeated_filter`` picks how phase 2 recognizes repeated hashes:
+
+    - ``"exact"`` — the repeated-hash set is a sorted int64 array,
+      broadcast once (``ray.put``); driver + per-worker memory is
+      O(8 B · repeated hashes).
+    - ``"bloom"`` — a fixed-size Bloom filter (hashing.BloomFilter,
+      O(2 B · repeated hashes) total, built streaming from the phase-1
+      output without ever materializing the hash set on the driver).
+      A false positive only routes that row through phase 2, where the
+      group-by-actual-text resolves it alone — the RESULT is identical
+      to exact mode by construction (both the singles filter and the
+      phase-2 filter consult the same Bloom instance, so no row is
+      emitted twice or dropped). This is the at-scale mode.
 
     ``payload=True`` is the one-pass variant (single scan, wide
     shuffle) — better when the input is already narrow or duplication
@@ -104,29 +118,61 @@ def exact_dedup(
 
     stats = bucketed_group_map(narrow, ["_h"], per_hash, num_buckets=64)
 
-    def singles_only(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as _pc
-
-        return batch.filter(_pc.equal(batch.column("_n"), 1)).select([id_col])
-
-    singles = stats.map_batches(singles_only, batch_format="pyarrow")
-
-    # repeated hashes (true dups + collisions): small side, broadcast
     def multi_only(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as _pc
 
         return batch.filter(_pc.greater(batch.column("_n"), 1)).select(["_h"])
 
-    multi = stats.map_batches(multi_only, batch_format="pyarrow").to_pandas()
-    if multi.empty:
-        return singles
-    mref = ray.put(np.sort(multi["_h"].to_numpy()))
+    multi_ds = stats.map_batches(multi_only, batch_format="pyarrow")
 
-    # ---- phase 2: payload shuffle for colliding rows only ----
+    if repeated_filter == "bloom":
+        from .hashing import BloomFilter
+
+        # stats executes once; repeated hashes stay in the object store
+        # and stream into a FIXED-SIZE bit array — the driver never
+        # holds the hash set itself
+        stats = stats.materialize()
+        multi_ds = stats.map_batches(multi_only, batch_format="pyarrow").materialize()
+        n_rep = multi_ds.count()
+        bf = BloomFilter(max(1, n_rep), bits_per_key=bloom_bits_per_key)
+        if n_rep:
+            for batch in multi_ds.iter_batches(batch_format="pyarrow"):
+                bf.add(batch.column("_h").to_numpy(zero_copy_only=False))
+        mref = ray.put(bf)
+        have_repeats = n_rep > 0
+
+        def is_repeated(h: np.ndarray) -> np.ndarray:
+            return ray.get(mref).contains(h)
+
+    else:
+        # repeated hashes (true dups + collisions): small side, broadcast
+        multi = multi_ds.to_pandas()
+        have_repeats = not multi.empty
+        harr = multi["_h"].to_numpy() if have_repeats else np.array([], dtype=np.int64)
+        mref = ray.put(np.sort(harr))
+
+        def is_repeated(h: np.ndarray) -> np.ndarray:
+            return np.isin(h, ray.get(mref))
+
+    # singles = count-1 hashes NOT flagged repeated: under bloom, a
+    # false-positive single is excluded here and re-resolved (alone) by
+    # phase 2 — the same filter instance decides both sides, so the
+    # output set is identical to exact mode
+    def singles_only(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        one = batch.filter(_pc.equal(batch.column("_n"), 1))
+        h = one.column("_h").to_numpy(zero_copy_only=False)
+        return one.filter(pa.array(~is_repeated(h))).select([id_col])
+
+    singles = stats.map_batches(singles_only, batch_format="pyarrow")
+    if not have_repeats:
+        return singles
+
+    # ---- phase 2: payload shuffle for flagged rows only ----
     def colliding(batch: pa.Table) -> pa.Table:
-        hs = ray.get(mref)
         h = hash_strings(batch.column(text_col)).astype(np.int64)
-        mask = np.isin(h, hs)
+        mask = is_repeated(h)
         return (
             batch.select([id_col, text_col])
             .append_column("_h", pa.array(h))
@@ -208,12 +254,15 @@ class MinHasher:
             sh[ok] = sh_global[idx[ok]]
         if small.any():
             # short doc: single shingle = wraparound sum of its word
-            # hashes (reduceat over clipped doc starts; empty docs → 0)
+            # hashes. Reduceat over NON-EMPTY doc starts only (the
+            # segment_sums pattern): clipping empty-doc starts into the
+            # array would shift segment boundaries and truncate the sum
+            # of a doc followed by a trailing empty doc, making the
+            # signature depend on batch composition.
             fb_per_doc = np.zeros(len(lens), dtype=np.uint64)
-            if len(wh):
-                seg_sums = np.add.reduceat(wh, np.minimum(starts, len(wh) - 1))
-                nonempty = lens > 0
-                fb_per_doc[nonempty] = seg_sums[nonempty]
+            nonempty = lens > 0
+            if len(wh) and nonempty.any():
+                fb_per_doc[nonempty] = np.add.reduceat(wh, starts[nonempty])
             doc_of = np.repeat(np.arange(len(lens)), m)
             sh[small] = fb_per_doc[doc_of[small]]
         return sh, m
@@ -512,75 +561,127 @@ def _gram_set(text: str, n: int) -> set:
     return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
 
 
+_EMPTY_PAIRS = {
+    "doc_a": pa.array([], pa.int64()),
+    "doc_b": pa.array([], pa.int64()),
+    "jaccard": pa.array([], pa.int64()),
+}
+
+
 def verify_jaccard_pairs(
     docs: ray.data.Dataset,
-    pairs: pd.DataFrame,
+    pairs: "ray.data.Dataset | pd.DataFrame",
     n: int = 3,
     threshold_micro: int = 800_000,
     num_buckets: int = 16,
 ) -> ray.data.Dataset:
     """Distributed exact word-n-gram Jaccard verification of candidate
-    pairs.
+    pairs — the pair list stays a DATASET end to end (no driver-resident
+    pair structure, no ``ray.put`` of the pair frame):
 
-    Scale shape: the candidate PAIR LIST (post-LSH, tiny relative to the
-    corpus) is broadcast once (``ray.put``); the corpus STREAMS through a
-    ``merge`` that emits only candidate docs' texts tagged with
-    (pair_id, side); ONE shuffle co-locates each pair's two texts by
-    pair_id bucket; the exact set intersection runs inside the bucket
-    with a per-doc gram cache. Nothing corpus-sized is materialized.
+    1. one NARROW exchange on (doc_a, doc_b) dedups candidate pairs
+       (a pair can match in several LSH bands) and explodes each to two
+       (pair, side, doc_id) rows — 4×int64 per row, never text;
+    2. a partitioned hash join on doc_id attaches each side's text —
+       the corpus streams through the join, partitioned by doc_id;
+    3. one exchange on the pair key co-locates each pair's two texts;
+       the exact set intersection runs per bucket over NUMPY arrays
+       (single merge, no per-pair DataFrame indexing) with a per-doc
+       gram cache.
 
     Jaccard is exported in exact integer micro-units:
     ``(inter*2e6 + union) // (2*union)`` — round-half-up without
     touching floats, so the DuckDB oracle matches bit-for-bit."""
-    from .relational import bucketed_group_map
+    from .relational import bucketed_group_map, hash_join
 
-    pairs = pairs.reset_index(drop=True)
-    pair_id = np.arange(len(pairs), dtype=np.int64)
-    long = pd.concat(
-        [
-            pd.DataFrame(
-                {"pair_id": pair_id, "doc_id": pairs["doc_a"].to_numpy(), "side": 0}
-            ),
-            pd.DataFrame(
-                {"pair_id": pair_id, "doc_id": pairs["doc_b"].to_numpy(), "side": 1}
-            ),
-        ],
-        ignore_index=True,
+    if isinstance(pairs, pd.DataFrame):
+        if pairs.empty:
+            return ray.data.from_arrow(pa.table(_EMPTY_PAIRS))
+        pairs = ray.data.from_pandas(
+            pairs[["doc_a", "doc_b"]].astype({"doc_a": "int64", "doc_b": "int64"})
+        )
+    else:
+        # candidate generation runs once; blocks stay in the object
+        # store (small: pair rows only), NOT on the driver
+        pairs = pairs.materialize()
+        if pairs.count() == 0:
+            return ray.data.from_arrow(pa.table(_EMPTY_PAIRS))
+
+    # ---- (1) distinct pairs -> (pair, side) long rows, all-narrow ----
+    def distinct_explode(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[["doc_a", "doc_b"]].drop_duplicates(ignore_index=True)
+        return pd.concat(
+            [
+                b.assign(doc_id=b["doc_a"].to_numpy(), side=0),
+                b.assign(doc_id=b["doc_b"].to_numpy(), side=1),
+            ],
+            ignore_index=True,
+        )
+
+    long = bucketed_group_map(
+        pairs, ["doc_a", "doc_b"], distinct_explode, num_buckets=num_buckets
     )
-    ref = ray.put(long)
 
-    def attach(batch: pd.DataFrame) -> pd.DataFrame:
-        lg = ray.get(ref)
-        return batch[["doc_id", "text"]].merge(lg, on="doc_id")
+    # ---- (2) attach texts: corpus partitioned by doc_id, one pass ----
+    joined = hash_join(
+        long,
+        docs.select_columns(["doc_id", "text"]),
+        on="doc_id",
+        num_partitions=num_buckets,
+    )
 
-    matched = docs.map_batches(attach, batch_format="pandas")
-
+    # ---- (3) co-locate pair sides, verify over numpy arrays ----
     def per_bucket(b: pd.DataFrame) -> pd.DataFrame:
-        a = b[b["side"] == 0].set_index("pair_id")
-        bb = b[b["side"] == 1].set_index("pair_id")
-        pids = a.index.intersection(bb.index)
+        a = b.loc[b["side"] == 0, ["doc_a", "doc_b", "text"]].rename(
+            columns={"text": "text_a"}
+        )
+        bb = b.loc[b["side"] == 1, ["doc_a", "doc_b", "text"]].rename(
+            columns={"text": "text_b"}
+        )
+        m = a.merge(bb, on=["doc_a", "doc_b"])
+        if m.empty:
+            return pd.DataFrame(
+                {
+                    "doc_a": pd.Series([], dtype="int64"),
+                    "doc_b": pd.Series([], dtype="int64"),
+                    "jaccard": pd.Series([], dtype="int64"),
+                }
+            )
+        da = m["doc_a"].to_numpy()
+        db = m["doc_b"].to_numpy()
+        ta = m["text_a"].to_numpy(dtype=object)
+        tb = m["text_b"].to_numpy(dtype=object)
         cache: dict[int, set] = {}
 
-        def g(doc_id: int, text: str) -> set:
-            if doc_id not in cache:
-                cache[doc_id] = _gram_set(text, n)
-            return cache[doc_id]
+        def g(doc_id: int, text) -> set:
+            s = cache.get(doc_id)
+            if s is None:
+                s = cache.setdefault(doc_id, _gram_set(text, n))
+            return s
 
-        rows = []
-        for pid in pids:
-            da, ta = int(a.loc[pid, "doc_id"]), a.loc[pid, "text"]
-            db, tb = int(bb.loc[pid, "doc_id"]), bb.loc[pid, "text"]
-            ga, gb = g(da, ta), g(db, tb)
+        # the per-pair set intersection is the inherent work; the loop
+        # indexes flat numpy arrays only (no DataFrame .loc)
+        out_a, out_b, out_j = [], [], []
+        for i in range(len(m)):
+            ga, gb = g(int(da[i]), ta[i]), g(int(db[i]), tb[i])
             inter = len(ga & gb)
             uni = len(ga | gb) or 1
             j = (inter * 2_000_000 + uni) // (2 * uni)
             if j >= threshold_micro:
-                rows.append((da, db, j))
-        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"]).astype(
-            {"doc_a": "int64", "doc_b": "int64", "jaccard": "int64"}
+                out_a.append(da[i])
+                out_b.append(db[i])
+                out_j.append(j)
+        return pd.DataFrame(
+            {
+                "doc_a": np.asarray(out_a, dtype="int64"),
+                "doc_b": np.asarray(out_b, dtype="int64"),
+                "jaccard": np.asarray(out_j, dtype="int64"),
+            }
         )
 
-    return bucketed_group_map(matched, ["pair_id"], per_bucket, num_buckets=num_buckets)
+    return bucketed_group_map(
+        joined, ["doc_a", "doc_b"], per_bucket, num_buckets=num_buckets
+    )
 
 
 def minhash_near_dups(
@@ -603,20 +704,9 @@ def minhash_near_dups(
     cand = minhash_lsh_candidates(
         docs, num_perm=num_perm, bands=bands, concurrency=concurrency, distinct=False
     )
-    pairs = cand.to_pandas().drop_duplicates(ignore_index=True)
-    if pairs.empty:
-        return ray.data.from_arrow(
-            pa.table(
-                {
-                    "doc_a": pa.array([], pa.int64()),
-                    "doc_b": pa.array([], pa.int64()),
-                    "jaccard": pa.array([], pa.int64()),
-                }
-            )
-        )
-    return verify_jaccard_pairs(
-        docs, pairs, n=n, threshold_micro=threshold_micro
-    )
+    # cand stays a Dataset: verify dedups it with a narrow exchange and
+    # joins texts in — no driver-resident pair list at any point
+    return verify_jaccard_pairs(docs, cand, n=n, threshold_micro=threshold_micro)
 
 
 # --- embedding-cosine near-dup ----------------------------------------------
@@ -650,24 +740,63 @@ class DedupStateActor:
     owns hashes with ``h % num_actors == aid``). State is O(unique
     hashes · 8 B) sharded across the pool — the standard streaming-dedup
     memory shape; at 10^11+ uniques plug a spillable store (RocksDB)
-    behind the same two methods."""
+    behind the same two methods.
+
+    State is an LSM-style list of SORTED int64 runs: one stable argsort
+    per call yields both the intra-call first-occurrence positions
+    (first element of each equal-run = smallest original index) and
+    sorted needles for membership probes (sorted needles probe ~7×
+    faster than random order — cache locality); new values append as a
+    fresh run, with adjacent runs merged geometrically (amortized
+    O(log R) merges per element). No Python loop over hashes anywhere.
+    Measured on this host: 3.3 M hashes/s/actor vs 2.0 M/s for the
+    CPython set loop at 20 M hashes / 50% dup rate (numbers + the DRAM
+    control in BASELINE.md — this VM's ~5 GB/s memory floor caps the
+    numpy side; the gap widens on real hardware)."""
 
     def __init__(self):
-        self.seen: set[int] = set()
+        self.runs: list[np.ndarray] = []
+
+    def _compact(self) -> None:
+        # geometric merge: keep run sizes strictly doubling, so an
+        # element is merged O(log R) times over its lifetime
+        while len(self.runs) > 1 and 2 * len(self.runs[-1]) >= len(self.runs[-2]):
+            b = self.runs.pop()
+            a = self.runs.pop()
+            m = np.concatenate([a, b])
+            m.sort(kind="stable")
+            self.runs.append(m)
 
     def first_seen(self, hashes: np.ndarray) -> np.ndarray:
         """Mark hashes seen; return the boolean mask of FIRST sightings
         (duplicates within one call keep only their first position)."""
-        out = np.zeros(len(hashes), dtype=bool)
-        seen = self.seen
-        for i, h in enumerate(hashes.tolist()):
-            if h not in seen:
-                seen.add(h)
-                out[i] = True
+        h = np.asarray(hashes, dtype=np.int64)
+        if len(h) == 0:
+            return np.zeros(0, dtype=bool)
+        order = np.argsort(h, kind="stable")
+        hs = h[order]
+        # start of each equal-run; stable sort => that element carries
+        # the SMALLEST original index = the call's first occurrence
+        bound = np.empty(len(hs), dtype=bool)
+        bound[0] = True
+        np.not_equal(hs[1:], hs[:-1], out=bound[1:])
+        ss = hs[bound]  # sorted distinct values
+        firstpos = order[bound]  # their first original positions
+        member = np.zeros(len(ss), dtype=bool)
+        for run in self.runs:
+            pos = np.searchsorted(run, ss)
+            ok = pos < len(run)
+            member[ok] |= run[pos[ok]] == ss[ok]
+        new_sorted = ss[~member]
+        out = np.zeros(len(h), dtype=bool)
+        if len(new_sorted):
+            out[firstpos[~member]] = True
+            self.runs.append(new_sorted)
+            self._compact()
         return out
 
     def size(self) -> int:
-        return len(self.seen)
+        return sum(len(r) for r in self.runs)
 
 
 class StreamingDeduper:

@@ -158,3 +158,51 @@ def to_signed(u: np.ndarray) -> np.ndarray:
     """uint64 -> int64 two's-complement view (the SQL side does
     ``CASE WHEN v >= 2^63 THEN v - 2^64 END::BIGINT``)."""
     return u.astype(np.uint64).view(np.int64)
+
+
+# --- Bloom filter (vectorized, shared by dedup's scale path) -----------------
+
+def _mix64(u: np.ndarray) -> np.ndarray:
+    """murmur3/splitmix 64-bit finalizer — diffuses ALL input bits into
+    the low bits (a plain multiply-mask probe would only see the key's
+    low log2(m) bits, collapsing the k probes to one)."""
+    u = (u ^ (u >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+    u = (u ^ (u >> np.uint64(33))) * np.uint64(0xC4CEB9FE1A85EC53)
+    return u ^ (u >> np.uint64(33))
+
+
+class BloomFilter:
+    """Fixed-size Bloom filter over 64-bit hashes, fully vectorized
+    (Kirsch–Mitzenmacher double hashing: probe_i = h1 + i·h2 mod m with
+    h1, h2 independent mixes of the key; m a power of two).
+    Picklable/broadcastable: state is one uint8 bit array + two ints —
+    O(m/8) bytes regardless of how many keys went in. FP rate at the
+    default 16 bits/key with k=8 probes is ~1e-3."""
+
+    def __init__(self, n_keys: int, bits_per_key: int = 16, k: int = 8):
+        m = 1 << max(10, int(np.ceil(np.log2(max(1, n_keys) * bits_per_key))))
+        self.m_mask = np.uint64(m - 1)
+        self.k = k
+        self.bits = np.zeros(m >> 3, dtype=np.uint8)
+
+    def _probes(self, h: np.ndarray, i: int) -> np.ndarray:
+        u = h.astype(np.uint64)
+        h1 = _mix64(u)
+        h2 = _mix64(u ^ np.uint64(0x9E3779B97F4A7C15)) | np.uint64(1)
+        return (h1 + np.uint64(i) * h2) & self.m_mask
+
+    def add(self, h: np.ndarray) -> None:
+        for i in range(self.k):
+            p = self._probes(h, i)
+            np.bitwise_or.at(self.bits, p >> np.uint64(3),
+                             np.left_shift(np.uint8(1), (p & np.uint64(7)).astype(np.uint8)))
+
+    def contains(self, h: np.ndarray) -> np.ndarray:
+        out = np.ones(len(h), dtype=bool)
+        for i in range(self.k):
+            p = self._probes(h, i)
+            bit = np.left_shift(np.uint8(1), (p & np.uint64(7)).astype(np.uint8))
+            out &= (self.bits[p >> np.uint64(3)] & bit) != 0
+            if not out.any():
+                break
+        return out

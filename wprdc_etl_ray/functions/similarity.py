@@ -89,11 +89,27 @@ def brute_force_topk(
 # The scale-safe replacement for "broadcast the whole matrix": split the
 # N vectors into n_blocks blocks (block = vec_id % n_blocks), replicate
 # each row once per partner block, and co-locate every unordered block
-# PAIR (i,j) in one task. Per-task memory is O(2N/n_blocks · d) — set
-# n_blocks so two blocks fit a worker heap; total compute is the
+# PAIR (i,j) in one task. Per-task compute memory is O(2N/n_blocks · d)
+# — set n_blocks so two blocks fit a worker heap; total compute is the
 # inherent O(N²·d) matmul work, spread over n_blocks(n_blocks+1)/2
 # independent tasks; communication is O(N·n_blocks·d) — no driver
 # materialization, no full-matrix broadcast anywhere.
+#
+# Receiver-side bound (the honest number): the replicated rows ride the
+# direct exchange, whose actors buffer at most ``spill_rows`` embedding
+# rows in heap (the rest spills to node-local parquet) and whose
+# finalize streams ONE bucket at a time. We size num_buckets to the
+# number of block-pair groups, so finalize peak is O(one block pair)
+# = O(2N/n_blocks · d) — matching the per-task compute bound — and we
+# pass a small spill budget because embedding rows are wide.
+
+_EMBED_SPILL_ROWS = 500_000  # ~256 MB heap at d=64 float64 per actor
+
+
+def _pair_group_buckets(n_blocks: int) -> int:
+    """One exchange bucket per block-pair group (hash collisions merge
+    a few groups — harmless; finalize applies the kernel per group)."""
+    return min(4096, n_blocks * (n_blocks + 1) // 2)
 
 
 def _replicate_to_block_pairs(
@@ -184,7 +200,11 @@ def blocked_near_dup_pairs(
     from .relational import grouped_pandas_map
 
     return grouped_pandas_map(
-        rep, ["_pg"], per_group, num_buckets=min(64, n_blocks * n_blocks)
+        rep,
+        ["_pg"],
+        per_group,
+        num_buckets=_pair_group_buckets(n_blocks),
+        spill_rows=_EMBED_SPILL_ROWS,
     )
 
 
@@ -255,7 +275,11 @@ def all_pairs_nn(
     from .relational import grouped_pandas_map
 
     cand = grouped_pandas_map(
-        rep, ["_pg"], per_group, num_buckets=min(64, n_blocks * n_blocks)
+        rep,
+        ["_pg"],
+        per_group,
+        num_buckets=_pair_group_buckets(n_blocks),
+        spill_rows=_EMBED_SPILL_ROWS,
     )
 
     def neg(batch: pd.DataFrame) -> pd.DataFrame:
