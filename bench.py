@@ -283,8 +283,55 @@ def run_scaling() -> dict:
     }
 
 
+def run_tail_scaling() -> dict:
+    """The run_scaling measurement for TAIL mode (the north-rule
+    tailer's stateful merger actors are the stage under test): the same
+    WAL waves at N and 4N taskset-pinned cores in fresh processes.
+    Actor count stays fixed (16) at both levels so the only variable is
+    cores — at the low level the actors timeshare, which is exactly
+    what a smaller cluster does. Override the pair with
+    GRAFT_SCALING_LEVELS, the size with GRAFT_TAIL_SCALING_EVENTS."""
+    levels = [
+        int(x)
+        for x in os.environ.get("GRAFT_SCALING_LEVELS", "4,16").split(",")
+    ]
+    lo, hi = levels[0], levels[1]
+    outs = {}
+    scaling_events = os.environ.get("GRAFT_TAIL_SCALING_EVENTS", "6000000")
+    for ncpu in (lo, hi):
+        env = dict(
+            os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_EVENTS=scaling_events
+        )
+        proc = subprocess.run(
+            ["taskset", "-c", f"0-{ncpu - 1}", sys.executable,
+             os.path.join(REPO, "bench.py"), "--tail"],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+        outs[ncpu] = json.loads(proc.stdout.strip().splitlines()[-1])
+        time.sleep(10)
+    t_lo = outs[lo]["value"]
+    t_hi = outs[hi]["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "cdc_tail_scaling",
+        "unit": "sec",
+        "levels": [lo, hi],
+        f"sec_{lo}": t_lo,
+        f"sec_{hi}": t_hi,
+        "events": outs[lo]["events"],
+        f"events_per_sec_{lo}": round(outs[lo]["events"] / t_lo, 1),
+        f"events_per_sec_{hi}": round(outs[hi]["events"] / t_hi, 1),
+        "scaling_efficiency": round(eff, 3),
+    }
+
+
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--tail-scaling" in sys.argv:
+        print(json.dumps(run_tail_scaling()))
+    elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     elif "--tail" in sys.argv:
         print(json.dumps(run_tail()))

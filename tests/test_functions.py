@@ -526,6 +526,78 @@ def test_ivf_query_batch_matches_per_query(ray_session, tmp_path):
         assert list(got["cosine"]) == list(single["cosine"]), qid
 
 
+def test_ivf_query_batch_1000_queries_distributed_merge(ray_session, tmp_path):
+    """A 1000-query batch through the distributed topk_per_key merge:
+    every query gets exactly k rows, each row's cosine is within the
+    probed cells' exact top-k, and a spot-check of queries that ARE
+    corpus vectors finds themselves at cosine 1.0 first."""
+    from wprdc_etl_ray.functions.similarity import IvfIndex
+
+    rng = np.random.default_rng(9)
+    mat = rng.normal(size=(600, 12))
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(600), pa.int64()),
+                "embedding": pa.array(
+                    [list(map(float, r)) for r in mat], pa.list_(pa.float32())
+                ),
+            }
+        )
+    )
+    idx = IvfIndex.build(ds, str(tmp_path / "ivf1k"), n_cells=8)
+    qidx = rng.integers(0, 600, size=1000)
+    out = idx.query_batch(mat[qidx], k=3, n_probe=3, as_dataset=True).to_pandas()
+    sizes = out.groupby("qid").size()
+    assert len(sizes) == 1000 and (sizes == 3).all()
+    # self-match: each query vector is in the corpus; its own cell is
+    # always its nearest centroid, so rank-1 must be itself (or an
+    # exact duplicate) at cosine ~1.0
+    top = out.sort_values(["qid", "cosine", "vec_id"], ascending=[True, False, True])
+    first = top.groupby("qid", sort=True).head(1).reset_index(drop=True)
+    assert (first["cosine"] >= 999_990).all()
+
+
+def test_ivf_build_resumes_completed_cells(ray_session, tmp_path):
+    """A build over a half-written index dir (simulated crash: cells
+    written + marked, no centroids.json) skips the completed cells and
+    commits; the reopened index answers identically to a fresh one."""
+    from wprdc_etl_ray.functions.similarity import IvfIndex
+    from wprdc_etl_ray.sources.sinks import completed_partitions
+
+    rng = np.random.default_rng(11)
+    mat = rng.normal(size=(200, 8))
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(200), pa.int64()),
+                "embedding": pa.array(
+                    [list(map(float, r)) for r in mat], pa.list_(pa.float32())
+                ),
+            }
+        )
+    )
+    import os
+    import shutil
+
+    fresh_dir = str(tmp_path / "fresh")
+    idx = IvfIndex.build(ds, fresh_dir, n_cells=4)
+    want = idx.query(mat[7], k=5, n_probe=2)
+
+    # simulate crash-after-cells-before-commit, then resume
+    crash_dir = str(tmp_path / "crashed")
+    shutil.copytree(fresh_dir, crash_dir)
+    os.unlink(os.path.join(crash_dir, "centroids.json"))
+    assert not IvfIndex.is_complete(crash_dir)
+    done_before = completed_partitions(os.path.join(crash_dir, "cells"))
+    assert done_before  # cells really were marked
+    idx2 = IvfIndex.build(ds, crash_dir, n_cells=4)
+    assert IvfIndex.is_complete(crash_dir)
+    got = idx2.query(mat[7], k=5, n_probe=2)
+    assert list(got["vec_id"]) == list(want["vec_id"])
+    assert list(got["cosine"]) == list(want["cosine"])
+
+
 def test_multimodal_pipeline_chain(ray_session):
     from wprdc_etl_ray.functions.multimodal import ImageDecodeStub, multimodal_pipeline
 
@@ -689,3 +761,40 @@ def test_streaming_dedup_across_datasets(ray_session):
         assert d.unique_count() == 4
     finally:
         d.shutdown()
+
+
+def test_corpus_freq_join_matches_broadcast(ray_session):
+    from wprdc_etl_ray.functions.text import corpus_freq_score
+
+    texts = ["the cat sat", "the the the", "", "dog", "the dog ran far away"]
+    ds = docs_ds(texts)
+    want = (
+        corpus_freq_score(ds, vocab="broadcast").to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    got = (
+        corpus_freq_score(ds, vocab="join").to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.astype({"n_tokens": "int64", "freq_score": "int64"}),
+        want.astype({"n_tokens": "int64", "freq_score": "int64"}),
+    )
+
+
+def test_corpus_freq_pruned_understates_by_tail_mass(ray_session):
+    from wprdc_etl_ray.functions.text import corpus_freq_score
+
+    # 'the' (4x) dominates; with top_k=1 every other token scores 0
+    texts = ["the rare", "the the the", "unique"]
+    ds = docs_ds(texts)
+    got = (
+        corpus_freq_score(ds, vocab="pruned", top_k=1).to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    # doc0: (4 + 0)*1e6 // 2 ; doc1: (4*3)*1e6 // 3 ; doc2: 0
+    assert list(got["freq_score"]) == [2_000_000, 4_000_000, 0]
+    exact = (
+        corpus_freq_score(ds).to_pandas().sort_values("doc_id", ignore_index=True)
+    )
+    assert (got["freq_score"] <= exact["freq_score"]).all()

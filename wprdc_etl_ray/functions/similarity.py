@@ -382,13 +382,35 @@ class IvfIndex:
             cell = (mat @ c.T).argmax(axis=1).astype("int32")
             return batch.append_column("cell", pa.array(cell, pa.int32()))
 
+        # RESUMABLE build: cells go through the partitioned sink (one
+        # dir + one _SUCCESS marker per cell); ``centroids.json`` is
+        # written LAST as the whole-index commit marker. A crashed
+        # build re-run (same deterministic centroids) skips every cell
+        # already marked complete.
+        from ..sources.sinks import resumable_write
+
         os.makedirs(index_dir, exist_ok=True)
-        ds.map_batches(assign, batch_format="pyarrow").write_parquet(
-            os.path.join(index_dir, "cells"), partition_cols=["cell"]
+        resumable_write(
+            ds.map_batches(assign, batch_format="pyarrow"),
+            os.path.join(index_dir, "cells"),
+            partition_col="cell",
         )
         with open(os.path.join(index_dir, "centroids.json"), "w") as f:
-            json.dump({"id_col": id_col, "centroids": cent.tolist()}, f)
+            json.dump({"id_col": id_col, "centroids": cent.tolist(), "layout": 2}, f)
         return cls(index_dir, cent, id_col)
+
+    @classmethod
+    def is_complete(cls, index_dir: str) -> bool:
+        """True iff a finished CURRENT-layout index lives here (the
+        commit marker exists and is layout-2 — older layouts rebuild)."""
+        import json
+        import os
+
+        path = os.path.join(index_dir, "centroids.json")
+        if not os.path.exists(path):
+            return False
+        with open(path) as f:
+            return json.load(f).get("layout") == 2
 
     @classmethod
     def open(cls, index_dir: str) -> "IvfIndex":
@@ -399,25 +421,36 @@ class IvfIndex:
             meta = json.load(f)
         return cls(index_dir, np.asarray(meta["centroids"], np.float64), meta["id_col"])
 
+    def _cell_files(self, c: int) -> list[str]:
+        import glob as _glob
+        import os
+
+        return _glob.glob(
+            os.path.join(self.index_dir, "cells", "data", f"cell={c}", "*.parquet")
+        )
+
     def probe_cells(self, query: np.ndarray, n_probe: int) -> list[int]:
         q = np.asarray(query, np.float64)
         q = q / max(np.linalg.norm(q), 1e-12)
         return np.argsort(-(self.centroids @ q))[:n_probe].tolist()
 
     def query_batch(
-        self, queries: np.ndarray, k: int = 5, n_probe: int = 4
-    ) -> pd.DataFrame:
+        self, queries: np.ndarray, k: int = 5, n_probe: int = 4,
+        as_dataset: bool = False,
+    ):
         """Top-k for MANY queries — the IVF scale path: queries are
         grouped by probed cell, each touched cell's files are scanned
         ONCE for all of its queries (one Ray task per cell, matmul of
-        cell-matrix × cell-queries), and the driver merges only the
-        k × n_probe candidate rows per query. A cell untouched by any
-        query is never read.
+        cell-matrix × cell-queries), and the per-cell candidates merge
+        through the DISTRIBUTED ``topk_per_key`` exchange — the driver
+        never concatenates the k × n_probe candidate rows per query. A
+        cell untouched by any query is never read.
 
         Returns (qid, vec_id, cosine micro) with exactly min(k, hits)
-        rows per query, ordered by (qid, -cosine, vec_id)."""
-        import glob as _glob
-        import os
+        rows per query. ``as_dataset=True`` (the 10^6-query path)
+        returns the merged Dataset unmaterialized; the default returns
+        a DataFrame ordered by (qid, -cosine, vec_id) for small query
+        sets."""
 
         q = np.asarray(queries, np.float64)
         q = q / np.linalg.norm(q, axis=1, keepdims=True).clip(min=1e-12)
@@ -451,42 +484,51 @@ class IvfIndex:
 
         refs = []
         for c, qids in by_cell.items():
-            files = _glob.glob(
-                os.path.join(self.index_dir, "cells", f"cell={c}", "*.parquet")
-            )
+            files = self._cell_files(c)
             if not files:
                 continue
             refs.append(
                 scan_cell.remote(files, q[qids], np.asarray(qids, np.int64), self.id_col)
             )
         if not refs:
-            return pd.DataFrame(
+            empty = pd.DataFrame(
                 {"qid": pd.Series([], dtype="int64"),
                  self.id_col: pd.Series([], dtype="int64"),
                  "cosine": pd.Series([], dtype="int64")}
             )
-        cand = pd.concat(ray.get(refs), ignore_index=True)
-        cand = cand.sort_values(
+            return ray.data.from_pandas(empty) if as_dataset else empty
+
+        from .relational import topk_per_key
+
+        # per-cell candidate frames become Dataset blocks (zero-copy
+        # from the task outputs); the global per-query top-k runs
+        # through the exchange with top-k as its own combiner
+        cand = ray.data.from_pandas_refs(refs)
+        winners = topk_per_key(
+            cand, ["qid"], ["cosine", self.id_col], k, descending=[True, False]
+        )
+
+        def to_micro(batch: pd.DataFrame) -> pd.DataFrame:
+            batch["cosine"] = np.floor(
+                batch["cosine"].to_numpy() * 1_000_000 + 0.5
+            ).astype("int64")
+            return batch
+
+        winners = winners.map_batches(to_micro, batch_format="pandas")
+        if as_dataset:
+            return winners
+        out = winners.to_pandas()
+        return out.sort_values(
             ["qid", "cosine", self.id_col], ascending=[True, False, True],
             kind="stable", ignore_index=True,
         )
-        out = cand.groupby("qid", sort=False).head(k).reset_index(drop=True)
-        out["cosine"] = np.floor(out["cosine"] * 1_000_000 + 0.5).astype("int64")
-        return out
 
     def query(
         self, query: np.ndarray, k: int = 5, n_probe: int = 4
     ) -> pd.DataFrame:
         """Read ONLY the probed cells' partitions; exact top-k inside."""
-        import glob as _glob
-        import os
-
         dirs = [
-            f
-            for c in self.probe_cells(query, n_probe)
-            for f in _glob.glob(
-                os.path.join(self.index_dir, "cells", f"cell={c}", "*.parquet")
-            )
+            f for c in self.probe_cells(query, n_probe) for f in self._cell_files(c)
         ]
         if not dirs:
             return pd.DataFrame(

@@ -166,14 +166,35 @@ def fingerprint(batch: pa.Table, window: int = 8) -> pa.Table:
     )
 
 
-def corpus_freq_score(ds: ray.data.Dataset) -> ray.data.Dataset:
+def corpus_freq_score(
+    ds: ray.data.Dataset,
+    vocab: str = "broadcast",
+    top_k: int | None = None,
+) -> ray.data.Dataset:
     """Two-pass GLOBAL-statistic scoring (the unigram-LM shape without
     float logs, so the oracle is bit-exact): pass 1 aggregates corpus
     token frequencies (partial pre-agg groupby — the shuffle carries one
-    row per distinct token per block); pass 2 broadcasts the frequency
-    table (``ray.put`` once; vocabulary is Zipf-small relative to the
-    corpus) and scores each doc with the MEAN corpus frequency of its
-    tokens in exact integer micro-units (``Σfreq·10^6 // n``).
+    row per distinct token per block); pass 2 scores each doc with the
+    MEAN corpus frequency of its tokens in exact integer micro-units
+    (``Σfreq·10^6 // n``).
+
+    ``vocab`` picks the pass-2 mechanism (all three produce the same
+    schema; "broadcast" and "join" produce identical values):
+
+    - ``"broadcast"`` — the whole frequency table rides ``ray.put``
+      once. Exact; right while the vocabulary is Zipf-small relative
+      to worker heap (holds far beyond these test scales, not at open
+      web scale).
+    - ``"join"`` — EXACT at any vocabulary size: (doc_id, token) rows
+      hash-join the counts Dataset on the token, then a partial
+      pre-agg groupby on doc_id sums frequencies; no driver- or
+      worker-resident vocabulary anywhere.
+    - ``"pruned"`` — broadcast only the ``top_k`` most frequent tokens
+      (ties broken by token for determinism); tail tokens score as 0.
+      APPROXIMATE by construction: a doc's score is understated by
+      exactly its tail-token mass. The honest trade for web scale when
+      the join's extra shuffle isn't worth it — Zipf means the top-K
+      carries almost all token mass.
 
     High score = built from common tokens (boilerplate-ish); low score
     = rare vocabulary. The same two-pass plumbing carries a real LM."""
@@ -186,9 +207,20 @@ def corpus_freq_score(ds: ray.data.Dataset) -> ray.data.Dataset:
         flat, _ = split_flat(batch["text"])
         return pd.DataFrame({"w": flat})
 
-    counts = grouped_agg(
+    counts_ds = grouped_agg(
         ds.map_batches(explode, batch_format="pandas"), ["w"], [("", "count", "c")]
-    ).to_pandas()
+    )
+
+    if vocab == "join":
+        return _corpus_freq_score_join(ds, counts_ds)
+
+    counts = counts_ds.to_pandas()
+    if vocab == "pruned":
+        if top_k is None:
+            raise ValueError("vocab='pruned' requires top_k")
+        counts = counts.sort_values(
+            ["c", "w"], ascending=[False, True], kind="stable"
+        ).head(top_k)
     freq = dict(zip(counts["w"], counts["c"].astype("int64")))
     ref = _ray.put(freq)
 
@@ -211,6 +243,70 @@ def corpus_freq_score(ds: ray.data.Dataset) -> ray.data.Dataset:
         )
 
     return ds.map_batches(score, batch_format="pandas")
+
+
+def _corpus_freq_score_join(
+    ds: ray.data.Dataset, counts_ds: ray.data.Dataset
+) -> ray.data.Dataset:
+    """The no-resident-vocabulary pass 2: (doc_id, token) rows join the
+    counts Dataset on the token (hash-partitioned), per-doc sums run as
+    a partial pre-agg groupby, and zero-token docs re-enter via a left
+    join of the doc-id spine. Exact at any vocabulary size."""
+    from .hashing import split_flat
+    from .relational import grouped_agg, hash_join
+
+    def explode_with_id(batch: pd.DataFrame) -> pd.DataFrame:
+        flat, lens = split_flat(batch["text"])
+        return pd.DataFrame(
+            {"doc_id": np.repeat(batch["doc_id"].to_numpy(), lens), "w": flat}
+        )
+
+    pairs = ds.map_batches(explode_with_id, batch_format="pandas")
+    joined = hash_join(pairs, counts_ds, on="w")
+
+    # per-doc sums through OUR exchange, not Ray's groupby().aggregate():
+    # the latter emits zero-SCHEMA empty blocks (map_batches doesn't
+    # visit empty blocks, so they can't be repaired downstream) which
+    # acero rejects on the outer join below. The exchange yields only
+    # non-empty schema'd buckets, and summed partials are their own
+    # combiner, so receiver memory is O(distinct docs per bucket).
+    from .relational import bucketed_group_map
+
+    def to_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            batch.groupby("doc_id", sort=False)["c"]
+            .agg(_fsum="sum", _n="count")
+            .reset_index()
+        )
+        return g.astype({"_fsum": "int64", "_n": "int64"})
+
+    def resum(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("doc_id", sort=False)[["_fsum", "_n"]].sum().reset_index()
+
+    per_doc = bucketed_group_map(
+        joined.map_batches(to_partial, batch_format="pandas"),
+        ["doc_id"],
+        resum,
+        num_buckets=16,
+        pre_reduce=resum,
+    )
+
+    spine = hash_join(
+        ds.select_columns(["doc_id"]), per_doc, on="doc_id", join_type="left_outer"
+    )
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        n = batch["_n"].fillna(0).to_numpy(dtype=np.int64)
+        fsum = batch["_fsum"].fillna(0).to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype("int64"),
+                "n_tokens": n,
+                "freq_score": (fsum * 1_000_000) // np.maximum(n, 1),
+            }
+        )
+
+    return spine.map_batches(finish, batch_format="pandas")
 
 
 def lang_id(ds: ray.data.Dataset, concurrency: int | None = None) -> ray.data.Dataset:

@@ -941,6 +941,16 @@ def q_corpus_freq(sf_dir: str):
     return corpus_freq_score(ds)
 
 
+def q_corpus_freq_join(sf_dir: str):
+    """The no-resident-vocabulary scale path: token frequencies join the
+    (doc_id, token) rows instead of broadcasting a driver dict. Same
+    oracle as corpus_freq — the two modes are value-identical."""
+    from ..functions.text import corpus_freq_score
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return corpus_freq_score(ds, vocab="join")
+
+
 SQL_CORPUS_FREQ = r"""
 WITH words AS (
   SELECT doc_id, unnest(CASE WHEN trim(coalesce(text,'')) = '' THEN []::VARCHAR[]
@@ -1357,7 +1367,7 @@ def q_ivf_topk(sf_dir: str):
     index_dir = os.path.join(
         "/tmp/graft_ivf", os.path.basename(os.path.normpath(sf_dir))
     )
-    if os.path.exists(os.path.join(index_dir, "centroids.json")):
+    if IvfIndex.is_complete(index_dir):
         idx = IvfIndex.open(index_dir)
     else:
         idx = IvfIndex.build(ds, index_dir, n_cells=_IVF_CELLS, centroids=cent)
@@ -1393,7 +1403,7 @@ def q_ivf_topk_batch(sf_dir: str):
     index_dir = os.path.join(
         "/tmp/graft_ivf", os.path.basename(os.path.normpath(sf_dir))
     )
-    if os.path.exists(os.path.join(index_dir, "centroids.json")):
+    if IvfIndex.is_complete(index_dir):
         idx = IvfIndex.open(index_dir)
     else:
         idx = IvfIndex.build(ds, index_dir, n_cells=_IVF_CELLS, centroids=cent)
@@ -1492,13 +1502,13 @@ def queries():
         "event_windows_sliding": q_event_windows_sliding,
         "quality_score": q_quality,
         "corpus_freq": q_corpus_freq,
+        "corpus_freq_join": q_corpus_freq_join,
         "lang_source_stats": q_lang_source_stats,
         "embed_stats": q_embed_stats,
         "multimodal_features": q_multimodal_features,
         "multimodal_pipeline": q_multimodal_pipeline,
         "knn_all": q_knn_all,
         "cosine_topk": q_cosine_topk,
-        # rows-only (heuristic / not SQL-expressible)
         "lang_id": q_lang_id,
         "doc_fingerprint": q_fingerprint,
         "minhash_pairs": q_minhash_pairs,
@@ -1539,6 +1549,7 @@ def oracle_sql():
         "event_windows_sliding": SQL_EVENT_WINDOWS_SLIDING,
         "quality_score": SQL_QUALITY,
         "corpus_freq": SQL_CORPUS_FREQ,
+        "corpus_freq_join": SQL_CORPUS_FREQ,
         "lang_source_stats": SQL_LANG_SOURCE_STATS,
         "embed_stats": SQL_EMBED_STATS,
         "multimodal_features": SQL_MULTIMODAL,
