@@ -798,3 +798,24 @@ def test_corpus_freq_pruned_understates_by_tail_mass(ray_session):
         corpus_freq_score(ds).to_pandas().sort_values("doc_id", ignore_index=True)
     )
     assert (got["freq_score"] <= exact["freq_score"]).all()
+
+
+def test_minhash_verify_distributed_equals_broadcast(ray_session):
+    """pairs_broadcast_cap=0 forces the join-based distributed verify;
+    its verified pairs must equal the broadcast path's exactly."""
+    from wprdc_etl_ray.functions.dedup import minhash_near_dups
+
+    base = "the quick brown fox jumps over the lazy dog and keeps running onward " * 3
+    texts = [base, base + "tiny change", base + "other small edit",
+             "a completely different document with its own words here"] * 5
+    ds = docs_ds(texts)
+
+    def norm(out):
+        return out.to_pandas().sort_values(
+            ["doc_a", "doc_b"], ignore_index=True
+        )
+
+    broad = norm(minhash_near_dups(ds))
+    dist = norm(minhash_near_dups(ds, pairs_broadcast_cap=0))
+    pd.testing.assert_frame_equal(dist, broad)
+    assert len(broad) > 0

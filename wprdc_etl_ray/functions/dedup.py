@@ -574,10 +574,11 @@ def verify_jaccard_pairs(
     n: int = 3,
     threshold_micro: int = 800_000,
     num_buckets: int = 16,
+    pairs_broadcast_cap: int = 1_000_000,
 ) -> ray.data.Dataset:
     """Distributed exact word-n-gram Jaccard verification of candidate
-    pairs — the pair list stays a DATASET end to end (no driver-resident
-    pair structure, no ``ray.put`` of the pair frame):
+    pairs — the pair list stays a DATASET (no unbounded driver-resident
+    pair structure):
 
     1. one NARROW exchange on (doc_a, doc_b) dedups candidate pairs
        (a pair can match in several LSH bands) and explodes each to two
@@ -588,6 +589,13 @@ def verify_jaccard_pairs(
        the exact set intersection runs per bucket over NUMPY arrays
        (single merge, no per-pair DataFrame indexing) with a per-doc
        gram cache.
+
+    Auto small-side path (the cdc exchange='auto' pattern): when the
+    candidate set is at most ``pairs_broadcast_cap`` rows (16 B each —
+    the cap bounds driver memory at ~16 MB), steps 1–2 collapse to a
+    single ``ray.put`` broadcast + per-batch merge, skipping the join's
+    actor-pool spawn, which dominates at small scale. Results are
+    identical; only the data movement differs.
 
     Jaccard is exported in exact integer micro-units:
     ``(inter*2e6 + union) // (2*union)`` — round-half-up without
@@ -618,17 +626,43 @@ def verify_jaccard_pairs(
             ignore_index=True,
         )
 
-    long = bucketed_group_map(
-        pairs, ["doc_a", "doc_b"], distinct_explode, num_buckets=num_buckets
-    )
+    if pairs.count() <= pairs_broadcast_cap:
+        # ---- small side: broadcast the deduped long rows once ----
+        long_df = pairs.to_pandas()[["doc_a", "doc_b"]].drop_duplicates(
+            ignore_index=True
+        )
+        long_df = pd.concat(
+            [
+                long_df.assign(doc_id=long_df["doc_a"].to_numpy(), side=0),
+                long_df.assign(doc_id=long_df["doc_b"].to_numpy(), side=1),
+            ],
+            ignore_index=True,
+        )
+        lref = ray.put(long_df)
 
-    # ---- (2) attach texts: corpus partitioned by doc_id, one pass ----
-    joined = hash_join(
-        long,
-        docs.select_columns(["doc_id", "text"]),
-        on="doc_id",
-        num_partitions=num_buckets,
-    )
+        def attach(batch: pd.DataFrame) -> pd.DataFrame:
+            return batch[["doc_id", "text"]].merge(ray.get(lref), on="doc_id")
+
+        joined = docs.map_batches(attach, batch_format="pandas")
+    else:
+        # exchange="direct", not auto: the sort path's map_groups emits
+        # zero-SCHEMA empty blocks, which crash acero inside the join
+        # below; the direct exchange's finalize never emits empty blocks
+        long = bucketed_group_map(
+            pairs,
+            ["doc_a", "doc_b"],
+            distinct_explode,
+            num_buckets=num_buckets,
+            exchange="direct",
+        )
+
+        # ---- (2) attach texts: corpus partitioned by doc_id ----
+        joined = hash_join(
+            long,
+            docs.select_columns(["doc_id", "text"]),
+            on="doc_id",
+            num_partitions=num_buckets,
+        )
 
     # ---- (3) co-locate pair sides, verify over numpy arrays ----
     def per_bucket(b: pd.DataFrame) -> pd.DataFrame:
@@ -691,6 +725,7 @@ def minhash_near_dups(
     num_perm: int = 64,
     bands: int = 16,
     concurrency: int | None = None,
+    pairs_broadcast_cap: int = 1_000_000,
 ) -> ray.data.Dataset:
     """Near-duplicate pairs = LSH candidates VERIFIED by exact word-
     n-gram Jaccard ≥ threshold — the full two-stage dedup pipeline.
@@ -704,9 +739,15 @@ def minhash_near_dups(
     cand = minhash_lsh_candidates(
         docs, num_perm=num_perm, bands=bands, concurrency=concurrency, distinct=False
     )
-    # cand stays a Dataset: verify dedups it with a narrow exchange and
-    # joins texts in — no driver-resident pair list at any point
-    return verify_jaccard_pairs(docs, cand, n=n, threshold_micro=threshold_micro)
+    # cand stays a Dataset: verify dedups it and (above the bounded
+    # broadcast cap) joins texts in with no driver-resident pair list
+    return verify_jaccard_pairs(
+        docs,
+        cand,
+        n=n,
+        threshold_micro=threshold_micro,
+        pairs_broadcast_cap=pairs_broadcast_cap,
+    )
 
 
 # --- embedding-cosine near-dup ----------------------------------------------

@@ -890,6 +890,76 @@ FROM documents d LEFT JOIN stats s ON d.doc_id = s.doc_id
 """
 
 
+def q_streaming_dedup(sf_dir: str):
+    """Cross-dataset STREAMING exact dedup driven as three arrival
+    waves over sharded seen-hash actors (functions/dedup.py::
+    StreamingDeduper). WHICH duplicate survives depends on arrival
+    order (inherent to streaming), but the surviving TEXT SET is exact
+    and deterministic — so the query projects the surviving texts,
+    giving the streaming path a value-checkable oracle
+    (= SELECT DISTINCT text). Each wave is consumed eagerly in order
+    to pin the cross-wave state sequence."""
+    from ..functions.dedup import StreamingDeduper
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    dd = StreamingDeduper(num_actors=4)
+    tabs = []
+    try:
+        for w in range(3):
+
+            def in_wave(t: pa.Table, w=w) -> pa.Table:
+                ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+                return t.filter(pa.array(ids % 3 == w))
+
+            wave = docs.map_batches(in_wave, batch_format="pyarrow")
+            tabs.append(
+                pa.table(
+                    {"text": dd.apply(wave).select_columns(["text"]).to_pandas()["text"]}
+                )
+            )
+    finally:
+        dd.shutdown()
+    return pa.concat_tables(tabs)
+
+
+SQL_STREAMING_DEDUP = "SELECT DISTINCT text FROM documents"
+
+
+def q_resumable_sink(sf_dir: str):
+    """Round trip through the resumable partitioned sink: documents
+    partitioned by ``source`` (one dir + one _SUCCESS marker each),
+    read back via read_resumable (markers gate visibility), counted per
+    partition. Checks the write→marker→read contract end to end against
+    a plain GROUP BY oracle."""
+    import shutil as _shutil
+
+    from ..functions.relational import grouped_agg
+    from ..sources.sinks import read_resumable, resumable_write
+
+    out_dir = os.path.join(
+        "/tmp/graft_sink", os.path.basename(os.path.normpath(sf_dir))
+    )
+    _shutil.rmtree(out_dir, ignore_errors=True)
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "source"])
+    resumable_write(ds, out_dir, partition_col="source")
+    back = read_resumable(out_dir)  # hive partition col comes back str
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["source"] = batch["source"].astype(str)
+        batch["n_docs"] = batch["n_docs"].astype("int64")
+        return batch
+
+    return grouped_agg(back, ["source"], [("", "count", "n_docs")]).map_batches(
+        finish, batch_format="pandas"
+    )
+
+
+SQL_RESUMABLE_SINK = (
+    "SELECT CAST(source AS VARCHAR) AS source, COUNT(*) AS n_docs "
+    "FROM documents GROUP BY source"
+)
+
+
 def q_lang_source_stats(sf_dir: str):
     """Text stats grouped by document METADATA (lang × source): doc
     counts + exact integer token sums/means — the text kernels composed
@@ -1504,6 +1574,8 @@ def queries():
         "corpus_freq": q_corpus_freq,
         "corpus_freq_join": q_corpus_freq_join,
         "lang_source_stats": q_lang_source_stats,
+        "streaming_dedup": q_streaming_dedup,
+        "resumable_sink": q_resumable_sink,
         "embed_stats": q_embed_stats,
         "multimodal_features": q_multimodal_features,
         "multimodal_pipeline": q_multimodal_pipeline,
@@ -1551,6 +1623,8 @@ def oracle_sql():
         "corpus_freq": SQL_CORPUS_FREQ,
         "corpus_freq_join": SQL_CORPUS_FREQ,
         "lang_source_stats": SQL_LANG_SOURCE_STATS,
+        "streaming_dedup": SQL_STREAMING_DEDUP,
+        "resumable_sink": SQL_RESUMABLE_SINK,
         "embed_stats": SQL_EMBED_STATS,
         "multimodal_features": SQL_MULTIMODAL,
         "multimodal_pipeline": SQL_MULTIMODAL_PIPELINE,
