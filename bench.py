@@ -197,7 +197,7 @@ def run_tail() -> dict:
     sf = _sf_of(SF_DIR)
     wal, n_events = prepare_wal(sf)
     segs = sorted(_glob.glob(os.path.join(wal, "seg-*.parquet")))
-    waves = 4
+    waves = int(os.environ.get("GRAFT_TAIL_WAVES", "4"))
     per = (len(segs) + waves - 1) // waves
 
     live_wal = os.path.join(BENCH_TMP, f"tail-wal-{NUM_CPUS}")

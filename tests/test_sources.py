@@ -120,3 +120,35 @@ def test_resumable_write_skips_completed_partitions(ray_session, tmp_path):
     counts = got.groupby("k").size()
     # unmarked dirs are CLEARED before rewrite: exactly one copy per row
     assert all(counts.loc[str(k)] == 25 for k in range(4))
+
+
+def test_remote_file_connector_file_url(ray_session, tmp_path):
+    """S2/S3 connectors over file:// URLs (urllib serves them with no
+    network; the same call handles http(s) where one exists)."""
+    from wprdc_etl_ray.errors import ConnectorError
+    from wprdc_etl_ray.sources.connectors import (
+        fetch_url,
+        http_connector,
+        remote_file_connector,
+    )
+
+    src = tmp_path / "people.csv"
+    src.write_text("Name,Favorite Color\nalice,red\nbob,blue\n")
+    ds = remote_file_connector(f"file://{src}", format="csv")
+    df = ds.to_pandas()
+    assert list(df.columns) == ["name", "favorite_color"]  # normalized
+    assert list(df["name"]) == ["alice", "bob"]
+
+    j = tmp_path / "rows.json"
+    j.write_text('{"a": 1, "b": "x"}\n{"a": 2, "b": "y"}\n')
+    jd = http_connector(f"file://{j}", format="json").to_pandas()
+    assert sorted(jd["a"]) == [1, 2]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ConnectorError):
+        fetch_url("file:///nonexistent/definitely-missing.csv")
+    with _pytest.raises(ConnectorError):
+        fetch_url("gopher://host/x")
+    with _pytest.raises(ConnectorError):
+        remote_file_connector(f"file://{src}", format="xml")

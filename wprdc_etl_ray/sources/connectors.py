@@ -15,9 +15,12 @@ Reference parity, re-expressed Ray-Data-first:
 - ``Extractor`` base (pipeline/extractors.py::Extractor) → the
   ``decoder`` plug-point: any callable ``pa.Table -> pa.Table``
   appended after the read.
-- ``RemoteFileConnector`` / ``HTTPConnector`` / ``SFTPConnector`` →
-  this sandbox has no network; the plug-points exist and raise
-  ``ConnectorError`` naming the missing capability.
+- ``RemoteFileConnector`` / ``HTTPConnector`` → :func:`fetch_url`
+  (urllib, streamed to a local file) + the matching local reader.
+  Offline this is exercised against ``file://`` URLs; the identical
+  call serves http(s) when a network exists.
+- ``SFTPConnector`` → plug-point raising ``ConnectorError`` (wprdc-etl
+  uses paramiko, which is not installed here).
 """
 
 from __future__ import annotations
@@ -169,20 +172,61 @@ def read_parquet_source(
     return ray.data.read_parquet(paths, columns=columns)
 
 
-def remote_file_connector(url: str, **kwargs):
-    """Reference S2 plug-point. No network in this environment."""
-    raise ConnectorError(
-        f"remote file source {url!r}: no network access in this environment; "
-        "point read_csv_source/read_parquet_source at a local mirror "
-        "(Arrow filesystems make the same call work against http/s3 when present)"
-    )
+def fetch_url(url: str, dest_dir: str | None = None, timeout: float = 60.0) -> str:
+    """Fetch ``url`` to a local file and return its path (streamed in
+    4 MiB blocks — never whole-response-in-memory). ``urllib`` serves
+    ``file://`` URLs with no network (how this sandbox tests the
+    connectors) and ``http(s)://`` identically when a network exists.
+    Reference parity: wprdc-etl pipeline/connectors.py::
+    RemoteFileConnector downloads-then-parses the same way."""
+    import os
+    import tempfile
+    import urllib.error
+    import urllib.parse
+    import urllib.request
+
+    scheme = urllib.parse.urlparse(url).scheme
+    if scheme not in ("file", "http", "https", "ftp"):
+        raise ConnectorError(f"remote source {url!r}: unsupported scheme {scheme!r}")
+    name = os.path.basename(urllib.parse.urlparse(url).path) or "download"
+    dest_dir = dest_dir or tempfile.mkdtemp(prefix="wprdc-fetch-")
+    os.makedirs(dest_dir, exist_ok=True)
+    dest = os.path.join(dest_dir, name)
+    try:
+        with urllib.request.urlopen(url, timeout=timeout) as r, open(dest, "wb") as f:
+            while chunk := r.read(4 << 20):
+                f.write(chunk)
+    except (urllib.error.URLError, OSError) as e:
+        raise ConnectorError(f"remote source {url!r}: fetch failed: {e}") from e
+    return dest
 
 
-def http_connector(url: str, **kwargs):
-    """Reference S3 plug-point. No network in this environment."""
-    raise ConnectorError(
-        f"http source {url!r}: no network access in this environment"
-    )
+def remote_file_connector(
+    url: str,
+    format: str = "csv",
+    dest_dir: str | None = None,
+    **read_kwargs,
+) -> ray.data.Dataset:
+    """Reference S2 (RemoteFileConnector): fetch a remote file, then
+    parse with the matching local reader (csv/json/parquet — the
+    CSVExtractor semantics apply to csv). Works against ``file://``
+    URLs offline; the identical call handles http(s) when a network
+    exists."""
+    path = fetch_url(url, dest_dir=dest_dir)
+    if format == "csv":
+        return read_csv_source(path, **read_kwargs)
+    if format == "json":
+        return read_json_source(path, **read_kwargs)
+    if format == "parquet":
+        return read_parquet_source(path, **read_kwargs)
+    raise ConnectorError(f"remote source {url!r}: unknown format {format!r}")
+
+
+def http_connector(url: str, format: str = "json", **read_kwargs) -> ray.data.Dataset:
+    """Reference S3 (HTTPConnector — wprdc-etl fetches JSON API
+    responses): fetch + parse, defaulting to JSON. Same transport as
+    remote_file_connector (urllib; file:// for offline tests)."""
+    return remote_file_connector(url, format=format, **read_kwargs)
 
 
 def sftp_connector(path: str, **kwargs):
