@@ -819,3 +819,80 @@ def test_minhash_verify_distributed_equals_broadcast(ray_session):
     dist = norm(minhash_near_dups(ds, pairs_broadcast_cap=0))
     pd.testing.assert_frame_equal(dist, broad)
     assert len(broad) > 0
+
+
+def _brute_jaccard_pairs(texts, n=3, t_micro=800_000):
+    from wprdc_etl_ray.functions.dedup import _gram_set
+
+    grams = {i: _gram_set(t, n) for i, t in enumerate(texts)}
+    rows = []
+    for a in range(len(texts)):
+        for b in range(a + 1, len(texts)):
+            inter = len(grams[a] & grams[b])
+            uni = len(grams[a] | grams[b]) or 1
+            jm = (inter * 2_000_000 + uni) // (2 * uni)
+            if jm >= t_micro:
+                rows.append((a, b, jm))
+    return (
+        pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"])
+        .astype({"doc_a": "int64", "doc_b": "int64", "jaccard": "int64"})
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+
+
+def test_ngram_jaccard_prefix_filter_matches_bruteforce(ray_session):
+    """Prefix filtering guarantees recall (no LSH luck): output must
+    EQUAL exact all-pairs Jaccard on a corpus with exact dups, near
+    dups, short docs and empty docs."""
+    from wprdc_etl_ray.functions.dedup import ngram_jaccard_pairs
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(50)]
+    texts = [" ".join(rng.choice(vocab, rng.integers(0, 12))) for _ in range(80)]
+    texts += [texts[0], texts[1] + " extra", "", "", "a b"]
+    exp = _brute_jaccard_pairs(texts)
+    got = (
+        ngram_jaccard_pairs(docs_ds(texts), order="hash")
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp)
+    assert len(exp) > 0
+
+
+def test_ngram_jaccard_df_order_matches_hash_order(ray_session):
+    """Any fixed global shingle order is correct — the df-ascending
+    order (extra count pass + join) must give identical pairs."""
+    from wprdc_etl_ray.functions.dedup import ngram_jaccard_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 2
+    texts = [base, base + "lambda", base + "mu nu",
+             "totally different words in this one document here now"] * 3 + ["", "x y"]
+    a = (
+        ngram_jaccard_pairs(docs_ds(texts), order="hash")
+        .to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    )
+    b = (
+        ngram_jaccard_pairs(docs_ds(texts), order="df")
+        .to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0
+    pd.testing.assert_frame_equal(a, _brute_jaccard_pairs(texts))
+
+
+def test_ngram_jaccard_threshold_one_keeps_exact_dups(ray_session):
+    """t=1.0 -> prefix length 1 (the single smallest shingle); exact
+    duplicates must still pair up, strict near-dups must not."""
+    from wprdc_etl_ray.functions.dedup import ngram_jaccard_pairs
+
+    texts = ["one two three four five", "one two three four five",
+             "one two three four five six", "unrelated doc entirely"]
+    got = (
+        ngram_jaccard_pairs(docs_ds(texts), threshold_micro=1_000_000)
+        .to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    )
+    assert got[["doc_a", "doc_b"]].values.tolist() == [[0, 1]]
+    assert got["jaccard"].tolist() == [1_000_000]

@@ -750,6 +750,196 @@ def minhash_near_dups(
     )
 
 
+# --- exact n-gram Jaccard similarity join (prefix filtering) -----------------
+
+
+def _distinct_shingle_rows(
+    batch: pd.DataFrame, n: int, t_micro: int, prefix_only: bool
+) -> pd.DataFrame:
+    """Per-doc DISTINCT word-n-gram hashes as (shingle, doc_id, set_size)
+    rows — fully batch-vectorized (flat word array → rolling shingle
+    combine → one lexsort for per-doc distinct + per-doc hash order).
+
+    ``prefix_only=True`` keeps only each doc's PREFIX under the global
+    hash order: p = s - ceil(t·s) + 1 of its s distinct shingles — the
+    prefix-filtering principle (public similarity-join literature:
+    SSJoin / All-Pairs / PPJoin): any two sets with Jaccard ≥ t share at
+    least one token in their p-prefixes under ANY fixed total order on
+    the token universe. Short docs (< n words) take one whole-doc
+    shingle; empty docs hash the empty gram — both mirror
+    ``_gram_set``'s semantics so the verify stage agrees."""
+    if len(batch) == 0:
+        return pd.DataFrame(
+            {
+                "shingle": pd.Series([], dtype="int64"),
+                "doc_id": pd.Series([], dtype="int64"),
+                "set_size": pd.Series([], dtype="int64"),
+            }
+        )
+    hasher = _STAGE_MEMO.get(("MinHasher-shingle", n))
+    if hasher is None:
+        hasher = _STAGE_MEMO.setdefault(
+            ("MinHasher-shingle", n), MinHasher(shingle_len=n)
+        )
+    sh, m = hasher._shingles_flat(batch["text"])
+    D = len(batch)
+    doc_of = np.repeat(np.arange(D), m)
+    order = np.lexsort((sh, doc_of))
+    d2, s2 = doc_of[order], sh[order]
+    uniq = np.empty(len(d2), dtype=bool)
+    uniq[:1] = True
+    np.logical_or(d2[1:] != d2[:-1], s2[1:] != s2[:-1], out=uniq[1:])
+    dd, ss = d2[uniq], s2[uniq]
+    sizes = np.bincount(dd, minlength=D)  # distinct-shingle count per doc
+    if prefix_only:
+        first = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+        rank = np.arange(len(dd)) - first[dd]  # 0-based hash-order rank
+        alpha = (t_micro * sizes + 999_999) // 1_000_000  # ceil(t·s)
+        p = sizes - alpha + 1
+        keep = rank < p[dd]
+        dd, ss = dd[keep], ss[keep]
+    ids = batch["doc_id"].to_numpy()
+    return pd.DataFrame(
+        {
+            "shingle": ss.view(np.int64),
+            "doc_id": ids[dd].astype("int64"),
+            "set_size": sizes[dd].astype("int64"),
+        }
+    )
+
+
+def _pairs_per_shingle(bucket: pd.DataFrame) -> pd.DataFrame:
+    """All (doc_a < doc_b) pairs sharing a blocking shingle. Runs once
+    per bucket; the loop is over multi-doc shingle GROUPS only."""
+    sizes = bucket.groupby("shingle", sort=False)["doc_id"].nunique()
+    hot = sizes[sizes >= 2]
+    if hot.empty:
+        return pd.DataFrame(
+            {"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64")}
+        )
+    sub = bucket.set_index("shingle").loc[hot.index]
+    out_a, out_b = [], []
+    for _, grp in sub.groupby(level=0, sort=False):
+        ids = np.unique(grp["doc_id"].to_numpy())
+        a, b = np.triu_indices(len(ids), k=1)
+        out_a.append(ids[a])
+        out_b.append(ids[b])
+    return pd.DataFrame(
+        {
+            "doc_a": np.concatenate(out_a).astype("int64"),
+            "doc_b": np.concatenate(out_b).astype("int64"),
+        }
+    ).drop_duplicates(ignore_index=True)
+
+
+def ngram_jaccard_pairs(
+    docs: ray.data.Dataset,
+    threshold_micro: int = 800_000,
+    n: int = 3,
+    order: str = "hash",
+    num_buckets: int = 64,
+    pairs_broadcast_cap: int = 1_000_000,
+) -> ray.data.Dataset:
+    """EXACT n-gram Jaccard similarity self-join: every pair of documents
+    with word-n-gram Jaccard ≥ threshold — no LSH, no probabilistic
+    recall. Candidate generation uses PREFIX FILTERING (the classic
+    similarity-join bound): under a fixed global order on shingles, a
+    pair at Jaccard ≥ t must share a shingle within each side's
+    (s - ceil(t·s) + 1)-prefix, so only prefix shingles are emitted as
+    blocking keys and grouped — the shuffle carries (shingle, doc_id)
+    int64 rows, never text. Candidates then run the standard distributed
+    exact-Jaccard verify (pair dedup → text join → per-bucket set
+    intersection), giving precision 1 on the true gram strings; recall
+    is exact modulo 64-bit shingle-hash collisions (~N²·2⁻⁶⁴).
+
+    ``order`` picks the global shingle order:
+
+    - ``"hash"`` (default) — the hash value itself; zero extra passes.
+      Caveat: a corpus-hot shingle that lands in many prefixes makes an
+      O(m²) candidate bucket (e.g. thousands of empty/boilerplate docs).
+    - ``"df"`` — ascending document frequency (ties by hash): one extra
+      narrow count pass + a hash join, and every prefix then holds each
+      doc's RAREST shingles, collapsing hot buckets — the skewed-corpus
+      path. Output is identical (any total order is correct).
+
+    Output: (doc_a < doc_b, jaccard in integer micro-units)."""
+    if order not in ("hash", "df"):
+        raise ValueError(f"order must be 'hash' or 'df', got {order!r}")
+    t_micro = threshold_micro
+
+    if order == "hash":
+        prefix_rows = docs.map_batches(
+            lambda b: _distinct_shingle_rows(b, n, t_micro, prefix_only=True),
+            batch_format="pandas",
+            batch_size=2048,
+        )
+    else:
+        # all distinct (shingle, doc_id, set_size) rows — narrow int64s
+        all_rows = docs.map_batches(
+            lambda b: _distinct_shingle_rows(b, n, t_micro, prefix_only=False),
+            batch_format="pandas",
+            batch_size=2048,
+        ).materialize()  # feeds BOTH the df count and the prefix join;
+        # narrow (3×int64) rows in the object store, never the driver
+
+        def partial_df(b: pd.DataFrame) -> pd.DataFrame:
+            # in-batch partial pre-agg BEFORE the exchange; rows are
+            # already per-doc distinct, so count == document frequency
+            g = b.groupby("shingle", sort=False).size().reset_index(name="df")
+            g["df"] = g["df"].astype("int64")
+            return g
+
+        def sum_df(bucket: pd.DataFrame) -> pd.DataFrame:
+            # same-schema + idempotent: serves as BOTH the receiver
+            # combiner (pre_reduce) and the final per-bucket kernel
+            return bucket.groupby("shingle", sort=False)["df"].sum().reset_index()
+
+        dfreq = bucketed_group_map(
+            all_rows.map_batches(partial_df, batch_format="pandas"),
+            ["shingle"],
+            sum_df,
+            num_buckets=num_buckets,
+            exchange="direct",
+            pre_reduce=sum_df,
+        )
+        from .relational import hash_join
+
+        # hash_join clamps partitions to cluster CPUs (aggregator
+        # actors deadlock when overscheduled on a small cluster)
+        with_df = hash_join(all_rows, dfreq, on="shingle", num_partitions=num_buckets)
+
+        def take_prefix(bucket: pd.DataFrame) -> pd.DataFrame:
+            b = bucket.sort_values(["doc_id", "df", "shingle"], kind="stable")
+            sizes = b["set_size"].to_numpy()
+            rank = b.groupby("doc_id", sort=False).cumcount().to_numpy()
+            alpha = (t_micro * sizes + 999_999) // 1_000_000
+            keep = rank < (sizes - alpha + 1)
+            return b.loc[keep, ["shingle", "doc_id", "set_size"]]
+
+        prefix_rows = bucketed_group_map(
+            with_df,
+            ["doc_id"],
+            take_prefix,
+            num_buckets=num_buckets,
+            exchange="direct",
+        )
+
+    cand = bucketed_group_map(
+        prefix_rows,
+        ["shingle"],
+        _pairs_per_shingle,
+        num_buckets=num_buckets,
+        exchange="direct",
+    )
+    return verify_jaccard_pairs(
+        docs,
+        cand,
+        n=n,
+        threshold_micro=t_micro,
+        pairs_broadcast_cap=pairs_broadcast_cap,
+    )
+
+
 # --- embedding-cosine near-dup ----------------------------------------------
 
 

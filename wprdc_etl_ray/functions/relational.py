@@ -98,7 +98,15 @@ def hash_join(
     num_partitions: int = 16,
 ) -> ray.data.Dataset:
     """Partitioned hash join of two large Datasets (``Dataset.join`` —
-    hash-partitioned on the key, Ray 2.49)."""
+    hash-partitioned on the key, Ray 2.49).
+
+    ``num_partitions`` is clamped to the cluster's CPU count: the join
+    spawns one aggregator ACTOR per partition, and requesting more
+    actors than schedulable slots DEADLOCKS a small cluster (observed:
+    64 partitions on 8 CPUs never finishes). On a big cluster the
+    requested partition count passes through unchanged."""
+    cpus = int(ray.cluster_resources().get("CPU", num_partitions) or num_partitions)
+    num_partitions = max(1, min(num_partitions, cpus))
     on_t = (on,) if isinstance(on, str) else tuple(on)
     r_t = None if right_on is None else ((right_on,) if isinstance(right_on, str) else tuple(right_on))
     return left.join(

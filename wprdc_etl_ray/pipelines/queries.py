@@ -1275,6 +1275,21 @@ WHERE (inter * 2000000 + uni) // (2 * uni) >= 800000
 """
 
 
+def q_ngram_jaccard(sf_dir: str):
+    """Exact n-gram Jaccard similarity self-join via PREFIX FILTERING
+    (no LSH): candidates = docs sharing a shingle within each side's
+    (s - ceil(t*s) + 1)-prefix under the df-ascending global shingle
+    order (guaranteed recall by the prefix-filtering principle), then
+    the same distributed exact-Jaccard verify as minhash_pairs. Oracle
+    = exact all-pairs word-3-gram Jaccard >= 0.8 — equality here is
+    GUARANTEED (modulo 64-bit shingle-hash collisions), unlike the
+    probabilistic-recall LSH path."""
+    from ..functions.dedup import ngram_jaccard_pairs
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ngram_jaccard_pairs(ds, threshold_micro=800_000, order="df")
+
+
 def q_dedup_clusters(sf_dir: str):
     """Full dedup pipeline tail: near-dup PAIRS → duplicate CLUSTERS
     (distributed connected components, hash-to-min label propagation
@@ -1584,6 +1599,7 @@ def queries():
         "lang_id": q_lang_id,
         "doc_fingerprint": q_fingerprint,
         "minhash_pairs": q_minhash_pairs,
+        "ngram_jaccard": q_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
@@ -1635,6 +1651,7 @@ def oracle_sql():
         "simhash_pairs": _sql_simhash_pairs(),
         "doc_fingerprint": _sql_fingerprint(),
         "minhash_pairs": SQL_MINHASH_PAIRS,
+        "ngram_jaccard": SQL_MINHASH_PAIRS,  # same exact-Jaccard semantics
         "dedup_clusters": _sql_dedup_clusters(),
         "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
         "cosine_lsh_pairs": _sql_cosine_lsh(),
