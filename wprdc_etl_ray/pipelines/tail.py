@@ -152,6 +152,27 @@ class MergerActor:
         }
 
 
+# waves at or below this many planned rows skip the Dataset executor
+# (fixed per-run startup cost) and run as plain chunked Ray tasks; the
+# threshold mirrors the batch path's sort/direct auto selection style
+TAIL_TASK_PATH_MAX_ROWS = 4_000_000
+
+
+@ray.remote
+def _route_files_task(paths: list[str], route_fn, batch_size: int) -> int:
+    """Read WAL segment files batch-by-batch and run the tail route
+    function — the micro-batch fast path's worker body. Each file is
+    read under its own schema (no cross-file concat), so mixed schema
+    versions inside one chunk are fine; ``route_fn`` normalizes."""
+    total = 0
+    for p in paths:
+        pf = pq.ParquetFile(p)
+        for rb in pf.iter_batches(batch_size=batch_size):
+            out = route_fn(pa.Table.from_batches([rb]))
+            total += out.column("applied")[0].as_py()
+    return total
+
+
 @dataclass
 class TailResult:
     epoch: int
@@ -206,6 +227,9 @@ class TailSession:
         self._pending_schema: pa.Schema | None = (
             public_schema(manifest) if manifest else None
         )
+        # immutable-segment footer cache: repeated polls re-plan in
+        # O(new segments), not O(all segments)
+        self._seg_meta: dict = {}
 
     def ready(self) -> None:
         """Block until every merger actor process is up and has loaded its
@@ -218,7 +242,9 @@ class TailSession:
     def poll(self) -> int:
         """Apply all WAL segments beyond the watermark to the actor pool.
         Returns the number of events routed (0 = nothing new)."""
-        chosen, new_wm, schema_groups = plan_segments(self.wal_dir, self.watermark)
+        chosen, new_wm, schema_groups = plan_segments(
+            self.wal_dir, self.watermark, meta_cache=self._seg_meta
+        )
         if not chosen:
             return 0
         seg_schemas = [pq.read_schema(g[0]) for g in schema_groups]
@@ -282,17 +308,41 @@ class TailSession:
             applied = sum(ray.get(refs))  # ack = backpressure
             return pa.table({"applied": pa.array([applied], pa.int64())})
 
-        parts_ds = []
-        for grp in schema_groups:
-            parts_ds.append(
-                ray.data.read_parquet(grp).map_batches(
-                    decode_route, batch_format="pyarrow", batch_size=cfg.batch_size
+        planned = sum(
+            pq.read_metadata(p).num_rows for p in chosen
+        )
+        if planned <= TAIL_TASK_PATH_MAX_ROWS:
+            # micro-batch fast path: a tail wave is SMALL by definition,
+            # and the Dataset streaming executor's per-run startup
+            # (operator graph, scheduling loop, iterator teardown) is a
+            # fixed serial cost paid every poll. Plain Ray tasks over
+            # file chunks do the identical per-batch work (each file
+            # read with its own schema, decode_route normalizes) with
+            # none of it. Large waves keep the Dataset path for
+            # streaming backpressure + spill.
+            ncpu = max(1, int(ray.cluster_resources().get("CPU", 8)))
+            n_chunks = min(len(chosen), ncpu * 2)
+            chunks = [chosen[i::n_chunks] for i in range(n_chunks)]
+            applied = sum(
+                ray.get(
+                    [
+                        _route_files_task.remote(c, decode_route, cfg.batch_size)
+                        for c in chunks
+                    ]
                 )
             )
-        ds = parts_ds[0]
-        for other in parts_ds[1:]:
-            ds = ds.union(other)
-        applied = sum(r["applied"] for r in ds.take_all())
+        else:
+            parts_ds = []
+            for grp in schema_groups:
+                parts_ds.append(
+                    ray.data.read_parquet(grp).map_batches(
+                        decode_route, batch_format="pyarrow", batch_size=cfg.batch_size
+                    )
+                )
+            ds = parts_ds[0]
+            for other in parts_ds[1:]:
+                ds = ds.union(other)
+            applied = sum(r["applied"] for r in ds.take_all())
         self._pending_events += applied
         self.watermark = new_wm
         return applied
