@@ -896,3 +896,43 @@ def test_ngram_jaccard_threshold_one_keeps_exact_dups(ray_session):
     )
     assert got[["doc_a", "doc_b"]].values.tolist() == [[0, 1]]
     assert got["jaccard"].tolist() == [1_000_000]
+
+
+def test_hash_sample_deterministic_and_joinable(ray_session):
+    from wprdc_etl_ray.functions.sampling import hash_sample, key_hash_u64, sample_threshold
+
+    texts = [f"doc number {i}" for i in range(400)]
+    ds = docs_ds(texts)
+    a = sorted(r["doc_id"] for r in hash_sample(ds, 0.3).take_all())
+    b = sorted(r["doc_id"] for r in hash_sample(ds, 0.3).take_all())
+    assert a == b  # rerun-stable
+    thr = sample_threshold(0.3)
+    exp = [i for i in range(400) if int(key_hash_u64(np.array([i]))[0]) < thr]
+    assert a == exp
+    # a 0.1 sample is a SUBSET of the 0.3 sample (nested thresholds)
+    small = set(r["doc_id"] for r in hash_sample(ds, 0.1).take_all())
+    assert small <= set(a)
+    assert 0 < len(small) < len(a) < 400
+
+
+def test_stratified_split_exact_quotas(ray_session):
+    from wprdc_etl_ray.functions.sampling import stratified_split
+
+    rng = np.random.default_rng(3)
+    n = 500
+    src = rng.choice(["web", "books", "code"], n, p=[0.6, 0.3, 0.1])
+    tbl = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "source": pa.array(src, pa.string()),
+    })
+    out = stratified_split(rd.from_arrow(tbl), by="source", val_frac=0.25).to_pandas()
+    assert len(out) == n and set(out["doc_id"]) == set(range(n))
+    for s, grp in out.groupby("source"):
+        n_s = len(grp)
+        assert (grp["split"] == "val").sum() == int(np.floor(0.25 * n_s))
+    # deterministic
+    out2 = stratified_split(rd.from_arrow(tbl), by="source", val_frac=0.25).to_pandas()
+    pd.testing.assert_frame_equal(
+        out.sort_values("doc_id").reset_index(drop=True),
+        out2.sort_values("doc_id").reset_index(drop=True),
+    )

@@ -960,6 +960,52 @@ SQL_RESUMABLE_SINK = (
 )
 
 
+def q_hash_sample(sf_dir: str):
+    """Deterministic Bernoulli corpus subsample: keep iff
+    md5_u64(str(doc_id)) < frac·2^64 — reproducible, engine-agnostic,
+    shuffle-free (the training-data subsample staple)."""
+    from ..functions.sampling import hash_sample
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "source"])
+    return hash_sample(ds, frac=0.25, key_col="doc_id")
+
+
+def _sql_hash_sample() -> str:
+    from ..functions.sampling import sample_threshold
+
+    thr = sample_threshold(0.25)
+    return f"""
+SELECT doc_id, source FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT
+      < {thr}::UBIGINT
+"""
+
+
+def q_stratified_split(sf_dir: str):
+    """Exact stratified train/val split by source: within each stratum
+    rank doc_ids by (md5 hash, id); first floor(0.2·n) are 'val'.
+    Per-stratum proportions exact and deterministic."""
+    from ..functions.sampling import stratified_split
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "source"])
+    return stratified_split(ds, by="source", val_frac=0.2, key_col="doc_id")
+
+
+SQL_STRATIFIED_SPLIT = r"""
+WITH r AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT,
+                    doc_id) - 1 AS rk,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM documents)
+SELECT doc_id, source,
+       CASE WHEN rk < CAST(FLOOR(0.2 * n) AS BIGINT) THEN 'val' ELSE 'train' END AS split
+FROM r
+"""
+
+
 def q_lang_source_stats(sf_dir: str):
     """Text stats grouped by document METADATA (lang × source): doc
     counts + exact integer token sums/means — the text kernels composed
@@ -1589,6 +1635,8 @@ def queries():
         "corpus_freq": q_corpus_freq,
         "corpus_freq_join": q_corpus_freq_join,
         "lang_source_stats": q_lang_source_stats,
+        "hash_sample": q_hash_sample,
+        "stratified_split": q_stratified_split,
         "streaming_dedup": q_streaming_dedup,
         "resumable_sink": q_resumable_sink,
         "embed_stats": q_embed_stats,
@@ -1639,6 +1687,8 @@ def oracle_sql():
         "corpus_freq": SQL_CORPUS_FREQ,
         "corpus_freq_join": SQL_CORPUS_FREQ,
         "lang_source_stats": SQL_LANG_SOURCE_STATS,
+        "hash_sample": _sql_hash_sample(),
+        "stratified_split": SQL_STRATIFIED_SPLIT,
         "streaming_dedup": SQL_STREAMING_DEDUP,
         "resumable_sink": SQL_RESUMABLE_SINK,
         "embed_stats": SQL_EMBED_STATS,
