@@ -155,7 +155,9 @@ class MergerActor:
 # waves at or below this many planned rows skip the Dataset executor
 # (fixed per-run startup cost) and run as plain chunked Ray tasks; the
 # threshold mirrors the batch path's sort/direct auto selection style
-TAIL_TASK_PATH_MAX_ROWS = 4_000_000
+TAIL_TASK_PATH_MAX_ROWS = int(
+    os.environ.get("GRAFT_TAIL_TASK_MAX_ROWS", "4000000")
+)
 
 
 @ray.remote
