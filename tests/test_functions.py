@@ -936,3 +936,68 @@ def test_stratified_split_exact_quotas(ray_session):
         out.sort_values("doc_id").reset_index(drop=True),
         out2.sort_values("doc_id").reset_index(drop=True),
     )
+
+
+def test_ordered_prefix_sum_matches_pandas(ray_session):
+    from wprdc_etl_ray.functions.pack import ordered_prefix_sum
+
+    rng = np.random.default_rng(11)
+    n = 3000
+    keys = [f"k{int(i):06d}" for i in rng.permutation(n)]  # shuffled order
+    vals = rng.integers(0, 500, n)
+    tbl = pa.table({"k": pa.array(keys), "v": pa.array(vals, pa.int64())})
+    exp = (
+        pd.DataFrame({"k": keys, "v": vals})
+        .sort_values("k")
+        .assign(pre_sum=lambda d: d["v"].cumsum() - d["v"])
+    )
+    # boundary-independence: any num_ranges gives the same scan
+    for nr in (1, 7, 64):
+        got = (
+            ordered_prefix_sum(rd.from_arrow(tbl), "k", "v", num_ranges=nr)
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        assert got["k"].tolist() == exp["k"].tolist()
+        assert got["pre_sum"].tolist() == exp["pre_sum"].tolist()
+        assert got["v"].tolist() == exp["v"].tolist()
+
+
+def test_ordered_prefix_sum_numeric_keys(ray_session):
+    from wprdc_etl_ray.functions.pack import ordered_prefix_sum
+
+    # int keys must order NUMERICALLY (2 < 10), not lexically
+    keys = [10, 2, 33, 7, 100, 1]
+    vals = [5, 3, 2, 1, 4, 9]
+    tbl = pa.table({"k": pa.array(keys, pa.int64()), "v": pa.array(vals, pa.int64())})
+    got = (
+        ordered_prefix_sum(rd.from_arrow(tbl), "k", "v", num_ranges=3)
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    exp = (
+        pd.DataFrame({"k": keys, "v": vals}).sort_values("k")
+        .assign(pre_sum=lambda d: d["v"].cumsum() - d["v"]).reset_index(drop=True)
+    )
+    assert got["k"].tolist() == exp["k"].tolist()
+    assert got["pre_sum"].tolist() == exp["pre_sum"].tolist()
+
+
+def test_seq_pack_concat_then_chunk(ray_session):
+    from wprdc_etl_ray.functions.pack import seq_pack
+
+    # doc i has exactly i+1 whitespace tokens
+    texts = [" ".join(["w"] * (i + 1)) for i in range(50)]
+    got = (
+        seq_pack(docs_ds(texts), budget=20, num_ranges=4)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    n_tok = np.arange(1, 51)
+    pre = np.cumsum(n_tok) - n_tok
+    assert got["n_tokens"].tolist() == n_tok.tolist()
+    assert got["pre_tokens"].tolist() == pre.tolist()
+    assert got["bin"].tolist() == (pre // 20).tolist()
+    # bins start at 0 and never decrease in corpus order (a doc longer
+    # than the budget legitimately SKIPS bins — they fall inside it)
+    bins = got["bin"].to_numpy()
+    assert bins[0] == 0 and (np.diff(bins) >= 0).all()

@@ -1,0 +1,212 @@
+"""Distributed ordered prefix sum (global scan) and sequence packing.
+
+Reference analog: none — wprdc-etl (SURVEY.md §2.1) has no ordered
+aggregate of any kind. These are the "concat-then-chunk" packing
+primitives a training-data pipeline needs: concatenate a corpus in a
+deterministic document order and split it into fixed token-budget
+chunks (bins), so each bin can become one training sequence.
+
+The hard part at 100 TB is the ORDERED global cumulative sum — a naive
+implementation sorts the whole corpus and scans it on one machine. The
+scalable shape used here is the classic three-phase distributed scan:
+
+1. **Range boundaries** — a deterministic hash-sample of the order key
+   (a few thousand values on the driver, O(num_ranges) retained) gives
+   quantile cut points; every row maps to a contiguous key range with
+   one vectorized ``np.searchsorted`` per batch. No shuffle.
+2. **Per-range totals** — ``grouped_agg`` partial pre-aggregation: each
+   batch collapses to at most ``num_ranges`` partial rows before the
+   tiny shuffle; the driver holds ONE int per range and computes the
+   exclusive range offsets.
+3. **Per-range scan** — one bucketed exchange co-locates each range,
+   the in-bucket kernel sorts its range by the order key and emits
+   ``offset[range] + local cumulative sum``. Each task touches
+   O(N / num_ranges) rows; nothing materializes globally.
+
+Determinism: the order column must be a UNIQUE key (e.g. ``doc_id``) —
+ties would make "the" prefix sum ambiguous in any engine. Membership
+and boundaries derive from md5 hashes, so re-runs, repartitioning and
+the DuckDB oracle (``SUM(...) OVER (ORDER BY key)``) all agree exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from .relational import _planned_rows, bucketed_group_map, grouped_agg
+
+__all__ = ["range_boundaries", "ordered_prefix_sum", "seq_pack"]
+
+
+def range_boundaries(
+    ds: ray.data.Dataset,
+    order_col: str,
+    num_ranges: int,
+    planned_rows: int | None = None,
+    sample_target: int | None = None,
+) -> list:
+    """Quantile cut points for ``order_col`` from a deterministic
+    strided systematic sample (``num_ranges - 1`` values kept on the
+    driver; every batch contributes ~evenly, no hashing in the scan).
+
+    Boundary QUALITY only affects balance, never correctness — ranges
+    are disjoint key intervals whatever the cuts are, so the scan's
+    result is boundary-independent (property-tested)."""
+    if num_ranges < 2:
+        return []
+    n = planned_rows if planned_rows is not None else _planned_rows(ds)
+    if n is None:
+        n = ds.count()
+    target = sample_target or max(num_ranges * 64, 4096)
+    stride = max(1, int(n) // target)
+
+    def sample(batch: pa.Table) -> pa.Table:
+        keys = batch.column(order_col).to_numpy(zero_copy_only=False)
+        return pa.table({order_col: pa.array(keys[::stride])})
+
+    picked = (
+        ds.select_columns([order_col])
+        .map_batches(sample, batch_format="pyarrow")
+        .take_all()
+    )
+    vals = sorted(r[order_col] for r in picked)
+    if not vals:
+        return []
+    cuts = []
+    for i in range(1, num_ranges):
+        c = vals[min(i * len(vals) // num_ranges, len(vals) - 1)]
+        if not cuts or c > cuts[-1]:
+            cuts.append(c)
+    return cuts
+
+
+def ordered_prefix_sum(
+    ds: ray.data.Dataset,
+    order_col: str,
+    value_col: str,
+    num_ranges: int = 64,
+    num_buckets: int = 64,
+    planned_rows: int | None = None,
+) -> ray.data.Dataset:
+    """Exclusive global prefix sum of ``value_col`` in ``order_col``
+    order: emits ``(order_col, value_col, pre_sum)`` where ``pre_sum``
+    is the sum of ``value_col`` over all rows strictly before this row
+    in ascending unique-key order. Three-phase distributed scan — see
+    the module docstring for the scale shape."""
+    cuts = range_boundaries(ds, order_col, num_ranges, planned_rows)
+    narrow = ds.select_columns([order_col, value_col])
+
+    def add_range(batch: pa.Table) -> pa.Table:
+        keys = batch.column(order_col).to_numpy(zero_copy_only=False)
+        if cuts:
+            if np.issubdtype(keys.dtype, np.number):
+                rng = np.searchsorted(np.asarray(cuts), keys, side="right")
+            else:
+                try:
+                    # fixed-width byte strings: vectorized C memcmp
+                    # ordering, identical to Python/SQL lexicographic
+                    # order for ASCII keys
+                    kb = keys.astype("S")
+                    cb = np.asarray(cuts, dtype="S")
+                    width = max(kb.dtype.itemsize, cb.dtype.itemsize)
+                    rng = np.searchsorted(
+                        cb.astype(f"S{width}"), kb.astype(f"S{width}"), side="right"
+                    )
+                except (UnicodeEncodeError, TypeError):
+                    rng = np.searchsorted(
+                        np.asarray(cuts, dtype=object), keys, side="right"
+                    )
+        else:
+            rng = np.zeros(len(keys), dtype=np.int64)
+        return batch.append_column("_range", pa.array(rng, pa.int64()))
+
+    ranged = narrow.map_batches(add_range, batch_format="pyarrow")
+
+    # phase 2: per-range totals (partial pre-agg; driver holds one
+    # int64 per range — O(num_ranges), never O(rows))
+    totals = grouped_agg(ranged, ["_range"], [(value_col, "sum", "_total")]).to_pandas()
+    totals = totals.sort_values("_range")
+    offsets = dict(
+        zip(
+            totals["_range"].to_numpy(),
+            np.concatenate([[0], np.cumsum(totals["_total"].to_numpy())[:-1]]),
+        )
+    )
+
+    # phase 3: co-locate each range, sort it, scan it
+    def scan(bucket: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for rng, g in bucket.groupby("_range", sort=False):
+            g = g.sort_values(order_col, kind="mergesort")
+            v = g[value_col].to_numpy(dtype=np.int64)
+            pre = int(offsets.get(rng, 0)) + (np.cumsum(v) - v)
+            outs.append(
+                pd.DataFrame(
+                    {
+                        order_col: g[order_col].to_numpy(),
+                        value_col: v,
+                        "pre_sum": pre,
+                    }
+                )
+            )
+        if not outs:
+            return pd.DataFrame(
+                {order_col: [], value_col: [], "pre_sum": []}
+            ).astype({value_col: np.int64, "pre_sum": np.int64})
+        return pd.concat(outs, ignore_index=True)
+
+    return bucketed_group_map(
+        ranged,
+        ["_range"],
+        scan,
+        num_buckets=num_buckets,
+        planned_rows=planned_rows,
+    )
+
+
+def seq_pack(
+    ds: ray.data.Dataset,
+    budget: int,
+    order_col: str = "doc_id",
+    num_ranges: int = 64,
+    planned_rows: int | None = None,
+) -> ray.data.Dataset:
+    """Concat-then-chunk sequence packing: lay the corpus out in
+    ``order_col`` order and assign each document to the fixed
+    token-budget bin its first token falls in —
+    ``bin = pre_tokens // budget`` over the whitespace token count.
+    Emits ``(doc_id, n_tokens, pre_tokens, bin)``; a downstream writer
+    can group by ``bin`` to emit one training sequence per bin.
+
+    Documents straddling a bin boundary belong to the bin where they
+    START (the splitter duplicates the tail into the next sequence or
+    truncates — a policy choice outside this operator). The whole
+    assignment is one distributed scan; no stage holds more than
+    O(N / num_ranges) rows or O(num_ranges) driver state."""
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    from .text import token_stats
+
+    counted = ds.map_batches(token_stats, batch_format="pyarrow").select_columns(
+        [order_col, "n_tokens"]
+    )
+    ps = ordered_prefix_sum(
+        counted, order_col, "n_tokens", num_ranges=num_ranges, planned_rows=planned_rows
+    )
+
+    def binned(batch: pa.Table) -> pa.Table:
+        pre = batch.column("pre_sum").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                order_col: batch.column(order_col),
+                "n_tokens": batch.column("n_tokens"),
+                "pre_tokens": batch.column("pre_sum"),
+                "bin": pa.array(pre // budget, pa.int64()),
+            }
+        )
+
+    return ps.map_batches(binned, batch_format="pyarrow")

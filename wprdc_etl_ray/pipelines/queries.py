@@ -1006,6 +1006,33 @@ FROM r
 """
 
 
+def q_seq_pack(sf_dir: str):
+    """Concat-then-chunk sequence packing: assign every document to the
+    fixed 2048-token training-sequence bin its first token falls in,
+    via a DISTRIBUTED ordered prefix sum (range-partitioned three-phase
+    scan — no global sort, no driver materialization; see
+    functions/pack.py)."""
+    from ..functions.pack import seq_pack
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return seq_pack(ds, budget=2048, num_ranges=16)
+
+
+SQL_SEQ_PACK = r"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+  FROM documents),
+s AS (
+  SELECT doc_id, n_tokens,
+         CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - n_tokens AS BIGINT) AS pre_tokens
+  FROM t)
+SELECT doc_id, n_tokens, pre_tokens, pre_tokens // 2048 AS bin FROM s
+"""
+
+
 def q_lang_source_stats(sf_dir: str):
     """Text stats grouped by document METADATA (lang × source): doc
     counts + exact integer token sums/means — the text kernels composed
@@ -1637,6 +1664,7 @@ def queries():
         "lang_source_stats": q_lang_source_stats,
         "hash_sample": q_hash_sample,
         "stratified_split": q_stratified_split,
+        "seq_pack": q_seq_pack,
         "streaming_dedup": q_streaming_dedup,
         "resumable_sink": q_resumable_sink,
         "embed_stats": q_embed_stats,
@@ -1689,6 +1717,7 @@ def oracle_sql():
         "lang_source_stats": SQL_LANG_SOURCE_STATS,
         "hash_sample": _sql_hash_sample(),
         "stratified_split": SQL_STRATIFIED_SPLIT,
+        "seq_pack": SQL_SEQ_PACK,
         "streaming_dedup": SQL_STREAMING_DEDUP,
         "resumable_sink": SQL_RESUMABLE_SINK,
         "embed_stats": SQL_EMBED_STATS,

@@ -154,9 +154,15 @@ class MergerActor:
 
 # waves at or below this many planned rows skip the Dataset executor
 # (fixed per-run startup cost) and run as plain chunked Ray tasks; the
-# threshold mirrors the batch path's sort/direct auto selection style
+# threshold mirrors the batch path's sort/direct auto selection style.
+# Measured (BASELINE.md, 24M-event waves, taskset 4/16 cores): task
+# path 8.96 s vs Dataset path 18.19 s at 16 cores with BETTER scaling
+# (0.838 vs 0.669) — the task path stays memory-bounded (one parquet
+# batch in flight per task, merger-actor acks as backpressure), so the
+# Dataset path is only kept for wide waves where streaming
+# backpressure + spill across many files matters.
 TAIL_TASK_PATH_MAX_ROWS = int(
-    os.environ.get("GRAFT_TAIL_TASK_MAX_ROWS", "4000000")
+    os.environ.get("GRAFT_TAIL_TASK_MAX_ROWS", "32000000")
 )
 
 
