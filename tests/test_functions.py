@@ -1001,3 +1001,62 @@ def test_seq_pack_concat_then_chunk(ray_session):
     # than the budget legitimately SKIPS bins — they fall inside it)
     bins = got["bin"].to_numpy()
     assert bins[0] == 0 and (np.diff(bins) >= 0).all()
+
+
+def test_shuffle_rank_is_permutation(ray_session):
+    from wprdc_etl_ray.functions.pack import shuffle_rank
+    from wprdc_etl_ray.functions.sampling import key_hash_u64
+
+    texts = ["x"] * 300
+    got = (
+        shuffle_rank(docs_ds(texts), num_ranges=5)
+        .to_pandas().sort_values("pos").reset_index(drop=True)
+    )
+    # pos is exactly 0..n-1 and orders ids by their md5 hash
+    assert got["pos"].tolist() == list(range(300))
+    h = key_hash_u64(got["doc_id"].to_numpy())
+    assert (np.diff(h.astype(np.uint64)) > 0).all()
+    # rerun-stable
+    got2 = shuffle_rank(docs_ds(texts), num_ranges=5).to_pandas()
+    assert dict(zip(got2["doc_id"], got2["pos"])) == dict(
+        zip(got["doc_id"], got["pos"])
+    )
+
+
+def test_cap_per_key_nested_and_capped(ray_session):
+    from wprdc_etl_ray.functions.sampling import cap_per_key
+
+    n = 400
+    tbl = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "source": pa.array([f"s{i % 3}" for i in range(n)], pa.string()),
+    })
+    small = cap_per_key(rd.from_arrow(tbl), by="source", cap=7).to_pandas()
+    big = cap_per_key(rd.from_arrow(tbl), by="source", cap=20).to_pandas()
+    assert (small.groupby("source").size() == 7).all()
+    assert (big.groupby("source").size() == 20).all()
+    # nested: the cap-7 picks are a subset of the cap-20 picks
+    assert set(small["doc_id"]) <= set(big["doc_id"])
+
+
+def test_mixture_sample_weights(ray_session):
+    from wprdc_etl_ray.functions.sampling import hash_sample, mixture_sample
+
+    n = 900
+    tbl = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "source": pa.array([f"s{i % 3}" for i in range(n)], pa.string()),
+    })
+    ds = rd.from_arrow(tbl)
+    out = mixture_sample(
+        ds, {"s0": 1.0, "s1": 0.0}, by="source", default=0.4
+    ).to_pandas()
+    by = out.groupby("source").size()
+    assert by.get("s0", 0) == 300      # weight 1.0 keeps all
+    assert "s1" not in by.index        # weight 0.0 drops all
+    assert 0 < by.get("s2", 0) < 300   # default samples some
+    # composability: s2's kept set == global hash_sample(0.4) ∩ s2
+    glob = set(r["doc_id"] for r in hash_sample(ds, 0.4).take_all())
+    assert set(out[out["source"] == "s2"]["doc_id"]) == {
+        i for i in glob if i % 3 == 2
+    }

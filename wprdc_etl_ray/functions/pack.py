@@ -39,7 +39,7 @@ import ray.data
 
 from .relational import _planned_rows, bucketed_group_map, grouped_agg
 
-__all__ = ["range_boundaries", "ordered_prefix_sum", "seq_pack"]
+__all__ = ["range_boundaries", "ordered_prefix_sum", "seq_pack", "shuffle_rank"]
 
 
 def range_boundaries(
@@ -91,14 +91,17 @@ def ordered_prefix_sum(
     num_ranges: int = 64,
     num_buckets: int = 64,
     planned_rows: int | None = None,
+    keep_cols: list[str] | None = None,
 ) -> ray.data.Dataset:
     """Exclusive global prefix sum of ``value_col`` in ``order_col``
-    order: emits ``(order_col, value_col, pre_sum)`` where ``pre_sum``
-    is the sum of ``value_col`` over all rows strictly before this row
-    in ascending unique-key order. Three-phase distributed scan — see
-    the module docstring for the scale shape."""
+    order: emits ``(order_col, value_col, pre_sum)`` (plus any
+    ``keep_cols`` passed through) where ``pre_sum`` is the sum of
+    ``value_col`` over all rows strictly before this row in ascending
+    unique-key order. Three-phase distributed scan — see the module
+    docstring for the scale shape."""
+    keep_cols = keep_cols or []
     cuts = range_boundaries(ds, order_col, num_ranges, planned_rows)
-    narrow = ds.select_columns([order_col, value_col])
+    narrow = ds.select_columns([order_col, value_col] + keep_cols)
 
     def add_range(batch: pa.Table) -> pa.Table:
         keys = batch.column(order_col).to_numpy(zero_copy_only=False)
@@ -144,19 +147,20 @@ def ordered_prefix_sum(
             g = g.sort_values(order_col, kind="mergesort")
             v = g[value_col].to_numpy(dtype=np.int64)
             pre = int(offsets.get(rng, 0)) + (np.cumsum(v) - v)
-            outs.append(
-                pd.DataFrame(
-                    {
-                        order_col: g[order_col].to_numpy(),
-                        value_col: v,
-                        "pre_sum": pre,
-                    }
-                )
-            )
+            cols = {
+                order_col: g[order_col].to_numpy(),
+                value_col: v,
+                "pre_sum": pre,
+            }
+            for c in keep_cols:
+                cols[c] = g[c].to_numpy()
+            outs.append(pd.DataFrame(cols))
         if not outs:
-            return pd.DataFrame(
-                {order_col: [], value_col: [], "pre_sum": []}
-            ).astype({value_col: np.int64, "pre_sum": np.int64})
+            empty = {order_col: [], value_col: [], "pre_sum": []}
+            empty.update({c: [] for c in keep_cols})
+            return pd.DataFrame(empty).astype(
+                {value_col: np.int64, "pre_sum": np.int64}
+            )
         return pd.concat(outs, ignore_index=True)
 
     return bucketed_group_map(
@@ -210,3 +214,58 @@ def seq_pack(
         )
 
     return ps.map_batches(binned, batch_format="pyarrow")
+
+
+def shuffle_rank(
+    ds: ray.data.Dataset,
+    key_col: str = "doc_id",
+    num_ranges: int = 64,
+    planned_rows: int | None = None,
+) -> ray.data.Dataset:
+    """Deterministic global shuffle POSITION for training order: every
+    row gets ``pos`` = its rank under the md5 hash of its key — a
+    reproducible full-corpus permutation with no RNG and no seed state
+    (the training-data "shuffle the corpus" staple, expressed so that
+    re-runs, resumed jobs and the SQL oracle all agree row-for-row).
+
+    Emits ``(key_col, pos)``. A writer can then range-partition on
+    ``pos`` to lay shuffled shards on disk. Cost: one distributed scan
+    (rank = prefix COUNT ordered by the hash) — no global sort of the
+    payload; only (key, 8-byte hash) rows move. Collisions: two keys
+    sharing a 64-bit md5 prefix would make the rank ambiguous
+    (probability ~n²/2^65 — negligible below ~10^8 rows; above that,
+    widen the hash)."""
+    from .hashing import md5_word_hashes
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+        h = md5_word_hashes(np.asarray([str(k) for k in keys], dtype=object))
+        return pa.table(
+            {
+                key_col: batch.column(key_col),
+                "_h": pa.array(h, pa.uint64()),
+                "_one": pa.array(np.ones(len(keys), np.int64)),
+            }
+        )
+
+    hashed = ds.select_columns([key_col]).map_batches(
+        add_hash, batch_format="pyarrow"
+    )
+    ps = ordered_prefix_sum(
+        hashed,
+        "_h",
+        "_one",
+        num_ranges=num_ranges,
+        planned_rows=planned_rows,
+        keep_cols=[key_col],
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                key_col: batch.column(key_col),
+                "pos": batch.column("pre_sum"),
+            }
+        )
+
+    return ps.map_batches(finish, batch_format="pyarrow")

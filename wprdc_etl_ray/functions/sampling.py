@@ -116,3 +116,81 @@ def stratified_split(
         return pd.concat(out, ignore_index=True)
 
     return bucketed_group_map(narrow, [by], per_bucket, num_buckets=num_buckets)
+
+
+def cap_per_key(
+    ds: ray.data.Dataset,
+    by: str,
+    cap: int,
+    key_col: str = "doc_id",
+    num_buckets: int = 16,
+) -> ray.data.Dataset:
+    """Deterministic per-group cap — "at most ``cap`` documents per
+    source/domain", the anti-over-representation staple of corpus
+    curation. Within each group the KEPT rows are the ``cap`` smallest
+    by (md5 hash, key): a uniform, rerun-stable choice (no RNG), and
+    raising the cap only ADDS rows (nested, like ``hash_sample``
+    thresholds).
+
+    Rides ``topk_per_key``'s partial-aggregation shape: every batch
+    pre-reduces to its local cap winners, the shuffle moves at most
+    ``cap`` rows per (group, batch), and the per-bucket head(k) is its
+    own combiner — receiver memory O(cap · groups/bucket).
+
+    Output: the input columns (projected to key_col + by)."""
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    from .relational import topk_per_key
+
+    narrow = ds.select_columns([key_col, by])
+
+    def add_h(batch: pa.Table) -> pa.Table:
+        h = key_hash_u64(batch.column(key_col).to_numpy(zero_copy_only=False))
+        return batch.append_column("_h", pa.array(h, pa.uint64()))
+
+    hashed = narrow.map_batches(add_h, batch_format="pyarrow")
+    kept = topk_per_key(
+        hashed,
+        [by],
+        ["_h", key_col],
+        cap,
+        descending=False,
+        num_buckets=num_buckets,
+    )
+    return kept.drop_columns(["_h"])
+
+
+def mixture_sample(
+    ds: ray.data.Dataset,
+    weights: dict,
+    by: str,
+    key_col: str = "doc_id",
+    default: float = 0.0,
+) -> ray.data.Dataset:
+    """Weighted multi-source mixture: keep a row of stratum ``s`` with
+    probability ``weights[s]`` (deterministic Bernoulli on the md5 of
+    its key; strata absent from ``weights`` use ``default``). This is
+    the "up-weight books, down-weight web" corpus-mixing staple — one
+    shuffle-free vectorized filter, reproducible across runs/engines,
+    and nested per-stratum (raising one weight only adds that
+    stratum's rows).
+
+    Note: hash thresholds SHARE the key hash across strata, so the
+    kept set of a stratum at weight w equals ``hash_sample(w)``
+    restricted to that stratum — mixtures compose with global samples."""
+    thr_by_stratum = {
+        s: np.uint64(sample_threshold(float(w))) for s, w in weights.items()
+    }
+    dflt = np.uint64(sample_threshold(float(default)))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        h = key_hash_u64(batch.column(key_col).to_numpy(zero_copy_only=False))
+        strata = batch.column(by).to_numpy(zero_copy_only=False)
+        # per-row thresholds via dictionary codes (vectorized lookup)
+        uniq, codes = np.unique(strata, return_inverse=True)
+        lut = np.array(
+            [thr_by_stratum.get(s, dflt) for s in uniq], dtype=np.uint64
+        )
+        return batch.filter(pa.array(h < lut[codes]))
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -1033,6 +1033,79 @@ SELECT doc_id, n_tokens, pre_tokens, pre_tokens // 2048 AS bin FROM s
 """
 
 
+def q_shuffle_rank(sf_dir: str):
+    """Deterministic global shuffle position (training order): rank of
+    each doc under the md5 hash of its id — a reproducible full-corpus
+    permutation computed as a distributed prefix COUNT, no global
+    payload sort, no RNG."""
+    from ..functions.pack import shuffle_rank
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+    return shuffle_rank(ds, key_col="doc_id", num_ranges=16)
+
+
+SQL_SHUFFLE_RANK = r"""
+SELECT doc_id,
+       row_number() OVER (
+         ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT
+       ) - 1 AS pos
+FROM documents
+"""
+
+
+def q_cap_per_source(sf_dir: str):
+    """Per-source document cap (anti-over-representation): keep the 10
+    hash-smallest docs of each source — deterministic, nested in the
+    cap, partial-pre-aggregated (shuffle carries ≤ cap rows per
+    (source, batch))."""
+    from ..functions.sampling import cap_per_key
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "source"])
+    return cap_per_key(ds, by="source", cap=10, key_col="doc_id")
+
+
+SQL_CAP_PER_SOURCE = r"""
+WITH h AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT AS hh
+  FROM documents)
+SELECT doc_id, source FROM h
+QUALIFY row_number() OVER (PARTITION BY source ORDER BY hh, doc_id) <= 10
+"""
+
+
+_MIXTURE_WEIGHTS = {"src0": 1.0, "src1": 0.5, "src2": 0.0}
+_MIXTURE_DEFAULT = 0.25
+
+
+def q_mixture_sample(sf_dir: str):
+    """Weighted source mixture: keep src0 fully, src1 at 0.5, drop
+    src2, everything else at 0.25 — deterministic per-key Bernoulli,
+    shuffle-free, composable with hash_sample (shared key hash)."""
+    from ..functions.sampling import mixture_sample
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "source"])
+    return mixture_sample(
+        ds, _MIXTURE_WEIGHTS, by="source", key_col="doc_id",
+        default=_MIXTURE_DEFAULT,
+    )
+
+
+def _sql_mixture_sample() -> str:
+    from ..functions.sampling import sample_threshold
+
+    cases = " ".join(
+        f"WHEN '{s}' THEN {sample_threshold(w)}::UBIGINT"
+        for s, w in _MIXTURE_WEIGHTS.items()
+    )
+    dflt = sample_threshold(_MIXTURE_DEFAULT)
+    return f"""
+SELECT doc_id, source FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT
+      < (CASE source {cases} ELSE {dflt}::UBIGINT END)
+"""
+
+
 def q_lang_source_stats(sf_dir: str):
     """Text stats grouped by document METADATA (lang × source): doc
     counts + exact integer token sums/means — the text kernels composed
@@ -1665,6 +1738,9 @@ def queries():
         "hash_sample": q_hash_sample,
         "stratified_split": q_stratified_split,
         "seq_pack": q_seq_pack,
+        "shuffle_rank": q_shuffle_rank,
+        "cap_per_source": q_cap_per_source,
+        "mixture_sample": q_mixture_sample,
         "streaming_dedup": q_streaming_dedup,
         "resumable_sink": q_resumable_sink,
         "embed_stats": q_embed_stats,
@@ -1718,6 +1794,9 @@ def oracle_sql():
         "hash_sample": _sql_hash_sample(),
         "stratified_split": SQL_STRATIFIED_SPLIT,
         "seq_pack": SQL_SEQ_PACK,
+        "shuffle_rank": SQL_SHUFFLE_RANK,
+        "cap_per_source": SQL_CAP_PER_SOURCE,
+        "mixture_sample": _sql_mixture_sample(),
         "streaming_dedup": SQL_STREAMING_DEDUP,
         "resumable_sink": SQL_RESUMABLE_SINK,
         "embed_stats": SQL_EMBED_STATS,
