@@ -1060,3 +1060,37 @@ def test_mixture_sample_weights(ray_session):
     assert set(out[out["source"] == "s2"]["doc_id"]) == {
         i for i in glob if i % 3 == 2
     }
+
+
+def test_clean_text_redacts_and_normalizes():
+    from wprdc_etl_ray.functions.text import clean_text
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": [
+            "Contact John.Doe+x@Example.COM  or  555-123-4567 today",
+            "server at 10.0.0.1 card 4111111111111111\n\nEND",
+            None,
+        ],
+    })
+    out = clean_text(t)
+    assert out.column("clean").to_pylist() == [
+        "contact <email> or <phone> today",
+        "server at <ip> card <longnum> end",
+        "",
+    ]
+    assert out.column("n_redactions").to_pylist() == [2, 2, 0]
+
+
+def test_exact_quantiles_dup_heavy(ray_session):
+    from wprdc_etl_ray.functions.pack import exact_quantiles
+
+    rng = np.random.default_rng(5)
+    v = rng.integers(0, 40, 10_000)  # heavy duplication: 40 distinct
+    ds = rd.from_arrow(pa.table({"v": pa.array(v, pa.int64())}))
+    qs = [0.25, 0.5, 0.75, 0.875]
+    got = exact_quantiles(ds, "v", qs, num_ranges=4)
+    s = np.sort(v)
+    exp = [int(s[max(0, int(np.ceil(q * len(v))) - 1)]) for q in qs]
+    assert got.column("q").to_pylist() == qs
+    assert got.column("value").to_pylist() == exp

@@ -39,7 +39,13 @@ import ray.data
 
 from .relational import _planned_rows, bucketed_group_map, grouped_agg
 
-__all__ = ["range_boundaries", "ordered_prefix_sum", "seq_pack", "shuffle_rank"]
+__all__ = [
+    "range_boundaries",
+    "ordered_prefix_sum",
+    "seq_pack",
+    "shuffle_rank",
+    "exact_quantiles",
+]
 
 
 def range_boundaries(
@@ -269,3 +275,60 @@ def shuffle_rank(
         )
 
     return ps.map_batches(finish, batch_format="pyarrow")
+
+
+def exact_quantiles(
+    ds: ray.data.Dataset,
+    col: str,
+    qs: list[float],
+    num_ranges: int = 64,
+    planned_rows: int | None = None,
+) -> pa.Table:
+    """EXACT global quantiles of a column at any scale — no sketch, no
+    sampling error, no single-node sort. Shape: per-batch value counts
+    collapse the corpus to its DISTINCT values (partial pre-agg), the
+    distributed scan ranks them, and each requested quantile selects
+    the unique value whose cumulative-count interval contains its
+    target rank ``max(0, ceil(q*n) - 1)`` (DuckDB ``quantile_disc``
+    convention, probed empirically). Data moved ≈ O(distinct values);
+    driver holds only the len(qs)-row result.
+
+    ``qs`` should be exact binary fractions (0.5, 0.25, 0.875, …) so
+    ``ceil(q*n)`` is float-exact in every engine. Returns a small
+    ``pa.Table (q: float64, value: int64)`` sorted by q."""
+    import math
+
+    counts = grouped_agg(
+        ds.select_columns([col]), [col], [("", "count", "_cnt")]
+    )
+    n = planned_rows if planned_rows is not None else ds.count()
+    targets = [(float(q), max(0, math.ceil(q * n) - 1)) for q in qs]
+    ps = ordered_prefix_sum(
+        counts, col, "_cnt", num_ranges=num_ranges, planned_rows=None
+    )
+
+    def pick(batch: pa.Table) -> pa.Table:
+        pre = batch.column("pre_sum").to_numpy(zero_copy_only=False)
+        cnt = batch.column("_cnt").to_numpy(zero_copy_only=False)
+        vals = batch.column(col).to_numpy(zero_copy_only=False)
+        out_q, out_v = [], []
+        for q, t in targets:  # len(qs) is tiny
+            hit = np.flatnonzero((pre <= t) & (t < pre + cnt))
+            if hit.size:
+                out_q.append(q)
+                out_v.append(vals[hit[0]])
+        return pa.table(
+            {
+                "q": pa.array(out_q, pa.float64()),
+                "value": pa.array(np.asarray(out_v, np.int64), pa.int64()),
+            }
+        )
+
+    rows = ps.map_batches(pick, batch_format="pyarrow").take_all()
+    rows.sort(key=lambda r: r["q"])
+    return pa.table(
+        {
+            "q": pa.array([r["q"] for r in rows], pa.float64()),
+            "value": pa.array([r["value"] for r in rows], pa.int64()),
+        }
+    )

@@ -329,3 +329,56 @@ def quality(ds: ray.data.Dataset, concurrency: int | None = None) -> ray.data.Da
     return ds.map_batches(
         _memoized(QualityScore), batch_format="pandas", batch_size=4096
     )
+
+
+# ASCII case-fold pair for engine-agnostic lowercasing: Arrow's
+# ascii_lower and DuckDB's translate(text, UPPER, lower) agree byte-for
+# -byte on every input, including non-ASCII text (left untouched) —
+# full-Unicode lower() implementations can differ between ICU versions,
+# so the portable contract is ASCII-only folding.
+ASCII_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+ASCII_LOWER = "abcdefghijklmnopqrstuvwxyz"
+
+# redaction patterns (RE2-compatible: no backrefs/lookarounds — the
+# same pattern string runs in Arrow's replace_substring_regex and
+# DuckDB's regexp_replace) applied in list order
+REDACT_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<email>"),
+    (r"\b\d{3}[-.]\d{3,4}[-.]\d{4}\b", "<phone>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<ip>"),
+    (r"\b\d{13,19}\b", "<longnum>"),  # card-length digit runs
+]
+
+
+def clean_text(batch: pa.Table, redact: bool = True) -> pa.Table:
+    """Normalization + PII-style redaction for corpus preparation:
+    redact emails / phone numbers / IPs / card-length digit runs, fold
+    ASCII case, collapse whitespace runs to single spaces, trim. Pure
+    Arrow kernels end-to-end (RE2 regexes, zero Python per row);
+    redaction runs BEFORE case-folding so patterns see original text;
+    pattern hits are counted on the ORIGINAL text (replacements apply
+    sequentially in list order).
+
+    Emits (doc_id, clean, n_redactions) — ``n_redactions`` is the
+    vectorized ``count_substring_regex`` hit total, the quality signal
+    used to drop PII-dense documents."""
+    text = pc.fill_null(batch.column("text"), "")
+    n_red = None
+    if redact:
+        for pat, _ in REDACT_PATTERNS:
+            hits = pc.count_substring_regex(text, pat).cast(pa.int64())
+            n_red = hits if n_red is None else pc.add(n_red, hits)
+        for pat, repl in REDACT_PATTERNS:
+            text = pc.replace_substring_regex(text, pat, repl)
+    else:
+        n_red = pa.array(np.zeros(batch.num_rows, np.int64))
+    folded = pc.ascii_lower(text)
+    collapsed = pc.replace_substring_regex(folded, r"\s+", " ")
+    trimmed = pc.utf8_trim_whitespace(collapsed)
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "clean": trimmed,
+            "n_redactions": n_red,
+        }
+    )

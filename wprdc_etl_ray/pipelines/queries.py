@@ -1106,6 +1106,62 @@ WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT
 """
 
 
+def q_clean_text(sf_dir: str):
+    """Corpus normalization + PII-style redaction: email/phone/IP/
+    card-number redaction, ASCII case-fold, whitespace collapse —
+    pure Arrow RE2 kernels, zero Python per row."""
+    from ..functions.text import clean_text
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(clean_text, batch_format="pyarrow")
+
+
+def _sql_clean_text() -> str:
+    from ..functions.text import ASCII_LOWER, ASCII_UPPER, REDACT_PATTERNS
+
+    chain = "text"
+    for pat, repl in REDACT_PATTERNS:
+        chain = f"regexp_replace({chain}, '{pat}', '{repl}', 'g')"
+    counts = " + ".join(
+        f"len(regexp_extract_all(text, '{pat}'))" for pat, _ in REDACT_PATTERNS
+    )
+    return f"""
+SELECT doc_id,
+       trim(regexp_replace(
+           translate({chain}, '{ASCII_UPPER}', '{ASCII_LOWER}'),
+           '\\s+', ' ', 'g')) AS clean,
+       CAST({counts} AS BIGINT) AS n_redactions
+FROM documents
+"""
+
+
+def q_price_quantiles(sf_dir: str):
+    """EXACT global quantiles of line-item price (integer cents) via
+    the distributed-selection scan: corpus collapses to distinct-value
+    counts (partial pre-agg), the ordered prefix sum ranks them, each
+    quantile picks the value covering its target rank — no sketch
+    error, no single-node sort, O(distinct) data movement."""
+    from ..functions.pack import exact_quantiles
+
+    ds = read_table(sf_dir, "lineitem", columns=["l_extendedprice"])
+    ds = ds.map_batches(_to_cents_cols(["l_extendedprice"]), batch_format="pyarrow")
+    return exact_quantiles(
+        ds, "l_extendedprice", [0.25, 0.5, 0.75, 0.875], num_ranges=16
+    )
+
+
+SQL_PRICE_QUANTILES = r"""
+WITH t AS (
+  SELECT CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS v FROM lineitem)
+SELECT q, value FROM (
+  SELECT 0.25::DOUBLE AS q, quantile_disc(v, 0.25) AS value FROM t
+  UNION ALL SELECT 0.5::DOUBLE, quantile_disc(v, 0.5) FROM t
+  UNION ALL SELECT 0.75::DOUBLE, quantile_disc(v, 0.75) FROM t
+  UNION ALL SELECT 0.875::DOUBLE, quantile_disc(v, 0.875) FROM t)
+ORDER BY q
+"""
+
+
 def q_lang_source_stats(sf_dir: str):
     """Text stats grouped by document METADATA (lang × source): doc
     counts + exact integer token sums/means — the text kernels composed
@@ -1741,6 +1797,8 @@ def queries():
         "shuffle_rank": q_shuffle_rank,
         "cap_per_source": q_cap_per_source,
         "mixture_sample": q_mixture_sample,
+        "clean_text": q_clean_text,
+        "price_quantiles": q_price_quantiles,
         "streaming_dedup": q_streaming_dedup,
         "resumable_sink": q_resumable_sink,
         "embed_stats": q_embed_stats,
@@ -1797,6 +1855,8 @@ def oracle_sql():
         "shuffle_rank": SQL_SHUFFLE_RANK,
         "cap_per_source": SQL_CAP_PER_SOURCE,
         "mixture_sample": _sql_mixture_sample(),
+        "clean_text": _sql_clean_text(),
+        "price_quantiles": SQL_PRICE_QUANTILES,
         "streaming_dedup": SQL_STREAMING_DEDUP,
         "resumable_sink": SQL_RESUMABLE_SINK,
         "embed_stats": SQL_EMBED_STATS,
