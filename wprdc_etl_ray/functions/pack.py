@@ -98,16 +98,27 @@ def ordered_prefix_sum(
     num_buckets: int = 64,
     planned_rows: int | None = None,
     keep_cols: list[str] | None = None,
+    cache: bool = True,
 ) -> ray.data.Dataset:
     """Exclusive global prefix sum of ``value_col`` in ``order_col``
     order: emits ``(order_col, value_col, pre_sum)`` (plus any
     ``keep_cols`` passed through) where ``pre_sum`` is the sum of
     ``value_col`` over all rows strictly before this row in ascending
     unique-key order. Three-phase distributed scan — see the module
-    docstring for the scale shape."""
+    docstring for the scale shape.
+
+    ``cache=True`` materializes the NARROW projection once in the
+    (spillable) object store: the scan inherently consumes its input
+    three times (boundary sample, range totals, routed scan), and Ray
+    Datasets are lazy — without the cache the whole upstream plan
+    (reads, groupbys, hashing) re-executes per consumption (measured
+    3.9× on the quantile query). The cached footprint is only the
+    projected scan columns, not the caller's full table."""
     keep_cols = keep_cols or []
-    cuts = range_boundaries(ds, order_col, num_ranges, planned_rows)
     narrow = ds.select_columns([order_col, value_col] + keep_cols)
+    if cache:
+        narrow = narrow.materialize()
+    cuts = range_boundaries(narrow, order_col, num_ranges, planned_rows)
 
     def add_range(batch: pa.Table) -> pa.Table:
         keys = batch.column(order_col).to_numpy(zero_copy_only=False)
@@ -298,10 +309,25 @@ def exact_quantiles(
     ``pa.Table (q: float64, value: int64)`` sorted by q."""
     import math
 
-    counts = grouped_agg(
-        ds.select_columns([col]), [col], [("", "count", "_cnt")]
-    )
-    n = planned_rows if planned_rows is not None else ds.count()
+    # distinct-value counts through the warm DIRECT exchange with a
+    # count-sum combiner: near-unique value domains make Ray's
+    # sort-based groupby the bottleneck (measured 13.2 s vs 4.5 s at
+    # 600 k rows / ~500 k distinct), and the pre_reduce keeps receiver
+    # memory O(distinct/actor)
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        g = batch.select([col]).group_by([col]).aggregate([([], "count_all")])
+        return g.rename_columns([col, "_cnt"])
+
+    def sum_counts(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby(col, as_index=False, sort=False)["_cnt"].sum()
+
+    partials = ds.map_batches(partial_counts, batch_format="pyarrow")
+    counts = bucketed_group_map(
+        partials, [col], sum_counts, num_buckets=32, pre_reduce=sum_counts
+    ).materialize()
+    # n from the materialized counts — ds.count() would re-execute the
+    # caller's whole upstream plan a second time
+    n = planned_rows if planned_rows is not None else int(counts.sum("_cnt"))
     targets = [(float(q), max(0, math.ceil(q * n) - 1)) for q in qs]
     ps = ordered_prefix_sum(
         counts, col, "_cnt", num_ranges=num_ranges, planned_rows=None
