@@ -1094,3 +1094,26 @@ def test_exact_quantiles_dup_heavy(ray_session):
     exp = [int(s[max(0, int(np.ceil(q * len(v))) - 1)]) for q in qs]
     assert got.column("q").to_pylist() == qs
     assert got.column("value").to_pylist() == exp
+
+
+def test_rolling_per_key_matches_pandas(ray_session):
+    from wprdc_etl_ray.functions.relational import rolling_per_key
+
+    rng = np.random.default_rng(9)
+    n = 2000
+    df = pd.DataFrame({
+        "k": rng.integers(0, 37, n),
+        "o": rng.permutation(n),
+        "v": rng.integers(-50, 50, n),
+    })
+    got = (
+        rolling_per_key(rd.from_pandas(df, override_num_blocks=4),
+                        ["k"], ["o"], "v", window=3)
+        .to_pandas().sort_values(["k", "o"]).reset_index(drop=True)
+    )
+    ref = df.sort_values(["k", "o"]).reset_index(drop=True)
+    ref["roll_sum"] = (
+        ref.groupby("k", sort=False)["v"].rolling(3, min_periods=1).sum()
+        .to_numpy().astype(np.int64)
+    )
+    assert got["roll_sum"].tolist() == ref["roll_sum"].tolist()

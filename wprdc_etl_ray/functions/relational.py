@@ -801,3 +801,42 @@ def distinct_sorted(ds: ray.data.Dataset, column: str) -> pa.Table:
 
     vals = ds.map_batches(uniq, batch_format="pyarrow").unique(column)
     return pa.table({column: pa.array(sorted(vals))})
+
+
+def rolling_per_key(
+    ds: ray.data.Dataset,
+    key_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    window: int,
+    out_col: str = "roll_sum",
+    num_buckets: int = 16,
+) -> ray.data.Dataset:
+    """Per-key rolling-window sum — the ``SUM(v) OVER (PARTITION BY key
+    ORDER BY ord ROWS BETWEEN window-1 PRECEDING AND CURRENT ROW)``
+    window function. One bucketed exchange on the key; inside the
+    bucket a single mergesort + pandas' C-implemented grouped rolling
+    (group-major order equals sorted order, so the result aligns
+    positionally — no per-key Python).
+
+    ``order_cols`` must be a total order per key (append a unique id).
+    Integer ``value_col`` recommended: the rolling sum is float64
+    internally, exact for |values| < 2^53 / window, then cast back."""
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+
+    def per_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        s = b.sort_values(key_cols + order_cols, kind="mergesort")
+        roll = (
+            s.groupby(key_cols, sort=False)[value_col]
+            .rolling(window, min_periods=1)
+            .sum()
+            .to_numpy()
+        )
+        s = s.copy()
+        s[out_col] = roll.astype(np.int64)
+        return s
+
+    return bucketed_group_map(
+        ds, key_cols, per_bucket, num_buckets=num_buckets
+    )

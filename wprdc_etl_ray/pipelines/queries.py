@@ -1135,6 +1135,33 @@ FROM documents
 """
 
 
+def q_rolling_user_value(sf_dir: str):
+    """Per-user rolling 5-event value sum (cents) ordered by (ts,
+    event_id) — the ROWS-window function as one bucketed exchange +
+    vectorized grouped rolling."""
+    from ..functions.relational import rolling_per_key
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+    ds = ds.map_batches(_to_cents_cols(["value"]), batch_format="pyarrow")
+    out = rolling_per_key(
+        ds, ["user_id"], ["ts", "event_id"], "value", window=5,
+        out_col="roll_cents",
+    )
+    return out.select_columns(["user_id", "event_id", "roll_cents"])
+
+
+SQL_ROLLING_USER_VALUE = r"""
+WITH t AS (
+  SELECT user_id, event_id, ts,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc
+  FROM events)
+SELECT user_id, event_id,
+       CAST(SUM(vc) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll_cents
+FROM t
+"""
+
+
 def q_price_quantiles(sf_dir: str):
     """EXACT global quantiles of line-item price (integer cents) via
     the distributed-selection scan: corpus collapses to distinct-value
@@ -1799,6 +1826,7 @@ def queries():
         "mixture_sample": q_mixture_sample,
         "clean_text": q_clean_text,
         "price_quantiles": q_price_quantiles,
+        "rolling_user_value": q_rolling_user_value,
         "streaming_dedup": q_streaming_dedup,
         "resumable_sink": q_resumable_sink,
         "embed_stats": q_embed_stats,
@@ -1857,6 +1885,7 @@ def oracle_sql():
         "mixture_sample": _sql_mixture_sample(),
         "clean_text": _sql_clean_text(),
         "price_quantiles": SQL_PRICE_QUANTILES,
+        "rolling_user_value": SQL_ROLLING_USER_VALUE,
         "streaming_dedup": SQL_STREAMING_DEDUP,
         "resumable_sink": SQL_RESUMABLE_SINK,
         "embed_stats": SQL_EMBED_STATS,
