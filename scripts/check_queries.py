@@ -72,6 +72,13 @@ def compare(name: str, mine: pd.DataFrame, oracle: pd.DataFrame) -> list[str]:
 
 
 def main():
+    # live stack dump for hang diagnosis: kill -USR1 <pid> prints all
+    # thread tracebacks to stderr without killing the run
+    import faulthandler
+    import signal
+
+    faulthandler.register(signal.SIGUSR1)
+
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 

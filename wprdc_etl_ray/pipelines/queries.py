@@ -1135,6 +1135,39 @@ FROM documents
 """
 
 
+def q_user_event_sequences(sf_dir: str):
+    """Ordered per-user event-type sequence (behavior-sequence export
+    for training): one bucketed exchange on user_id, in-bucket sort by
+    (ts, event_id), vectorized per-user join — the `string_agg(...
+    ORDER BY ...)` shape without a global sort."""
+    from ..functions.relational import bucketed_group_map
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
+
+    def per_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        s = b.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        agg = s.groupby("user_id", sort=False)["event_type"].agg(",".join)
+        n = s.groupby("user_id", sort=False)["event_id"].size()
+        return pd.DataFrame(
+            {
+                "user_id": agg.index.to_numpy(),
+                "seq": agg.to_numpy(),
+                "n_events": n.to_numpy().astype(np.int64),
+            }
+        )
+
+    return bucketed_group_map(ds, ["user_id"], per_bucket, num_buckets=16)
+
+
+SQL_USER_EVENT_SEQUENCES = r"""
+SELECT user_id,
+       string_agg(event_type, ',' ORDER BY ts, event_id) AS seq,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY user_id
+"""
+
+
 def q_rolling_user_value(sf_dir: str):
     """Per-user rolling 5-event value sum (cents) ordered by (ts,
     event_id) — the ROWS-window function as one bucketed exchange +
@@ -1827,6 +1860,7 @@ def queries():
         "clean_text": q_clean_text,
         "price_quantiles": q_price_quantiles,
         "rolling_user_value": q_rolling_user_value,
+        "user_event_sequences": q_user_event_sequences,
         "streaming_dedup": q_streaming_dedup,
         "resumable_sink": q_resumable_sink,
         "embed_stats": q_embed_stats,
@@ -1886,6 +1920,7 @@ def oracle_sql():
         "clean_text": _sql_clean_text(),
         "price_quantiles": SQL_PRICE_QUANTILES,
         "rolling_user_value": SQL_ROLLING_USER_VALUE,
+        "user_event_sequences": SQL_USER_EVENT_SEQUENCES,
         "streaming_dedup": SQL_STREAMING_DEDUP,
         "resumable_sink": SQL_RESUMABLE_SINK,
         "embed_stats": SQL_EMBED_STATS,
