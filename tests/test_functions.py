@@ -1117,3 +1117,80 @@ def test_rolling_per_key_matches_pandas(ray_session):
         .to_numpy().astype(np.int64)
     )
     assert got["roll_sum"].tolist() == ref["roll_sum"].tolist()
+
+
+def test_repetition_stats_exact_fractions(ray_session):
+    from wprdc_etl_ray.functions.text import repetition_stats
+
+    # doc0: 4 tokens, 3 distinct ("a" x2), 3 2-grams all distinct
+    # doc1: all same token -> max repetition on both axes
+    # doc2: empty; doc3: single token
+    ds = docs_ds(["a b a c", "x x x x x", "", "solo"])
+    got = ds.map_batches(repetition_stats, batch_format="pandas").to_pandas()
+    got = got.sort_values("doc_id").reset_index(drop=True)
+    assert got["n_tokens"].tolist() == [4, 5, 0, 1]
+    assert got["dup_word_ratio"].tolist() == [
+        (4 - 3) * 1_000_000 // 4, (5 - 1) * 1_000_000 // 5, 0, 0]
+    assert got["top_word_ratio"].tolist() == [
+        2 * 1_000_000 // 4, 1_000_000, 0, 1_000_000]
+    # doc0 2-grams: "a b","b a","a c" distinct; doc1: "x x" x4 -> 3 dup of 4
+    assert got["dup_2gram_ratio"].tolist() == [0, 3 * 1_000_000 // 4, 0, 0]
+
+
+def test_repetition_stats_batch_composition_independent(ray_session):
+    from wprdc_etl_ray.functions.text import repetition_stats
+
+    texts = ["a b a c", "", "x x y", "one", "", "p q p q p"]
+    one = docs_ds(texts).map_batches(
+        repetition_stats, batch_format="pandas", batch_size=100).to_pandas()
+    split = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })).repartition(3).map_batches(
+        repetition_stats, batch_format="pandas", batch_size=1).to_pandas()
+    a = one.sort_values("doc_id").reset_index(drop=True)
+    b = split.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_decontaminate_flags_overlap_only(ray_session):
+    from wprdc_etl_ray.functions.dedup import decontaminate
+
+    ev = docs_ds(["the quick brown fox jumps over the lazy dog"], start_id=100)
+    train = docs_ds([
+        "completely unrelated words in this document here today",
+        "prefix text the quick brown fox jumps over something else",  # shares 5-grams
+        "short doc",  # < 5 words -> whole-doc gram, no overlap
+    ])
+    got = decontaminate(train, ev, n=5).to_pandas().sort_values("doc_id")
+    assert got["contaminated"].tolist() == [0, 1, 0]
+    # doc1 shares exactly the 5-grams inside "the quick brown fox jumps over":
+    # "the quick brown fox jumps" and "quick brown fox jumps over"
+    assert got["n_overlap"].tolist() == [0, 2, 0]
+
+
+def test_decontaminate_bloom_superset_of_exact(ray_session):
+    from wprdc_etl_ray.functions.dedup import decontaminate
+
+    ev = docs_ds([f"tok{i} tok{i+1} tok{i+2} tok{i+3} tok{i+4} tok{i+5}" for i in range(20)],
+                 start_id=1000)
+    train = docs_ds(
+        [f"tok{i} tok{i+1} tok{i+2} tok{i+3} tok{i+4} extra" for i in range(10)]
+        + ["nothing shared here at all whatsoever in any way"]
+    )
+    exact = decontaminate(train, ev, n=5).to_pandas().sort_values("doc_id")
+    bloom = decontaminate(train, ev, n=5, bloom=True).to_pandas().sort_values("doc_id")
+    # bloom may over-flag (FPs) but never under-flag
+    assert (bloom["n_overlap"].to_numpy() >= exact["n_overlap"].to_numpy()).all()
+    assert exact["contaminated"].tolist() == [1] * 10 + [0]
+
+
+def test_tfidf_top_term_prefers_rare_terms(ray_session):
+    from wprdc_etl_ray.functions.text import tfidf_top_term
+
+    # "common" is in every doc (idf = N/3 each); each doc also has a
+    # unique term with df=1 -> idf = N -> wins despite equal tf
+    ds = docs_ds(["common alpha", "common beta", "common gamma", ""])
+    got = tfidf_top_term(ds).to_pandas().sort_values("doc_id")
+    assert got["top_term"].tolist() == ["alpha", "beta", "gamma", ""]
+    assert got["tfidf_score"].tolist() == [4_000_000, 4_000_000, 4_000_000, 0]

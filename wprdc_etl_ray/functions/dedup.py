@@ -1070,3 +1070,93 @@ class StreamingDeduper:
         for a in self.actors:
             ray.kill(a)
         self.actors = []
+
+
+def _doc_ngram_rows(batch: pd.DataFrame, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc DISTINCT word-n-gram hashes (Horner over md5 word hashes)
+    as parallel (doc_index, gram_hash) arrays — one flat pass, one
+    lexsort, no per-doc loop. Docs shorter than ``n`` words take one
+    whole-doc gram; empty docs take none (matches the SQL oracle's
+    ``CASE len(t)`` ladder)."""
+    from .hashing import md5_word_hashes, split_flat, window_horner
+
+    flat, lens = split_flat(batch["text"])
+    wh = md5_word_hashes(flat)
+    H, m = window_horner(wh, lens, n)
+    if len(H) == 0:
+        return np.array([], dtype=np.int64), np.array([], dtype=np.uint64)
+    doc_of = np.repeat(np.arange(len(lens)), m)
+    order = np.lexsort((H, doc_of))
+    d2, h2 = doc_of[order], H[order]
+    uniq = np.empty(len(d2), dtype=bool)
+    uniq[:1] = True
+    np.logical_or(d2[1:] != d2[:-1], h2[1:] != h2[:-1], out=uniq[1:])
+    return d2[uniq], h2[uniq]
+
+
+def decontaminate(
+    ds: ray.data.Dataset,
+    eval_ds: ray.data.Dataset,
+    n: int = 5,
+    bloom: bool = False,
+) -> ray.data.Dataset:
+    """Benchmark decontamination (the GPT-3/PaLM-style n-gram-overlap
+    filter): flag every training document sharing at least one word
+    ``n``-gram with the evaluation corpus. Returns one row per training
+    doc: (doc_id, n_overlap, contaminated) where ``n_overlap`` counts
+    the doc's DISTINCT n-grams that appear anywhere in the eval set.
+
+    Scale shape: the eval side is benchmark-sized by nature — its
+    distinct n-gram hashes are aggregated per batch, collected ONCE to
+    the driver (8 bytes per distinct eval gram) and broadcast via
+    ``ray.put``; the training corpus then STREAMS through a stateless
+    membership kernel (sorted-array searchsorted) — no shuffle, no
+    train-side materialization. ``bloom=True`` swaps the broadcast for
+    a Bloom filter over the same hashes (O(bits) regardless of eval
+    size; ~1e-3 FP rate over-drops, never under-drops — the safe
+    direction for decontamination). Reference analog: extends
+    wprdc-etl pipeline/pipeline.py::Pipeline's per-record validation
+    gates to corpus-level membership filters."""
+    import ray as _ray
+
+    def eval_grams(batch: pd.DataFrame) -> pd.DataFrame:
+        _, h = _doc_ngram_rows(batch, n)
+        return pd.DataFrame({"gram": np.unique(h).view(np.int64)})
+
+    ev = (
+        eval_ds.map_batches(eval_grams, batch_format="pandas")
+        .to_pandas()["gram"]
+        .to_numpy()
+        .view(np.uint64)
+    )
+    ev = np.unique(ev)
+    if bloom:
+        from .hashing import BloomFilter
+
+        bf = BloomFilter(len(ev))
+        bf.add(ev)
+        ref = _ray.put(bf)
+    else:
+        ref = _ray.put(ev)
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        side = _ray.get(ref)
+        d, h = _doc_ngram_rows(batch, n)
+        if bloom:
+            hit = side.contains(h) if len(h) else np.zeros(0, dtype=bool)
+        elif len(h):
+            pos = np.searchsorted(side, h)
+            pos_c = np.minimum(pos, max(len(side) - 1, 0))
+            hit = (pos < len(side)) & (side[pos_c] == h) if len(side) else np.zeros(len(h), bool)
+        else:
+            hit = np.zeros(0, dtype=bool)
+        n_overlap = np.bincount(d[hit], minlength=len(batch)).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(),
+                "n_overlap": n_overlap,
+                "contaminated": (n_overlap > 0).astype(np.int64),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pandas")

@@ -125,23 +125,23 @@ def horner_per_segment(v: np.ndarray, lens: np.ndarray) -> np.ndarray:
     return out
 
 
-def min_window_horner(v: np.ndarray, lens: np.ndarray, window: int = 8) -> np.ndarray:
-    """Per segment: the MIN (unsigned) Horner hash over all sliding
-    windows of length ``min(window, seg_len)`` — a winnowing-style
-    sketch. Zero-length segments → 0. Fully vectorized: one prefix
-    table + one gather + one ``np.minimum.reduceat``."""
+def window_horner(v: np.ndarray, lens: np.ndarray, window: int) -> tuple[np.ndarray, np.ndarray]:
+    """ALL sliding-window Horner hashes per segment (window length
+    ``min(window, seg_len)``, so short segments yield ONE whole-segment
+    hash; empty segments yield zero windows). Returns (flat window-hash
+    array, windows-per-segment counts). Fully vectorized: one prefix
+    table + one gather."""
     D = len(lens)
-    out = np.zeros(D, dtype=np.uint64)
     if len(v) == 0:
-        return out
+        return np.array([], dtype=np.uint64), np.zeros(D, dtype=np.int64)
     bpow, Gz = _prefix_tables(v)
     starts = _starts(lens)
     nz = lens > 0
     w = np.minimum(lens, window)
-    m = np.where(nz, lens - w + 1, 0)  # windows per segment
+    m = np.where(nz, lens - w + 1, 0).astype(np.int64)  # windows per segment
     total = int(m.sum())
     if total == 0:
-        return out
+        return np.array([], dtype=np.uint64), m
     # flat window-start index: for segment i, starts[i] .. starts[i]+m[i]-1
     seg_of = np.repeat(np.arange(D), m)
     first = np.concatenate([[0], np.cumsum(m)[:-1]])
@@ -149,8 +149,20 @@ def min_window_horner(v: np.ndarray, lens: np.ndarray, window: int = 8) -> np.nd
     win_w = w[seg_of]
     ends = win_start + win_w - 1
     H = bpow[ends] * (Gz[ends + 1] - Gz[win_start])
-    mins = np.minimum.reduceat(H, first[m > 0])
-    out[m > 0] = mins
+    return H, m
+
+
+def min_window_horner(v: np.ndarray, lens: np.ndarray, window: int = 8) -> np.ndarray:
+    """Per segment: the MIN (unsigned) Horner hash over all sliding
+    windows of length ``min(window, seg_len)`` — a winnowing-style
+    sketch. Zero-length segments → 0. One ``np.minimum.reduceat`` over
+    ``window_horner``'s flat hash array."""
+    out = np.zeros(len(lens), dtype=np.uint64)
+    H, m = window_horner(v, lens, window)
+    if len(H) == 0:
+        return out
+    first = np.concatenate([[0], np.cumsum(m)[:-1]])
+    out[m > 0] = np.minimum.reduceat(H, first[m > 0])
     return out
 
 

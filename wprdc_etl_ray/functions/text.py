@@ -331,6 +331,151 @@ def quality(ds: ray.data.Dataset, concurrency: int | None = None) -> ray.data.Da
     )
 
 
+def tfidf_top_term(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-document most-characteristic term by TF·IDF, in exact
+    integer micro-units so the DuckDB oracle is bit-for-bit:
+    ``score = tf · (N·10^6 // df)`` with N = corpus size and df = the
+    number of documents containing the term; ties broken by term
+    (ascending) for determinism. Emits (doc_id, top_term, tfidf_score);
+    zero-token docs emit ('', 0).
+
+    Two-pass shape like ``corpus_freq_score``: pass 1 aggregates
+    document frequencies with a partial pre-agg groupby over DISTINCT
+    (doc, term) pairs (the shuffle carries one row per distinct term
+    per block); pass 2 is batch-local — tf and the per-doc argmax need
+    only the doc's own rows, so scoring adds NO shuffle. The df table
+    rides ``ray.put`` once (Zipf-small vocabulary; at open-web scale
+    substitute the join path exactly as in ``corpus_freq_score``)."""
+    import ray as _ray
+
+    from .hashing import split_flat
+    from .relational import grouped_agg
+
+    n_docs = ds.count()  # parquet-metadata fast path on a fresh read
+
+    def explode_distinct(batch: pd.DataFrame) -> pd.DataFrame:
+        flat, lens = split_flat(batch["text"])
+        d = np.repeat(np.arange(len(batch), dtype=np.int64), lens)
+        if len(flat):
+            # np.unique on (doc, token): string compare, no NUL pitfall
+            key = pd.DataFrame({"d": d, "w": flat}).drop_duplicates()
+            return pd.DataFrame({"w": key["w"].to_numpy()})
+        return pd.DataFrame({"w": pd.Series([], dtype=object)})
+
+    df_counts = grouped_agg(
+        ds.map_batches(explode_distinct, batch_format="pandas"),
+        ["w"],
+        [("", "count", "df")],
+    ).to_pandas()
+    idf = dict(
+        zip(
+            df_counts["w"],
+            (n_docs * 1_000_000) // df_counts["df"].to_numpy(dtype=np.int64),
+        )
+    )
+    ref = _ray.put(idf)
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        idf_map = _ray.get(ref)
+        flat, lens = split_flat(batch["text"])
+        out_term = np.full(len(batch), "", dtype=object)
+        out_score = np.zeros(len(batch), dtype=np.int64)
+        if len(flat):
+            vocab, codes = np.unique(flat, return_inverse=True)
+            iv = np.fromiter(
+                (idf_map.get(w, 0) for w in vocab), dtype=np.int64, count=len(vocab)
+            )
+            d = np.repeat(np.arange(len(batch), dtype=np.int64), lens)
+            tf = (
+                pd.DataFrame({"d": d, "c": codes})
+                .groupby(["d", "c"], sort=False)
+                .size()
+                .reset_index(name="tf")
+            )
+            tf["score"] = tf["tf"].to_numpy(dtype=np.int64) * iv[tf["c"].to_numpy()]
+            tf["term"] = vocab[tf["c"].to_numpy()]
+            top = tf.sort_values(
+                ["d", "score", "term"], ascending=[True, False, True], kind="mergesort"
+            ).drop_duplicates("d")
+            out_term[top["d"].to_numpy()] = top["term"].to_numpy()
+            out_score[top["d"].to_numpy()] = top["score"].to_numpy()
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(),
+                "top_term": out_term,
+                "tfidf_score": out_score,
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pandas")
+
+
+def repetition_stats(batch: pd.DataFrame) -> pd.DataFrame:
+    """Within-document repetition statistics — the Gopher-style
+    repetition quality filters (duplicate-word fraction, most-frequent-
+    word mass, duplicate-2-gram fraction), all in exact integer
+    micro-units so the DuckDB oracle matches bit-for-bit:
+
+    - ``dup_word_ratio``  = (n_tokens − distinct_tokens)·10^6 // n_tokens
+    - ``top_word_ratio``  = max per-word count·10^6 // n_tokens
+    - ``dup_2gram_ratio`` = (n_2grams − distinct_2grams)·10^6 // n_2grams
+
+    Vectorized: one flat md5 word-hash array per batch (words are
+    keyed by their 64-bit hash, not the string, to dodge the pandas
+    hashtable NUL-truncation pitfall — exact modulo md5-64 collisions),
+    per-(doc, word) counts via a C-backed two-key groupby, 2-grams as
+    one shifted Horner combine over the flat hash array with
+    cross-document windows masked out. High ratios = boilerplate /
+    degenerate repetition; the usual drop thresholds are ~0.2–0.3.
+    Reference analog: wprdc-etl has no corpus-quality layer; this
+    extends pipeline/pipeline.py::Pipeline's per-record validation to
+    corpus statistics."""
+    from .hashing import HORNER_B, md5_word_hashes, split_flat
+
+    flat, lens = split_flat(batch["text"])
+    n_docs = len(batch)
+    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+    wh = md5_word_hashes(flat)
+
+    n = lens.astype(np.int64)
+    distinct = np.zeros(n_docs, dtype=np.int64)
+    maxc = np.zeros(n_docs, dtype=np.int64)
+    n2 = np.maximum(n - 1, 0)
+    distinct2 = np.zeros(n_docs, dtype=np.int64)
+    if len(flat):
+        wc = (
+            pd.DataFrame({"d": doc_idx, "h": wh})
+            .groupby(["d", "h"], sort=False)
+            .size()
+            .reset_index(name="c")
+        )
+        per_doc = wc.groupby("d", sort=False)["c"].agg(["size", "max"])
+        distinct[per_doc.index.to_numpy()] = per_doc["size"].to_numpy()
+        maxc[per_doc.index.to_numpy()] = per_doc["max"].to_numpy()
+        # 2-grams: Horner-combine adjacent word hashes; windows that
+        # straddle a document boundary are masked out
+        if len(flat) > 1:
+            same = doc_idx[1:] == doc_idx[:-1]
+            g = wh[:-1] * np.uint64(HORNER_B) + wh[1:]
+            gc = (
+                pd.DataFrame({"d": doc_idx[1:][same], "h": g[same]})
+                .groupby(["d", "h"], sort=False)
+                .size()
+                .groupby(level=0, sort=False)
+                .size()
+            )
+            distinct2[gc.index.to_numpy()] = gc.to_numpy()
+    return pd.DataFrame(
+        {
+            "doc_id": batch["doc_id"],
+            "n_tokens": n,
+            "dup_word_ratio": ((n - distinct) * 1_000_000) // np.maximum(n, 1),
+            "top_word_ratio": (maxc * 1_000_000) // np.maximum(n, 1),
+            "dup_2gram_ratio": ((n2 - distinct2) * 1_000_000) // np.maximum(n2, 1),
+        }
+    )
+
+
 # ASCII case-fold pair for engine-agnostic lowercasing: Arrow's
 # ascii_lower and DuckDB's translate(text, UPPER, lower) agree byte-for
 # -byte on every input, including non-ASCII text (left untouched) —

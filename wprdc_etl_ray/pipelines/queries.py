@@ -1006,6 +1006,119 @@ FROM r
 """
 
 
+def q_doc_repetition(sf_dir: str):
+    """Gopher-style within-document repetition filter signals
+    (duplicate-word / top-word / duplicate-2-gram fractions) — pure
+    per-batch kernel, no shuffle."""
+    from ..functions.text import repetition_stats
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(repetition_stats, batch_format="pandas")
+
+
+SQL_DOC_REPETITION = r"""
+WITH toks AS (
+  SELECT doc_id, CASE WHEN trim(coalesce(text,'')) = '' THEN []::VARCHAR[]
+                 ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+  FROM documents),
+words AS (SELECT doc_id, unnest(t) AS w FROM toks),
+wc AS (SELECT doc_id, w, count(*) AS c FROM words GROUP BY doc_id, w),
+agg AS (
+  SELECT doc_id, count(*) AS nd, max(c) AS maxc FROM wc GROUP BY doc_id),
+g AS (
+  SELECT doc_id,
+         [t[i] || ' ' || t[i+1] FOR i IN generate_series(1, len(t)-1)] AS g2
+  FROM toks)
+SELECT toks.doc_id,
+       CAST(len(t) AS BIGINT) AS n_tokens,
+       CAST((len(t) - coalesce(nd, 0)) * 1000000
+            // GREATEST(len(t), 1) AS BIGINT) AS dup_word_ratio,
+       CAST(coalesce(maxc, 0) * 1000000
+            // GREATEST(len(t), 1) AS BIGINT) AS top_word_ratio,
+       CAST((len(g2) - len(list_distinct(g2))) * 1000000
+            // GREATEST(len(g2), 1) AS BIGINT) AS dup_2gram_ratio
+FROM toks
+LEFT JOIN agg USING (doc_id)
+JOIN g USING (doc_id)
+"""
+
+
+def q_tfidf_top_term(sf_dir: str):
+    """Per-doc most-characteristic term by integer TF·IDF (two-pass:
+    df groupby + broadcast, then batch-local scoring/argmax)."""
+    from ..functions.text import tfidf_top_term
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return tfidf_top_term(ds)
+
+
+SQL_TFIDF_TOP_TERM = r"""
+WITH toks AS (
+  SELECT doc_id, CASE WHEN trim(coalesce(text,'')) = '' THEN []::VARCHAR[]
+                 ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+  FROM documents),
+words AS (SELECT doc_id, unnest(t) AS w FROM toks),
+tf AS (SELECT doc_id, w, count(*)::BIGINT AS tf FROM words GROUP BY doc_id, w),
+df AS (SELECT w, count(DISTINCT doc_id)::BIGINT AS df FROM words GROUP BY w),
+scored AS (
+  SELECT doc_id, w,
+         tf * (((SELECT count(*) FROM documents) * 1000000) // df) AS score
+  FROM tf JOIN df USING (w)),
+top AS (
+  SELECT doc_id, w, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, w ASC) AS rn
+  FROM scored)
+SELECT d.doc_id,
+       coalesce(t.w, '') AS top_term,
+       CAST(coalesce(t.score, 0) AS BIGINT) AS tfidf_score
+FROM documents d
+LEFT JOIN top t ON d.doc_id = t.doc_id AND t.rn = 1
+"""
+
+
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: eval split = doc_id % 50 == 0; flag
+    train docs sharing any word 5-gram with the eval corpus (distinct
+    eval-gram hashes broadcast once; the train side streams)."""
+    from ..functions.dedup import decontaminate
+
+    def split(pred):
+        def fn(b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id").to_numpy()
+            return b.filter(pa.array(pred(ids)))
+
+        return fn
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    train = docs.map_batches(split(lambda i: i % 50 != 0), batch_format="pyarrow")
+    ev = docs.map_batches(split(lambda i: i % 50 == 0), batch_format="pyarrow")
+    return decontaminate(train, ev, n=5)
+
+
+SQL_DECONTAMINATE = r"""
+WITH toks AS (
+  SELECT doc_id, CASE WHEN trim(coalesce(text,'')) = '' THEN []::VARCHAR[]
+                 ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+  FROM documents),
+grams AS (
+  SELECT doc_id,
+    CASE WHEN len(t) = 0 THEN []::VARCHAR[]
+         WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+         ELSE list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+                             || t[i+3] || ' ' || t[i+4]
+                             FOR i IN generate_series(1, len(t)-4)])
+    END AS g
+  FROM toks),
+ev AS (
+  SELECT list_distinct(flatten(list(g))) AS eg FROM grams WHERE doc_id % 50 = 0)
+SELECT doc_id,
+       CAST(len(list_intersect(g, eg)) AS BIGINT) AS n_overlap,
+       CAST(len(list_intersect(g, eg)) > 0 AS BIGINT) AS contaminated
+FROM grams, ev
+WHERE doc_id % 50 <> 0
+"""
+
+
 def q_seq_pack(sf_dir: str):
     """Concat-then-chunk sequence packing: assign every document to the
     fixed 2048-token training-sequence bin its first token falls in,
@@ -1861,6 +1974,9 @@ def queries():
         "price_quantiles": q_price_quantiles,
         "rolling_user_value": q_rolling_user_value,
         "user_event_sequences": q_user_event_sequences,
+        "doc_repetition": q_doc_repetition,
+        "decontaminate": q_decontaminate,
+        "tfidf_top_term": q_tfidf_top_term,
         "streaming_dedup": q_streaming_dedup,
         "resumable_sink": q_resumable_sink,
         "embed_stats": q_embed_stats,
@@ -1921,6 +2037,9 @@ def oracle_sql():
         "price_quantiles": SQL_PRICE_QUANTILES,
         "rolling_user_value": SQL_ROLLING_USER_VALUE,
         "user_event_sequences": SQL_USER_EVENT_SEQUENCES,
+        "doc_repetition": SQL_DOC_REPETITION,
+        "decontaminate": SQL_DECONTAMINATE,
+        "tfidf_top_term": SQL_TFIDF_TOP_TERM,
         "streaming_dedup": SQL_STREAMING_DEDUP,
         "resumable_sink": SQL_RESUMABLE_SINK,
         "embed_stats": SQL_EMBED_STATS,
