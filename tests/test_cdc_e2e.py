@@ -355,3 +355,97 @@ def test_partial_tombstone_gc(ray_session, tmp_path, log):
     for p in dirty:
         assert after["partitions"][p]["tombstones"] == 0
     check_equal(root, log)
+
+
+def _live_state(log, max_offset=None):
+    """Replay to a watermark -> pandas keyed state (pub cols only)."""
+    t = log
+    if max_offset is not None:
+        import pyarrow.compute as pc
+
+        t = t.filter(pc.less_equal(t.column("offset"), max_offset))
+    df = replay_oracle_pandas(t).to_pandas()
+    return df.set_index(["conv_id", "turn_idx"]).sort_index()
+
+
+def test_table_changes_matches_replay_diff(ray_session, tmp_path, log):
+    from wprdc_etl_ray.pipelines.cdc import table_changes
+
+    write_wal(str(tmp_path), log, segment_rows=1000)
+    segs = sorted(glob.glob(str(tmp_path / "wal" / "seg-*.parquet")))
+    wal1 = str(tmp_path / "w1")
+    os.makedirs(wal1)
+    for s in segs[: len(segs) // 2]:
+        os.link(s, os.path.join(wal1, os.path.basename(s)))
+    root = str(tmp_path / "t")
+    r1 = run_ingest(wal1, root, CDCConfig(num_partitions=8))
+    r2 = run_ingest(str(tmp_path / "wal"), root, CDCConfig(num_partitions=8))
+    assert (r1.epoch, r2.epoch) == (1, 2)
+
+    got = table_changes(root, from_epoch=1, to_epoch=2).to_pandas()
+    got = got.set_index(["conv_id", "turn_idx"]).sort_index()
+
+    old = _live_state(log, r1.global_watermark)
+    new = _live_state(log)
+    cols = [c for c in new.columns]
+    ins = new.index.difference(old.index)
+    dele = old.index.difference(new.index)
+    both = new.index.intersection(old.index)
+    a, b = old.loc[both, cols], new.loc[both, cols]
+    upd = both[((a != b) & ~(a.isna() & b.isna())).any(axis=1)]
+
+    assert set(got.index[got.change_type == "insert"]) == set(ins)
+    assert set(got.index[got.change_type == "delete"]) == set(dele)
+    assert set(got.index[got.change_type == "update"]) == set(upd)
+    # payload: new values for insert/update, old values for delete
+    for idx_set, side in ((ins, new), (upd, new), (dele, old)):
+        if len(idx_set):
+            lhs = got.loc[idx_set, cols].sort_index()
+            rhs = side.loc[idx_set, cols].sort_index()
+            assert ((lhs == rhs) | (lhs.isna() & rhs.isna())).all().all()
+
+    # from_epoch=0: everything is an insert and equals the final state
+    full = table_changes(root, from_epoch=0).to_pandas()
+    assert (full.change_type == "insert").all()
+    assert len(full) == len(new)
+
+
+def test_table_changes_prunes_untouched_partitions(ray_session, tmp_path):
+    """Second epoch touches ONE conversation -> the feed contains only
+    that conv's keys (carried-forward runs pruned by path equality)."""
+    import pyarrow as pa
+
+    from wprdc_etl_ray.pipelines.cdc import table_changes
+
+    base = generate_change_log(4000, seed=7)
+    write_wal(str(tmp_path / "a"), base, segment_rows=4000)
+    root = str(tmp_path / "t")
+    run_ingest(str(tmp_path / "a" / "wal"), root, CDCConfig(num_partitions=8))
+
+    conv = base.column("conv_id")[0].as_py()
+    start = int(pa.compute.max(base.column("offset")).as_py()) + 1
+    upd = pa.table(
+        {
+            "offset": pa.array([start, start + 1], pa.int64()),
+            "op": pa.array(["update", "insert"], pa.string()),
+            "conv_id": pa.array([conv, conv], pa.string()),
+            "turn_idx": pa.array([0, 99], pa.int64()),
+            "role": pa.array(["user", "assistant"], pa.string()),
+            "text": pa.array(["edited text", "brand new turn"], pa.string()),
+            "tool": pa.array([None, None], pa.string()),
+            "ts": pa.array(
+                [1_700_000_000_000_000 + start, 1_700_000_000_000_000 + start + 1],
+                pa.timestamp("us"),
+            ),
+            "tool_call_id": pa.array([None, None], pa.string()),
+            "tool_args": pa.array([None, None], pa.string()),
+        }
+    )
+    write_wal(str(tmp_path / "b"), upd, segment_rows=10)
+    r2 = run_ingest(str(tmp_path / "b" / "wal"), root, CDCConfig(num_partitions=8))
+    assert r2.epoch == 2
+
+    got = table_changes(root, from_epoch=1, to_epoch=2).to_pandas()
+    assert set(got.conv_id) == {conv}
+    by_type = got.set_index("turn_idx").change_type.to_dict()
+    assert by_type.get(99) == "insert"

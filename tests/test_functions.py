@@ -1194,3 +1194,27 @@ def test_tfidf_top_term_prefers_rare_terms(ray_session):
     got = tfidf_top_term(ds).to_pandas().sort_values("doc_id")
     assert got["top_term"].tolist() == ["alpha", "beta", "gamma", ""]
     assert got["tfidf_score"].tolist() == [4_000_000, 4_000_000, 4_000_000, 0]
+
+
+def test_chunk_docs_overlap_and_tail(ray_session):
+    from wprdc_etl_ray.functions.pack import chunk_docs
+
+    # 10 tokens, max 4, overlap 2 -> stride 2 -> starts 0,2,4,6,8
+    words = [f"w{i}" for i in range(10)]
+    ds = docs_ds([" ".join(words), "", "a b"])
+    got = chunk_docs(ds, max_tokens=4, overlap=2).to_pandas()
+    d0 = got[got.doc_id == 0].sort_values("chunk_idx")
+    assert d0["chunk_text"].tolist() == [
+        "w0 w1 w2 w3", "w2 w3 w4 w5", "w4 w5 w6 w7", "w6 w7 w8 w9", "w8 w9"]
+    assert d0["n_chunk_tokens"].tolist() == [4, 4, 4, 4, 2]
+    assert (got.doc_id == 1).sum() == 0  # empty doc -> no chunks
+    d2 = got[got.doc_id == 2]
+    assert d2["chunk_text"].tolist() == ["a b"]
+
+
+def test_chunk_docs_normalizes_whitespace(ray_session):
+    from wprdc_etl_ray.functions.pack import chunk_docs
+
+    ds = docs_ds(["  a   b\t c  "])
+    got = chunk_docs(ds, max_tokens=2, overlap=1).to_pandas().sort_values("chunk_idx")
+    assert got["chunk_text"].tolist() == ["a b", "b c", "c"]

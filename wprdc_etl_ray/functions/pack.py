@@ -45,6 +45,7 @@ __all__ = [
     "seq_pack",
     "shuffle_rank",
     "exact_quantiles",
+    "chunk_docs",
 ]
 
 
@@ -358,3 +359,72 @@ def exact_quantiles(
             "value": pa.array([r["value"] for r in rows], pa.int64()),
         }
     )
+
+
+def chunk_docs(
+    ds: ray.data.Dataset,
+    max_tokens: int = 32,
+    overlap: int = 8,
+) -> ray.data.Dataset:
+    """Split documents into fixed-token training chunks with overlap —
+    the standard long-document → context-window preparation. Chunk i of
+    a doc covers tokens ``[i·stride, i·stride + max_tokens)`` with
+    ``stride = max_tokens − overlap``; every token position starts a
+    chunk while it is a valid start (``i·stride < n_tokens``), the last
+    chunk may be short, zero-token docs emit no chunks. Output rows:
+    (doc_id, chunk_idx, chunk_text, n_chunk_tokens) with chunk text
+    single-space-joined (separator-normalized, matching the oracle's
+    ``array_to_string(t[a:b], ' ')``).
+
+    Purely batch-local (a flat_map shape — no shuffle, output rows ≈
+    input tokens / stride). The offset arithmetic is fully vectorized;
+    the only per-CHUNK work is one C substring copy from the doc's
+    space-joined text, computed from cumulative word-length tables."""
+    if overlap >= max_tokens:
+        raise ValueError("overlap must be < max_tokens")
+    stride = max_tokens - overlap
+
+    def chunks(batch: pd.DataFrame) -> pd.DataFrame:
+        from .hashing import split_flat
+
+        flat, lens = split_flat(batch["text"])
+        D = len(batch)
+        n = lens.astype(np.int64)
+        m = np.where(n > 0, (n - 1) // stride + 1, 0)  # chunks per doc
+        total = int(m.sum())
+        if total == 0:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "chunk_idx": pd.Series([], dtype="int64"),
+                    "chunk_text": pd.Series([], dtype=object),
+                    "n_chunk_tokens": pd.Series([], dtype="int64"),
+                }
+            )
+        # per-word char start within each doc's single-space join:
+        # P[word] = cumulative (len + 1) within the doc
+        wl = pd.Series(flat, dtype=object).str.len().to_numpy(dtype=np.int64)
+        doc_starts = np.concatenate([[0], np.cumsum(n)[:-1]])
+        gcum = np.concatenate([[0], np.cumsum(wl + 1)])  # global, incl sep
+        # char offset of word w within its doc = gcum[w] - gcum[doc_start]
+        doc_of = np.repeat(np.arange(D), m)
+        first = np.concatenate([[0], np.cumsum(m)[:-1]])
+        ci = np.arange(total) - first[doc_of]  # chunk_idx
+        ws = ci * stride  # first word (doc-relative)
+        we = np.minimum(ws + max_tokens, n[doc_of])  # one past last word
+        gs = doc_starts[doc_of] + ws  # global word indices
+        ge = doc_starts[doc_of] + we
+        cs = gcum[gs] - gcum[doc_starts[doc_of]]
+        ce = gcum[ge] - gcum[doc_starts[doc_of]] - 1  # drop trailing sep
+        joined = [" ".join(w) for w in batch["text"].fillna("").str.split()]
+        texts = [joined[d][a:b] for d, a, b in zip(doc_of, cs, ce)]
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy()[doc_of],
+                "chunk_idx": ci,
+                "chunk_text": texts,
+                "n_chunk_tokens": (we - ws).astype(np.int64),
+            }
+        )
+
+    return ds.map_batches(chunks, batch_format="pandas")

@@ -50,6 +50,7 @@ from ..stages.merge import merge_with_snapshot, snapshot_form, winner_indices
 from ..stages.partition import add_partition_cols
 from ..state.manifest import (
     commit_manifest,
+    load_epoch_manifest,
     load_manifest,
     public_schema,
 )
@@ -991,6 +992,112 @@ def read_transcripts_arrow(table_root: str) -> pa.Table:
     target = unify_schemas([tb.schema for tb in tables])
     out = pa.concat_tables([normalize_batch(tb, target) for tb in tables])
     return out.sort_by([(KEY_COLUMNS[0], "ascending"), (KEY_COLUMNS[1], "ascending")])
+
+
+def table_changes(
+    table_root: str, from_epoch: int, to_epoch: int | None = None
+) -> ray.data.Dataset:
+    """Change-data-feed between two committed epochs (the Delta-CDF /
+    Iceberg-changelog shape): one row per key whose LIVE state differs
+    between epoch ``from_epoch`` and ``to_epoch`` (default: current),
+    with ``change_type`` ∈ {insert, update, delete} and the payload
+    columns from the NEW state (OLD state for deletes). ``from_epoch=0``
+    diffs against the empty table (everything is an insert).
+
+    Scale shape — the manifest does the pruning, not the data:
+
+    - Epoch history manifests (``manifest/epoch-{E}.json``) address both
+      versions without any retained WAL.
+    - Carried-forward (part, salt-run) files keep their OLD path in the
+      new manifest, so path equality ⇔ content equality: only REWRITTEN
+      runs are ever read. A 10^10-row table with a few hot partitions
+      diffs in O(changed runs), not O(table).
+    - A key always lives in one (part, salt) run (`hash(conv_id) % B`,
+      `turn_idx % S`), so each changed run pair diffs independently —
+      embarrassingly parallel map over run pairs, NO shuffle.
+    - Pre-evolution files normalize to the newer epoch's public schema
+      (widening-only invariant), so a column added between the epochs
+      surfaces as NULL→value updates, exactly like the replay oracle.
+
+    Note: outer-join null-filling upcasts integer PAYLOAD columns to
+    float in the diff frame; the transcript payload is all strings +
+    timestamp, so nothing here is affected — revisit if integer payload
+    columns are added. Reference analog: wprdc-etl records per-run
+    status rows (pipeline/status.py) but cannot reconstruct deltas;
+    this is the generalization its SQLite status table gestures at."""
+    import numpy as np
+    import pandas as pd
+
+    cur = load_manifest(table_root)
+    if cur is None:
+        raise InvalidConfigError(f"no committed table at {table_root}")
+    if to_epoch is None:
+        to_epoch = int(cur["epoch"])
+    m_to = cur if to_epoch == int(cur["epoch"]) else load_epoch_manifest(table_root, to_epoch)
+    m_from = load_epoch_manifest(table_root, from_epoch)
+    target = public_schema(m_to)
+    snap_target = pa.schema(
+        list(target)
+        + [
+            pa.field(c, t)
+            for c, t in (("_offset", pa.int64()), ("_deleted", pa.bool_()))
+            if c not in target.names
+        ]
+    )
+    pub_cols = [f.name for f in target if f.name not in INTERNAL_COLS]
+    key_cols = list(KEY_COLUMNS)
+    payload = [c for c in pub_cols if c not in key_cols]
+
+    old_parts = m_from["partitions"] if m_from else {}
+    new_parts = m_to["partitions"] if m_to else {}
+    items = []
+    for part in sorted(set(old_parts) | set(new_parts), key=int):
+        of = {f["salt"]: f["path"] for f in old_parts.get(part, {}).get("files", [])}
+        nf = {f["salt"]: f["path"] for f in new_parts.get(part, {}).get("files", [])}
+        for slot in sorted(set(of) | set(nf)):
+            if of.get(slot) != nf.get(slot):
+                items.append({"old": of.get(slot, ""), "new": nf.get(slot, "")})
+
+    empty = pa.schema(
+        [target.field(c) for c in pub_cols] + [pa.field("change_type", pa.string())]
+    ).empty_table()
+    if not items:
+        return ray.data.from_arrow(empty)
+
+    def read_live(path: str) -> pd.DataFrame:
+        if not path:
+            return pa.schema([target.field(c) for c in pub_cols]).empty_table().to_pandas()
+        t = pq.read_table(os.path.join(table_root, path))
+        t = normalize_batch(t, snap_target)
+        t = t.filter(pc.equal(t.column("_deleted"), False))
+        return t.select(pub_cols).to_pandas()
+
+    def diff(batch: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for old_p, new_p in zip(batch["old"], batch["new"]):
+            o = read_live(old_p)
+            n = read_live(new_p)
+            m = o.merge(n, on=key_cols, how="outer", suffixes=("__o", "__n"), indicator=True)
+            ins = (m["_merge"] == "right_only").to_numpy()
+            dele = (m["_merge"] == "left_only").to_numpy()
+            changed = np.zeros(len(m), dtype=bool)
+            for c in payload:
+                a, b = m[c + "__o"], m[c + "__n"]
+                changed |= ((a != b) & ~(a.isna() & b.isna())).to_numpy()
+            keep = ins | dele | (~ins & ~dele & changed)
+            out = pd.DataFrame({k: m[k][keep] for k in key_cols})
+            for c in payload:
+                out[c] = m[c + "__n"].where(~pd.Series(dele, index=m.index), m[c + "__o"])[keep]
+            ct = np.where(ins, "insert", np.where(dele, "delete", "update"))
+            out["change_type"] = ct[keep]
+            outs.append(out)
+        if not outs:
+            return empty.to_pandas()
+        return pd.concat(outs, ignore_index=True)
+
+    return ray.data.from_items(items).map_batches(
+        diff, batch_format="pandas", batch_size=1
+    )
 
 
 # --- fluent builder (reference Pipeline parity, SURVEY.md §2.1 C1) -----------

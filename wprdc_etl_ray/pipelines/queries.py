@@ -151,6 +151,84 @@ FROM ranked WHERE rn = 1 AND op <> 'delete'
 """
 
 
+def _cdc_cf_root(sf_dir: str) -> str:
+    """Two-epoch table for the change-feed query: epoch 1 = first half
+    of the flagship WAL's segments (symlinked into a sub-dir), epoch 2 =
+    the rest. Idempotent: skips ingests the manifest already covers."""
+    from .cdc import CDCConfig, list_segments, run_ingest
+    from ..state.manifest import load_manifest
+
+    wal = cdc_wal_dir(sf_dir)
+    base = os.path.dirname(wal)
+    root = os.path.join(base, "table_cf")
+    half = os.path.join(base, "wal_half")
+    segs = list_segments(wal)
+    os.makedirs(half, exist_ok=True)
+    for s in segs[: len(segs) // 2]:
+        dst = os.path.join(half, os.path.basename(s))
+        if not os.path.exists(dst):
+            os.symlink(s, dst)
+    m = load_manifest(root)
+    epoch = m["epoch"] if m else 0
+    if epoch < 1:
+        run_ingest(half, root, CDCConfig(num_partitions=32))
+    if epoch < 2:
+        run_ingest(wal, root, CDCConfig(num_partitions=32))
+    return root
+
+
+def q_cdc_changes(sf_dir: str):
+    """Change-data-feed between two committed epochs: per-key
+    insert/update/delete rows derived purely from the epoch manifests —
+    only REWRITTEN (part, salt) runs are read, carried-forward runs are
+    pruned by path equality. Oracle = full-outer diff of the two LWW
+    replays at the epochs' watermarks."""
+    from .cdc import table_changes
+
+    root = _cdc_cf_root(sf_dir)
+    return table_changes(root, from_epoch=1, to_epoch=2)
+
+
+def _cdc_changes_sql() -> str:
+    from ..state.manifest import load_epoch_manifest
+
+    root = _cdc_cf_root("/root/testdata/sf0.01")  # driver compares at sf0.01
+    w1 = load_epoch_manifest(root, 1)["global_watermark"]
+    wal = cdc_wal_dir("/root/testdata/sf0.01")
+    glob_path = os.path.join(wal, "seg-*.parquet")
+    payload = ["role", "text", "tool", "tool_call_id", "tool_args", "ts"]
+    pick = ",\n       ".join(
+        f"CASE WHEN n.conv_id IS NULL THEN o.{c} ELSE n.{c} END AS {c}" for c in payload
+    )
+    differs = " OR ".join(f"o.{c} IS DISTINCT FROM n.{c}" for c in payload)
+    return f"""
+WITH ev AS (SELECT * FROM read_parquet('{glob_path}', union_by_name=true)),
+old_r AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+            ORDER BY ts DESC, "offset" DESC) AS rn
+  FROM ev WHERE "offset" <= {w1}),
+old_s AS (SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+                 role, text, tool, tool_call_id, tool_args, ts
+          FROM old_r WHERE rn = 1 AND op <> 'delete'),
+new_r AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+            ORDER BY ts DESC, "offset" DESC) AS rn
+  FROM ev),
+new_s AS (SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+                 role, text, tool, tool_call_id, tool_args, ts
+          FROM new_r WHERE rn = 1 AND op <> 'delete')
+SELECT coalesce(n.conv_id, o.conv_id) AS conv_id,
+       coalesce(n.turn_idx, o.turn_idx) AS turn_idx,
+       {pick},
+       CASE WHEN o.conv_id IS NULL THEN 'insert'
+            WHEN n.conv_id IS NULL THEN 'delete'
+            ELSE 'update' END AS change_type
+FROM old_s o
+FULL OUTER JOIN new_s n ON o.conv_id = n.conv_id AND o.turn_idx = n.turn_idx
+WHERE o.conv_id IS NULL OR n.conv_id IS NULL OR ({differs})
+"""
+
+
 def q_cdc_turn_counts(sf_dir: str):
     """Aggregate over the MERGED transcripts table (exercises the
     manifest-resolved read path end-to-end): per conversation, the live
@@ -1040,6 +1118,81 @@ SELECT toks.doc_id,
 FROM toks
 LEFT JOIN agg USING (doc_id)
 JOIN g USING (doc_id)
+"""
+
+
+def q_ngram_topk(sf_dir: str):
+    """Global top-20 word-2-grams by corpus count (corpus statistics /
+    boilerplate discovery): per-batch partial counts → one partial
+    pre-agg groupby on the gram → per-block top-20 prune → tiny final
+    sort over ≤ 20·blocks rows. The full gram vocabulary never sits in
+    one place."""
+    from ..functions.hashing import split_flat
+    from ..functions.relational import grouped_agg
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def partial_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        flat, lens = split_flat(batch["text"])
+        if len(flat) < 2:
+            return pd.DataFrame({"gram": pd.Series([], dtype=object),
+                                 "c": pd.Series([], dtype="int64")})
+        doc_of = np.repeat(np.arange(len(lens)), lens)
+        same = doc_of[1:] == doc_of[:-1]
+        g = (pd.Series(flat[:-1], dtype=object) + " " + pd.Series(flat[1:], dtype=object))[same]
+        vc = g.value_counts()
+        return pd.DataFrame({"gram": vc.index.to_numpy(dtype=object),
+                             "c": vc.to_numpy(dtype=np.int64)})
+
+    counts = grouped_agg(
+        ds.map_batches(partial_counts, batch_format="pandas"),
+        ["gram"],
+        [("c", "sum", "c")],
+    )
+
+    def block_prune(b: pd.DataFrame) -> pd.DataFrame:
+        return b.sort_values(["c", "gram"], ascending=[False, True]).head(20)
+
+    return counts.map_batches(block_prune, batch_format="pandas").sort(
+        ["c", "gram"], descending=[True, False]
+    ).limit(20)
+
+
+SQL_NGRAM_TOPK = r"""
+WITH toks AS (
+  SELECT CASE WHEN trim(coalesce(text,'')) = '' THEN []::VARCHAR[]
+         ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+  FROM documents),
+g AS (
+  SELECT unnest([t[i] || ' ' || t[i+1] FOR i IN generate_series(1, len(t)-1)]) AS gram
+  FROM toks)
+SELECT gram, count(*)::BIGINT AS c
+FROM g GROUP BY gram
+ORDER BY c DESC, gram LIMIT 20
+"""
+
+
+def q_chunk_docs(sf_dir: str):
+    """Fixed-token training chunks with overlap (context-window prep):
+    stride 24 = 32 − 8, batch-local flat_map, no shuffle."""
+    from ..functions.pack import chunk_docs
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return chunk_docs(ds, max_tokens=32, overlap=8)
+
+
+SQL_CHUNK_DOCS = r"""
+WITH toks AS (
+  SELECT doc_id, CASE WHEN trim(coalesce(text,'')) = '' THEN []::VARCHAR[]
+                 ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+  FROM documents)
+SELECT doc_id,
+       i AS chunk_idx,
+       array_to_string(t[i*24+1 : LEAST(i*24+32, len(t))], ' ') AS chunk_text,
+       CAST(LEAST(i*24+32, len(t)) - i*24 AS BIGINT) AS n_chunk_tokens
+FROM toks,
+     UNNEST(generate_series(0, CASE WHEN len(t) = 0 THEN -1
+                                    ELSE (len(t)-1)//24 END)) AS u(i)
 """
 
 
@@ -1939,6 +2092,7 @@ def queries():
     return {
         "cdc_flagship": q_cdc_flagship,
         "cdc_turn_counts": q_cdc_turn_counts,
+        "cdc_changes": q_cdc_changes,
         "pricing_summary": q_pricing_summary,
         "filter_revenue": q_filter_revenue,
         "topk_orders": q_topk_orders,
@@ -1977,6 +2131,8 @@ def queries():
         "doc_repetition": q_doc_repetition,
         "decontaminate": q_decontaminate,
         "tfidf_top_term": q_tfidf_top_term,
+        "chunk_docs": q_chunk_docs,
+        "ngram_topk": q_ngram_topk,
         "streaming_dedup": q_streaming_dedup,
         "resumable_sink": q_resumable_sink,
         "embed_stats": q_embed_stats,
@@ -2002,6 +2158,7 @@ def oracle_sql():
     return {
         "cdc_flagship": _cdc_oracle_sql(),
         "cdc_turn_counts": _cdc_turn_counts_sql(),
+        "cdc_changes": _cdc_changes_sql(),
         "pricing_summary": SQL_PRICING,
         "filter_revenue": SQL_FILTER_REVENUE,
         "topk_orders": SQL_TOPK_ORDERS,
@@ -2040,6 +2197,8 @@ def oracle_sql():
         "doc_repetition": SQL_DOC_REPETITION,
         "decontaminate": SQL_DECONTAMINATE,
         "tfidf_top_term": SQL_TFIDF_TOP_TERM,
+        "chunk_docs": SQL_CHUNK_DOCS,
+        "ngram_topk": SQL_NGRAM_TOPK,
         "streaming_dedup": SQL_STREAMING_DEDUP,
         "resumable_sink": SQL_RESUMABLE_SINK,
         "embed_stats": SQL_EMBED_STATS,

@@ -143,6 +143,17 @@ def commit_manifest(
     return manifest
 
 
+def load_epoch_manifest(root: str, epoch: int) -> dict | None:
+    """A committed epoch's manifest from the history dir (every commit
+    writes ``epoch-{E}.json``, so any past table version stays
+    addressable — the time-travel hook). Epoch 0 = the empty table."""
+    if epoch == 0:
+        return None
+    path = os.path.join(root, MANIFEST_DIR, f"epoch-{epoch:06d}.json")
+    with open(path) as f:
+        return json.load(f)
+
+
 def data_files(manifest: dict) -> list[str]:
     """Committed data file paths (relative to table root)."""
     return [
