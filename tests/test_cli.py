@@ -65,3 +65,26 @@ def test_cli_point_read(ray_session, tmp_path, capsys):
     out = run(capsys, "read", root, "--conv", conv, "--limit", "5")
     rows = [json.loads(l) for l in out.strip().splitlines()]
     assert rows and all(r["conv_id"] == conv for r in rows)
+
+
+def test_cli_changes_feed(ray_session, tmp_path, capsys):
+    wal_out = str(tmp_path / "w")
+    root = str(tmp_path / "t")
+    out = run(capsys, "gen", wal_out, "--events", "2000", "--segment-rows", "400")
+    wal = json.loads(out.strip().splitlines()[-1])["wal"]
+    # two epochs: first 2 segments, then the rest
+    import glob as _glob
+
+    segs = sorted(_glob.glob(os.path.join(wal, "seg-*.parquet")))
+    half = str(tmp_path / "w1")
+    os.makedirs(half)
+    for s in segs[:2]:
+        os.link(s, os.path.join(half, os.path.basename(s)))
+    run(capsys, "ingest", half, root, "--partitions", "4")
+    run(capsys, "ingest", wal, root, "--partitions", "4")
+
+    out = run(capsys, "changes", root, "--from", "1", "--limit", "5")
+    rows = [json.loads(line) for line in out.strip().splitlines()]
+    assert 0 < len(rows) <= 5
+    assert all(r["change_type"] in ("insert", "update", "delete") for r in rows)
+    assert all("conv_id" in r and "turn_idx" in r for r in rows)

@@ -208,6 +208,20 @@ def cmd_read(args):
         print(json.dumps(row, default=str))
 
 
+def cmd_changes(args):
+    """Change feed between two committed epochs as JSON lines."""
+    _ray()
+    from .pipelines.cdc import table_changes
+
+    ds = table_changes(args.table_root, args.from_epoch, args.to_epoch)
+    n = 0
+    for row in ds.iter_rows():
+        if args.limit and n >= args.limit:
+            break
+        print(json.dumps(row, default=str))
+        n += 1
+
+
 def cmd_check(args):
     import duckdb
 
@@ -289,6 +303,13 @@ def main(argv=None):
     sp.add_argument("--limit", type=int, default=20)
     sp.add_argument("--conv", default=None, help="point-read one conversation")
     sp.set_defaults(fn=cmd_read)
+
+    sp = sub.add_parser("changes")
+    sp.add_argument("table_root")
+    sp.add_argument("--from", dest="from_epoch", type=int, required=True)
+    sp.add_argument("--to", dest="to_epoch", type=int, default=None)
+    sp.add_argument("--limit", type=int, default=0)
+    sp.set_defaults(fn=cmd_changes)
 
     sp = sub.add_parser("check")
     sp.add_argument("table_root")
