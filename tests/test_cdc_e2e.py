@@ -449,3 +449,66 @@ def test_table_changes_prunes_untouched_partitions(ray_session, tmp_path):
     assert set(got.conv_id) == {conv}
     by_type = got.set_index("turn_idx").change_type.to_dict()
     assert by_type.get(99) == "insert"
+
+
+def test_time_travel_read_equals_prefix_replay(ray_session, tmp_path, log):
+    import pyarrow.compute as pc
+
+    from wprdc_etl_ray.pipelines.cdc import read_transcripts
+
+    write_wal(str(tmp_path), log, segment_rows=1000)
+    segs = sorted(glob.glob(str(tmp_path / "wal" / "seg-*.parquet")))
+    wal1 = str(tmp_path / "w1")
+    os.makedirs(wal1)
+    for s in segs[: len(segs) // 2]:
+        os.link(s, os.path.join(wal1, os.path.basename(s)))
+    root = str(tmp_path / "t")
+    r1 = run_ingest(wal1, root, CDCConfig(num_partitions=8))
+    run_ingest(str(tmp_path / "wal"), root, CDCConfig(num_partitions=8))
+
+    old = read_transcripts(root, epoch=1).to_pandas()
+    want = replay_oracle_pandas(
+        log.filter(pc.less_equal(log.column("offset"), r1.global_watermark))
+    ).to_pandas()
+    key = ["conv_id", "turn_idx"]
+    a = old.sort_values(key).reset_index(drop=True)
+    b = want[old.columns.intersection(want.columns)].sort_values(key).reset_index(drop=True)
+    cols = [c for c in b.columns]
+    assert len(a) == len(b)
+    eq = (a[cols] == b[cols]) | (a[cols].isna() & b[cols].isna())
+    assert eq.all().all()
+
+
+def test_incremental_view_equals_full_recompute(ray_session, tmp_path, log):
+    from wprdc_etl_ray.pipelines.cdc import incremental_conv_stats, table_changes
+
+    write_wal(str(tmp_path), log, segment_rows=1000)
+    segs = sorted(glob.glob(str(tmp_path / "wal" / "seg-*.parquet")))
+    wal1 = str(tmp_path / "w1")
+    os.makedirs(wal1)
+    for s in segs[: len(segs) // 2]:
+        os.link(s, os.path.join(wal1, os.path.basename(s)))
+    root = str(tmp_path / "t")
+    run_ingest(wal1, root, CDCConfig(num_partitions=8))
+    run_ingest(str(tmp_path / "wal"), root, CDCConfig(num_partitions=8))
+
+    got = (
+        incremental_conv_stats(root, from_epoch=1, to_epoch=2)
+        .to_pandas().sort_values("conv_id").reset_index(drop=True)
+    )
+    new = replay_oracle_pandas(log).to_pandas()
+    want = (
+        new.assign(chars=new["text"].fillna("").str.len())
+        .groupby("conv_id")
+        .agg(n_turns=("conv_id", "size"), total_chars=("chars", "sum"))
+        .reset_index().sort_values("conv_id").reset_index(drop=True)
+    )
+    assert got["conv_id"].tolist() == want["conv_id"].tolist()
+    assert got["n_turns"].tolist() == want["n_turns"].tolist()
+    assert got["total_chars"].tolist() == want["total_chars"].tolist()
+
+    # pre/post image pairing: every update key appears exactly twice
+    feed = table_changes(root, 1, 2, pre_images=True).to_pandas()
+    upd = feed[feed.change_type.str.startswith("update")]
+    per_key = upd.groupby(["conv_id", "turn_idx"]).change_type.agg(set)
+    assert all(s == {"update_preimage", "update_postimage"} for s in per_key)

@@ -925,12 +925,20 @@ def snapshot_as_events_multi(tables: list[pa.Table]) -> pa.Table:
 
 
 def read_transcripts(
-    table_root: str, columns: list[str] | None = None
+    table_root: str, columns: list[str] | None = None, epoch: int | None = None
 ) -> ray.data.Dataset:
     """Committed transcripts as a Dataset: manifest-resolved files, tombstones
     filtered, internal columns dropped, per-batch schema normalization so
-    pre-evolution partitions surface the unified schema."""
-    manifest = load_manifest(table_root)
+    pre-evolution partitions surface the unified schema.
+
+    ``epoch`` time-travels: resolve files through that epoch's history
+    manifest instead of the current one (every commit keeps
+    ``manifest/epoch-{E}.json`` and carried-forward data files are never
+    deleted by ingest, so any past version stays readable until a
+    refresh/compaction rewrites it)."""
+    manifest = load_manifest(table_root) if epoch is None else load_epoch_manifest(
+        table_root, epoch
+    )
     if manifest is None or not manifest["partitions"]:
         return ray.data.from_arrow(
             pa.table({"conv_id": pa.array([], pa.string())})
@@ -995,7 +1003,10 @@ def read_transcripts_arrow(table_root: str) -> pa.Table:
 
 
 def table_changes(
-    table_root: str, from_epoch: int, to_epoch: int | None = None
+    table_root: str,
+    from_epoch: int,
+    to_epoch: int | None = None,
+    pre_images: bool = False,
 ) -> ray.data.Dataset:
     """Change-data-feed between two committed epochs (the Delta-CDF /
     Iceberg-changelog shape): one row per key whose LIVE state differs
@@ -1003,6 +1014,10 @@ def table_changes(
     with ``change_type`` ∈ {insert, update, delete} and the payload
     columns from the NEW state (OLD state for deletes). ``from_epoch=0``
     diffs against the empty table (everything is an insert).
+    ``pre_images=True`` emits Delta-CDF-style paired rows for updates —
+    ``update_preimage`` (old payload) + ``update_postimage`` (new) — so
+    any sum-decomposable downstream aggregate can be maintained purely
+    incrementally (view += post − pre; see ``incremental_conv_stats``).
 
     Scale shape — the manifest does the pruning, not the data:
 
@@ -1074,6 +1089,16 @@ def table_changes(
 
     def diff(batch: pd.DataFrame) -> pd.DataFrame:
         outs = []
+
+        def emit(m: pd.DataFrame, mask: np.ndarray, side: str, label: str) -> None:
+            if not mask.any():
+                return
+            out = pd.DataFrame({k: m[k][mask] for k in key_cols})
+            for c in payload:
+                out[c] = m[c + side][mask]
+            out["change_type"] = label
+            outs.append(out)
+
         for old_p, new_p in zip(batch["old"], batch["new"]):
             o = read_live(old_p)
             n = read_live(new_p)
@@ -1084,13 +1109,14 @@ def table_changes(
             for c in payload:
                 a, b = m[c + "__o"], m[c + "__n"]
                 changed |= ((a != b) & ~(a.isna() & b.isna())).to_numpy()
-            keep = ins | dele | (~ins & ~dele & changed)
-            out = pd.DataFrame({k: m[k][keep] for k in key_cols})
-            for c in payload:
-                out[c] = m[c + "__n"].where(~pd.Series(dele, index=m.index), m[c + "__o"])[keep]
-            ct = np.where(ins, "insert", np.where(dele, "delete", "update"))
-            out["change_type"] = ct[keep]
-            outs.append(out)
+            upd = ~ins & ~dele & changed
+            emit(m, ins, "__n", "insert")
+            emit(m, dele, "__o", "delete")
+            if pre_images:
+                emit(m, upd, "__o", "update_preimage")
+                emit(m, upd, "__n", "update_postimage")
+            else:
+                emit(m, upd, "__n", "update")
         if not outs:
             return empty.to_pandas()
         return pd.concat(outs, ignore_index=True)
@@ -1098,6 +1124,69 @@ def table_changes(
     return ray.data.from_items(items).map_batches(
         diff, batch_format="pandas", batch_size=1
     )
+
+
+def incremental_conv_stats(
+    table_root: str, from_epoch: int, to_epoch: int | None = None
+) -> ray.data.Dataset:
+    """Incremental materialized-view maintenance over the change feed:
+    per-conversation (n_turns, total_chars) at ``to_epoch``, computed as
+    the view at ``from_epoch`` (time-travel read) PLUS signed deltas
+    from the pre/post-image feed — the table is never rescanned at the
+    new epoch. Both aggregates are sum-decomposable, so every feed row
+    contributes one signed partial: +1 for insert/update_postimage, −1
+    for delete/update_preimage; conversations whose live turn count
+    reaches zero drop out of the view.
+
+    Scale shape: the base is one partial pre-agg over the OLD snapshot
+    (amortized — a real deployment persists the view and only ever
+    applies deltas), the delta side is O(changed keys) rows from the
+    manifest-pruned feed, and the combine is one ``grouped_agg`` whose
+    shuffle carries per-(conv, block) partials. Maintenance cost scales
+    with the CHANGE RATE, not the table size — the property that makes
+    a 10^10-row view affordable per epoch."""
+    import pandas as pd
+
+    from ..functions.relational import grouped_agg
+
+    def partials(sign_of):
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            s = sign_of(batch)
+            chars = batch["text"].fillna("").str.len().to_numpy(dtype="int64")
+            return pd.DataFrame(
+                {
+                    "conv_id": batch["conv_id"],
+                    "n_turns": s,
+                    "total_chars": chars * s,
+                }
+            )
+
+        return fn
+
+    base = read_transcripts(table_root, columns=["conv_id", "text"], epoch=from_epoch)
+    base_p = base.map_batches(partials(lambda b: 1), batch_format="pandas")
+    feed = table_changes(table_root, from_epoch, to_epoch, pre_images=True)
+
+    def feed_sign(batch: pd.DataFrame):
+        import numpy as np
+
+        neg = batch["change_type"].isin(["delete", "update_preimage"]).to_numpy()
+        return np.where(neg, -1, 1).astype("int64")
+
+    feed_p = feed.select_columns(["conv_id", "text", "change_type"]).map_batches(
+        partials(feed_sign), batch_format="pandas"
+    )
+
+    out = grouped_agg(
+        base_p.union(feed_p),
+        ["conv_id"],
+        [("n_turns", "sum", "n_turns"), ("total_chars", "sum", "total_chars")],
+    )
+
+    def live_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater(batch.column("n_turns"), 0))
+
+    return out.map_batches(live_only, batch_format="pyarrow")
 
 
 # --- fluent builder (reference Pipeline parity, SURVEY.md §2.1 C1) -----------

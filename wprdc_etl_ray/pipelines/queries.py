@@ -229,6 +229,34 @@ WHERE o.conv_id IS NULL OR n.conv_id IS NULL OR ({differs})
 """
 
 
+def q_cdc_incremental_view(sf_dir: str):
+    """Incremental materialized-view maintenance: per-conv (n_turns,
+    total_chars) at epoch 2 = the epoch-1 view (time-travel read) plus
+    signed deltas from the pre/post-image change feed — the epoch-2
+    table is never rescanned. Oracle = the full aggregate over the LWW
+    replay of the whole WAL; equality proves the IVM algebra."""
+    from .cdc import incremental_conv_stats
+
+    root = _cdc_cf_root(sf_dir)
+    return incremental_conv_stats(root, from_epoch=1, to_epoch=2)
+
+
+def _cdc_incremental_view_sql() -> str:
+    wal = cdc_wal_dir("/root/testdata/sf0.01")
+    glob_path = os.path.join(wal, "seg-*.parquet")
+    return f"""
+WITH ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+            ORDER BY ts DESC, "offset" DESC) AS rn
+  FROM read_parquet('{glob_path}', union_by_name=true))
+SELECT conv_id,
+       count(*)::BIGINT AS n_turns,
+       sum(length(coalesce(text, '')))::BIGINT AS total_chars
+FROM ranked WHERE rn = 1 AND op <> 'delete'
+GROUP BY conv_id
+"""
+
+
 def q_cdc_turn_counts(sf_dir: str):
     """Aggregate over the MERGED transcripts table (exercises the
     manifest-resolved read path end-to-end): per conversation, the live
@@ -2093,6 +2121,7 @@ def queries():
         "cdc_flagship": q_cdc_flagship,
         "cdc_turn_counts": q_cdc_turn_counts,
         "cdc_changes": q_cdc_changes,
+        "cdc_incremental_view": q_cdc_incremental_view,
         "pricing_summary": q_pricing_summary,
         "filter_revenue": q_filter_revenue,
         "topk_orders": q_topk_orders,
@@ -2159,6 +2188,7 @@ def oracle_sql():
         "cdc_flagship": _cdc_oracle_sql(),
         "cdc_turn_counts": _cdc_turn_counts_sql(),
         "cdc_changes": _cdc_changes_sql(),
+        "cdc_incremental_view": _cdc_incremental_view_sql(),
         "pricing_summary": SQL_PRICING,
         "filter_revenue": SQL_FILTER_REVENUE,
         "topk_orders": SQL_TOPK_ORDERS,
