@@ -1218,3 +1218,34 @@ def test_chunk_docs_normalizes_whitespace(ray_session):
     ds = docs_ds(["  a   b\t c  "])
     got = chunk_docs(ds, max_tokens=2, overlap=1).to_pandas().sort_values("chunk_idx")
     assert got["chunk_text"].tolist() == ["a b", "b c", "c"]
+
+
+def test_label_centroids_exact_integer_mean(ray_session):
+    from wprdc_etl_ray.functions.similarity import label_centroids
+
+    ds = rd.from_arrow(pa.table({
+        "label": pa.array([0, 0, 1], pa.int32()),
+        "embedding": pa.array(
+            [[1.0, -2.0], [2.0, 3.5], [0.25, 0.75]],
+            pa.list_(pa.float32()),
+        ),
+    }))
+    got = (label_centroids(ds).to_pandas()
+           .sort_values(["label", "dim"]).reset_index(drop=True))
+    # label 0: sums (3e6, 1.5e6) over 2 -> (1500000, 750000)
+    # label 1: exact single row; dim is 1-based
+    assert got["label"].tolist() == [0, 0, 1, 1]
+    assert got["dim"].tolist() == [1, 2, 1, 2]
+    assert got["centroid_micro"].tolist() == [1_500_000, 750_000, 250_000, 750_000]
+
+
+def test_label_centroids_floor_on_negative_sums(ray_session):
+    from wprdc_etl_ray.functions.similarity import label_centroids
+
+    ds = rd.from_arrow(pa.table({
+        "label": pa.array([0, 0, 0], pa.int32()),
+        "embedding": pa.array([[-1.0], [-1.0], [-1.5]], pa.list_(pa.float32())),
+    }))
+    got = label_centroids(ds).to_pandas()
+    # sum = -3.5e6 over 3 -> floor(-1166666.67) = -1166667 (floor, not trunc)
+    assert got["centroid_micro"].tolist() == [-1_166_667]

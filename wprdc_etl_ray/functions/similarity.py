@@ -660,3 +660,70 @@ def cosine_lsh_near_dups(
         return bucket.drop_duplicates(ignore_index=True)
 
     return bucketed_group_map(cand, ["vec_a", "vec_b"], distinct_pairs, num_buckets=16)
+
+
+def label_centroids(
+    ds: ray.data.Dataset, label_col: str = "label", vec_col: str = "embedding"
+) -> ray.data.Dataset:
+    """Per-label embedding centroid — the k-means / IVF-training
+    building block — in EXACT integer micro-units so the DuckDB oracle
+    is bit-for-bit: each element is quantized ``floor(v·10^6 + 0.5)``
+    BEFORE aggregation (integer sums are associative; float means are
+    not — the same order-of-addition policy as the revenue queries),
+    then ``centroid = floor(Σ/n)``.
+
+    Scale shape: one partial pre-agg per batch (a (labels × dims) int
+    matrix via ``np.add.at`` scatter — no per-row loop), so the shuffle
+    carries O(labels·dims) rows per block regardless of corpus size;
+    emitted long-form (label, dim, centroid_micro) for engine-agnostic
+    comparison. ``dim`` is 1-based (SQL ``generate_subscripts``)."""
+    from .relational import grouped_agg
+
+    def partial(batch: pa.Table) -> "pd.DataFrame":
+        import pandas as pd
+
+        M = list_col_matrix(batch.column(vec_col))
+        labels = batch.column(label_col).to_numpy(zero_copy_only=False)
+        if len(M) == 0 or M.size == 0:
+            return pd.DataFrame(
+                {
+                    "label": pd.Series([], dtype="int64"),
+                    "dim": pd.Series([], dtype="int64"),
+                    "s": pd.Series([], dtype="int64"),
+                    "n": pd.Series([], dtype="int64"),
+                }
+            )
+        micro = np.floor(M * 1_000_000 + 0.5).astype(np.int64)
+        uniq, codes = np.unique(labels, return_inverse=True)
+        L, d = len(uniq), micro.shape[1]
+        sums = np.zeros((L, d), dtype=np.int64)
+        np.add.at(sums, codes, micro)
+        counts = np.bincount(codes, minlength=L).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "label": np.repeat(uniq.astype(np.int64), d),
+                "dim": np.tile(np.arange(1, d + 1, dtype=np.int64), L),
+                "s": sums.ravel(),
+                "n": np.repeat(counts, d),
+            }
+        )
+
+    agg = grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["label", "dim"],
+        [("s", "sum", "s"), ("n", "sum", "n")],
+    )
+
+    def finish(b):
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "label": b["label"].astype("int64"),
+                "dim": b["dim"].astype("int64"),
+                # int64 // floors, matching the oracle's FLOOR(double ratio)
+                "centroid_micro": b["s"].to_numpy() // b["n"].to_numpy(),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pandas")

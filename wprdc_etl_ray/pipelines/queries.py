@@ -1883,6 +1883,43 @@ FROM reach GROUP BY n
 """
 
 
+def q_embed_dedup_clusters(sf_dir: str):
+    """Semantic (embedding-cosine) dedup end-to-end: exact block-pair
+    cosine-threshold pairs → distributed connected components →
+    canonical = min vec_id per cluster. The semantic twin of
+    `dedup_clusters` (which clusters lexical MinHash pairs)."""
+    from ..functions.graph import connected_components
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    pairs = embedding_near_dups(ds, threshold=0.2)
+    cc = connected_components(pairs, a_col="vec_a", b_col="vec_b")
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "vec_id": b["node"].astype("int64"),
+                "canonical_id": b["comp"].astype("int64"),
+            }
+        )
+
+    return cc.map_batches(finish, batch_format="pandas")
+
+
+def _sql_embed_dedup_clusters() -> str:
+    return f"""
+WITH RECURSIVE p AS ({SQL_EMBEDDING_NEAR_DUPS}),
+edges AS (SELECT vec_a AS a, vec_b AS b FROM p
+          UNION ALL SELECT vec_b, vec_a FROM p),
+nodes AS (SELECT DISTINCT a AS n FROM edges),
+reach AS (
+  SELECT n, n AS m FROM nodes
+  UNION
+  SELECT r.n, e.b AS m FROM reach r JOIN edges e ON r.m = e.a)
+SELECT n AS vec_id, CAST(MIN(m) AS BIGINT) AS canonical_id
+FROM reach GROUP BY n
+"""
+
+
 def q_simhash(sf_dir: str):
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return simhash_signatures(ds)
@@ -1912,6 +1949,28 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                              CAST(b.embedding AS DOUBLE[])) >= 0.2
+"""
+
+
+def q_label_centroids(sf_dir: str):
+    """Per-label embedding centroid (k-means/IVF building block) in
+    exact integer micro-units: quantize per element, integer-sum via a
+    partial pre-agg scatter, floor-divide."""
+    from ..functions.similarity import label_centroids
+
+    ds = read_table(sf_dir, "embeddings", columns=["label", "embedding"])
+    return label_centroids(ds)
+
+
+SQL_LABEL_CENTROIDS = """
+WITH x AS (
+  SELECT CAST(label AS BIGINT) AS label,
+         CAST(FLOOR(unnest(CAST(embedding AS DOUBLE[])) * 1000000 + 0.5) AS BIGINT) AS v,
+         CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim
+  FROM embeddings)
+SELECT label, dim,
+       CAST(FLOOR(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS centroid_micro
+FROM x GROUP BY label, dim
 """
 
 
@@ -2177,6 +2236,8 @@ def queries():
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
         "embedding_near_dups": q_embedding_near_dups,
+        "embed_dedup_clusters": q_embed_dedup_clusters,
+        "label_centroids": q_label_centroids,
         "cosine_lsh_pairs": q_cosine_lsh_pairs,
         "ivf_topk": q_ivf_topk,
         "ivf_topk_batch": q_ivf_topk_batch,
@@ -2244,6 +2305,8 @@ def oracle_sql():
         "ngram_jaccard": SQL_MINHASH_PAIRS,  # same exact-Jaccard semantics
         "dedup_clusters": _sql_dedup_clusters(),
         "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
+        "embed_dedup_clusters": _sql_embed_dedup_clusters(),
+        "label_centroids": SQL_LABEL_CENTROIDS,
         "cosine_lsh_pairs": _sql_cosine_lsh(),
         "ivf_topk": _sql_ivf_topk(),
         "ivf_topk_batch": _sql_ivf_topk_batch(),
