@@ -1249,3 +1249,19 @@ def test_label_centroids_floor_on_negative_sums(ray_session):
     got = label_centroids(ds).to_pandas()
     # sum = -3.5e6 over 3 -> floor(-1166666.67) = -1166667 (floor, not trunc)
     assert got["centroid_micro"].tolist() == [-1_166_667]
+
+
+def test_funnel_counts_strict_ordering(ray_session):
+    from wprdc_etl_ray.functions.relational import funnel_counts
+
+    # u1 completes A->B->C in order; u2 has B before A (stops at stage 1);
+    # u3 has A and B at the SAME ts (equal ts does not advance); u4 only B.
+    df = pd.DataFrame({
+        "user_id": [1, 1, 1, 2, 2, 3, 3, 4],
+        "event_type": ["A", "B", "C", "B", "A", "A", "B", "B"],
+        "ts": pd.to_datetime([1, 2, 3, 1, 2, 5, 5, 1], unit="s"),
+    })
+    got = (funnel_counts(rd.from_pandas(df, override_num_blocks=3),
+                         ["A", "B", "C"])
+           .to_pandas().sort_values("stage"))
+    assert got["users"].tolist() == [3, 1, 1]

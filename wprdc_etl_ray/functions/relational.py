@@ -840,3 +840,55 @@ def rolling_per_key(
     return bucketed_group_map(
         ds, key_cols, per_bucket, num_buckets=num_buckets
     )
+
+
+def funnel_counts(
+    ds: ray.data.Dataset,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    num_buckets: int = 16,
+) -> ray.data.Dataset:
+    """Sequential funnel (classic event analytics): how many users
+    reached step k — i.e. performed steps[0], then steps[1] STRICTLY
+    later, then steps[2] later still… Each user's clock is the earliest
+    qualifying time per stage (min-ts semantics; equal timestamps do NOT
+    advance the funnel, identically in both engines). Returns one row
+    per stage: (stage 1-based, users).
+
+    Scale shape: ONE bucketed exchange on the user (users never split
+    across buckets), the per-bucket kernel is len(steps) vectorized
+    groupby-min passes, and only O(num_buckets · len(steps)) partial
+    count rows leave the buckets — a funnel over 10^10 events moves the
+    events once and aggregates to a handful of rows."""
+    import pandas as pd
+
+    def per_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        cur: pd.Series | None = None  # per-user frontier time
+        counts = []
+        for i, step in enumerate(steps):
+            sel = b[b[type_col] == step]
+            if cur is not None:
+                sel = sel.merge(cur.rename("_t").reset_index(), on=user_col)
+                sel = sel[sel[ts_col] > sel["_t"]]
+            nxt = sel.groupby(user_col, sort=False)[ts_col].min()
+            counts.append(len(nxt))
+            cur = nxt
+            if len(nxt) == 0:
+                counts.extend([0] * (len(steps) - i - 1))
+                break
+        return pd.DataFrame(
+            {
+                "stage": np.arange(1, len(steps) + 1, dtype=np.int64),
+                "users": np.array(counts, dtype=np.int64),
+            }
+        )
+
+    partials = bucketed_group_map(
+        ds.select_columns([user_col, type_col, ts_col]),
+        [user_col],
+        per_bucket,
+        num_buckets=num_buckets,
+    )
+    return grouped_agg(partials, ["stage"], [("users", "sum", "users")])

@@ -257,6 +257,58 @@ GROUP BY conv_id
 """
 
 
+def q_conv_role_quality(sf_dir: str):
+    """Transcript data-quality audit over the MATERIALIZED table: per
+    conversation, turn count, adjacent same-role repeats (a broken
+    user/assistant alternation signal) and tool-call turns. One
+    bucketed exchange on conv_id; the in-bucket kernel is a sort +
+    shifted vector compare — no per-conv loop."""
+    from ..functions.relational import bucketed_group_map
+    from .cdc import read_transcripts
+
+    root = _cdc_cf_root(sf_dir)
+    ds = read_transcripts(root, columns=["conv_id", "turn_idx", "role", "tool"])
+
+    def per_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        s = b.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        same_conv = s["conv_id"].to_numpy()[1:] == s["conv_id"].to_numpy()[:-1]
+        role = s["role"].to_numpy()
+        rep = np.concatenate([[False], (role[1:] == role[:-1]) & same_conv])
+        s = s.assign(_rep=rep.astype(np.int64), _tool=s["tool"].notna().to_numpy().astype(np.int64))
+        g = s.groupby("conv_id", sort=False).agg(
+            n_turns=("turn_idx", "size"),
+            n_role_repeats=("_rep", "sum"),
+            n_tool_turns=("_tool", "sum"),
+        )
+        return g.reset_index().astype(
+            {"n_turns": "int64", "n_role_repeats": "int64", "n_tool_turns": "int64"}
+        )
+
+    return bucketed_group_map(ds, ["conv_id"], per_bucket, num_buckets=16)
+
+
+def _conv_role_quality_sql() -> str:
+    wal = cdc_wal_dir("/root/testdata/sf0.01")
+    glob_path = os.path.join(wal, "seg-*.parquet")
+    return f"""
+WITH ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+            ORDER BY ts DESC, "offset" DESC) AS rn
+  FROM read_parquet('{glob_path}', union_by_name=true)),
+live AS (SELECT conv_id, turn_idx, role, tool FROM ranked
+         WHERE rn = 1 AND op <> 'delete'),
+lagged AS (
+  SELECT conv_id, role, tool,
+         lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role
+  FROM live)
+SELECT conv_id,
+       count(*)::BIGINT AS n_turns,
+       count(*) FILTER (role = prev_role)::BIGINT AS n_role_repeats,
+       count(tool)::BIGINT AS n_tool_turns
+FROM lagged GROUP BY conv_id
+"""
+
+
 def q_cdc_turn_counts(sf_dir: str):
     """Aggregate over the MERGED transcripts table (exercises the
     manifest-resolved read path end-to-end): per conversation, the live
@@ -1462,6 +1514,29 @@ GROUP BY user_id
 """
 
 
+def q_event_funnel(sf_dir: str):
+    """Sequential view → click → purchase funnel per user (strictly
+    increasing timestamps): one bucketed exchange on user_id, per-bucket
+    vectorized groupby-min passes, O(buckets·stages) partial rows."""
+    from ..functions.relational import funnel_counts
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+    return funnel_counts(ds, ["view", "click", "purchase"])
+
+
+SQL_EVENT_FUNNEL = """
+WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id)
+SELECT 1::BIGINT AS stage, count(*)::BIGINT AS users FROM v
+UNION ALL SELECT 2, count(*) FROM c
+UNION ALL SELECT 3, count(*) FROM p
+"""
+
+
 def q_rolling_user_value(sf_dir: str):
     """Per-user rolling 5-event value sum (cents) ordered by (ts,
     event_id) — the ROWS-window function as one bucketed exchange +
@@ -2181,6 +2256,7 @@ def queries():
         "cdc_turn_counts": q_cdc_turn_counts,
         "cdc_changes": q_cdc_changes,
         "cdc_incremental_view": q_cdc_incremental_view,
+        "conv_role_quality": q_conv_role_quality,
         "pricing_summary": q_pricing_summary,
         "filter_revenue": q_filter_revenue,
         "topk_orders": q_topk_orders,
@@ -2215,6 +2291,7 @@ def queries():
         "clean_text": q_clean_text,
         "price_quantiles": q_price_quantiles,
         "rolling_user_value": q_rolling_user_value,
+        "event_funnel": q_event_funnel,
         "user_event_sequences": q_user_event_sequences,
         "doc_repetition": q_doc_repetition,
         "decontaminate": q_decontaminate,
@@ -2250,6 +2327,7 @@ def oracle_sql():
         "cdc_turn_counts": _cdc_turn_counts_sql(),
         "cdc_changes": _cdc_changes_sql(),
         "cdc_incremental_view": _cdc_incremental_view_sql(),
+        "conv_role_quality": _conv_role_quality_sql(),
         "pricing_summary": SQL_PRICING,
         "filter_revenue": SQL_FILTER_REVENUE,
         "topk_orders": SQL_TOPK_ORDERS,
@@ -2284,6 +2362,7 @@ def oracle_sql():
         "clean_text": _sql_clean_text(),
         "price_quantiles": SQL_PRICE_QUANTILES,
         "rolling_user_value": SQL_ROLLING_USER_VALUE,
+        "event_funnel": SQL_EVENT_FUNNEL,
         "user_event_sequences": SQL_USER_EVENT_SEQUENCES,
         "doc_repetition": SQL_DOC_REPETITION,
         "decontaminate": SQL_DECONTAMINATE,
