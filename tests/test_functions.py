@@ -1265,3 +1265,31 @@ def test_funnel_counts_strict_ordering(ray_session):
                          ["A", "B", "C"])
            .to_pandas().sort_values("stage"))
     assert got["users"].tolist() == [3, 1, 1]
+
+
+def test_heavy_hitters_exact_and_bounded(ray_session):
+    from wprdc_etl_ray.functions.relational import heavy_hitters
+
+    rng = np.random.default_rng(3)
+    # zipf-ish: "hot" = 30%, "warm" = 15%, tail of 60 rare keys
+    vals = (["hot"] * 3000 + ["warm"] * 1500
+            + [f"rare{i}" for i in rng.integers(0, 60, 5500)])
+    rng.shuffle(vals)
+    ds = rd.from_pandas(pd.DataFrame({"w": vals}), override_num_blocks=8)
+    got = heavy_hitters(ds, "w", threshold_micro=100_000).to_pandas()
+    got = got.sort_values("w").reset_index(drop=True)
+    # exact answer: only hot (30%) and warm (15%) clear the 10% bar
+    assert got["w"].tolist() == ["hot", "warm"]
+    assert got["c"].tolist() == [3000, 1500]
+
+
+def test_heavy_hitters_threshold_edge_inclusive(ray_session):
+    from wprdc_etl_ray.functions.relational import heavy_hitters
+
+    # exactly at the bar: 1 of 10 rows at threshold 10% -> kept (>=)
+    ds = rd.from_pandas(
+        pd.DataFrame({"w": ["edge"] + [f"x{i}" for i in range(9)]}),
+        override_num_blocks=2,
+    )
+    got = heavy_hitters(ds, "w", threshold_micro=100_000).to_pandas()
+    assert set(got["w"]) == {"edge"} | {f"x{i}" for i in range(9)}  # all at 10%

@@ -892,3 +892,80 @@ def funnel_counts(
         num_buckets=num_buckets,
     )
     return grouped_agg(partials, ["stage"], [("users", "sum", "users")])
+
+
+def heavy_hitters(
+    ds: ray.data.Dataset,
+    col: str,
+    threshold_micro: int,
+    k: int | None = None,
+) -> ray.data.Dataset:
+    """EXACT frequency-threshold heavy hitters (keys occurring in at
+    least ``threshold_micro``·10^-6 of all rows) with BOUNDED memory —
+    the classic two-pass Misra-Gries shape:
+
+    Pass 1: each batch emits only keys whose IN-BATCH count exceeds
+    ``n_batch/(k+1)`` (≤ k rows per batch — the MG summary bound) plus
+    one total-row-count marker row. If a key misses every batch summary
+    its global frequency is < N/(k+1) ≤ threshold/2 (k defaults to
+    ``ceil(2·10^6/threshold_micro)``), so the surviving candidate set is
+    a GUARANTEED superset of the true heavy hitters — no full-vocabulary
+    structure exists anywhere, unlike a naive groupby-count.
+
+    Pass 2: the (bounded) candidate array broadcasts via ``ray.put``;
+    the corpus streams through an ``isin`` recount, and the exact counts
+    gate ``c·10^6 ≥ threshold_micro·N``. Exactness is free because only
+    candidates are recounted. The input is consumed twice (two passes
+    are inherent); keep the upstream projection narrow or pre-materialize
+    it if the source re-read dominates."""
+    import ray as _ray
+
+    if k is None:
+        k = -(-2_000_000 // threshold_micro)
+
+    def summarize(batch: pd.DataFrame) -> pd.DataFrame:
+        v = batch[col]
+        n_i = len(v)
+        if n_i == 0:
+            return pd.DataFrame(
+                {"w": pd.Series([], dtype=object),
+                 "c": pd.Series([], dtype="int64"),
+                 "t": pd.Series([], dtype="int64")}
+            )
+        vc = v.value_counts()
+        vc = vc[vc.to_numpy() > n_i / (k + 1)]
+        return pd.DataFrame(
+            {
+                "w": np.concatenate([vc.index.to_numpy(dtype=object), [""]]),
+                "c": np.concatenate([vc.to_numpy(dtype=np.int64), [n_i]]),
+                "t": np.concatenate([np.zeros(len(vc), np.int64), [1]]),
+            }
+        )
+
+    summary = grouped_agg(
+        ds.map_batches(summarize, batch_format="pandas"),
+        ["w", "t"],
+        [("c", "sum", "c")],
+    ).to_pandas()
+    total = int(summary.loc[summary["t"] == 1, "c"].sum())
+    cand = summary.loc[summary["t"] == 0, "w"].to_numpy(dtype=object)
+    ref = _ray.put(cand)
+
+    def recount(batch: pd.DataFrame) -> pd.DataFrame:
+        cands = _ray.get(ref)
+        v = batch[col]
+        hit = v[np.isin(v.to_numpy(dtype=object), cands)]
+        vc = hit.value_counts()
+        return pd.DataFrame(
+            {"w": vc.index.to_numpy(dtype=object), "c": vc.to_numpy(dtype=np.int64)}
+        )
+
+    counts = grouped_agg(
+        ds.map_batches(recount, batch_format="pandas"), ["w"], [("c", "sum", "c")]
+    )
+
+    def gate(batch: pa.Table) -> pa.Table:
+        c = batch.column("c").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(c * 1_000_000 >= threshold_micro * total))
+
+    return counts.map_batches(gate, batch_format="pyarrow")

@@ -1514,6 +1514,84 @@ GROUP BY user_id
 """
 
 
+def q_heavy_hitters(sf_dir: str):
+    """Corpus tokens occurring in ≥3.3% of the token stream — exact,
+    via the bounded-memory two-pass Misra-Gries shape (per-batch ≤k-row
+    summaries → guaranteed-superset candidates → broadcast recount).
+    No full-vocabulary structure anywhere."""
+    from ..functions.hashing import split_flat
+    from ..functions.relational import heavy_hitters
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        flat, _ = split_flat(batch["text"])
+        return pd.DataFrame({"w": flat})
+
+    words = ds.map_batches(explode, batch_format="pandas")
+    return heavy_hitters(words, "w", threshold_micro=33_000)
+
+
+SQL_HEAVY_HITTERS = r"""
+WITH toks AS (
+  SELECT CASE WHEN trim(coalesce(text,'')) = '' THEN []::VARCHAR[]
+         ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+  FROM documents),
+words AS (SELECT unnest(t) AS w FROM toks),
+tot AS (SELECT count(*) AS n FROM words)
+SELECT w, count(*)::BIGINT AS c
+FROM words, tot GROUP BY w, n
+HAVING count(*) * 1000000 >= 33000 * n
+"""
+
+
+def q_retention_cohorts(sf_dir: str):
+    """Cohort retention triangle: users grouped by first-activity day
+    (epoch days — integer arithmetic, no date-dtype skew between
+    engines), counted per (cohort_day, day_offset) of later activity.
+    Shape: narrow (user, day) projection → distinct via partial
+    pre-agg → cohort via grouped min → partitioned hash join → final
+    grouped count; every shuffle carries pre-aggregated narrow rows."""
+    from ..functions.relational import grouped_agg, hash_join
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def days(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "day": pa.array(ts // 86_400_000_000, pa.int64()),
+            }
+        )
+
+    ud = ds.map_batches(days, batch_format="pyarrow")
+    dedup = grouped_agg(ud, ["user_id", "day"], [("", "count", "_c")]).drop_columns(["_c"])
+    cohort = grouped_agg(ud, ["user_id"], [("day", "min", "cohort_day")])
+    j = hash_join(dedup, cohort, on="user_id")
+
+    def offs(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "cohort_day": batch["cohort_day"].astype("int64"),
+                "day_offset": (batch["day"] - batch["cohort_day"]).astype("int64"),
+            }
+        )
+
+    per = j.map_batches(offs, batch_format="pandas")
+    return grouped_agg(per, ["cohort_day", "day_offset"], [("", "count", "users")])
+
+
+SQL_RETENTION_COHORTS = """
+WITH ud AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+cohort AS (SELECT user_id, min(day) AS cohort_day FROM ud GROUP BY user_id)
+SELECT cohort_day, day - cohort_day AS day_offset, count(*)::BIGINT AS users
+FROM ud JOIN cohort USING (user_id)
+GROUP BY cohort_day, day_offset
+"""
+
+
 def q_event_funnel(sf_dir: str):
     """Sequential view → click → purchase funnel per user (strictly
     increasing timestamps): one bucketed exchange on user_id, per-bucket
@@ -2292,6 +2370,8 @@ def queries():
         "price_quantiles": q_price_quantiles,
         "rolling_user_value": q_rolling_user_value,
         "event_funnel": q_event_funnel,
+        "retention_cohorts": q_retention_cohorts,
+        "heavy_hitters": q_heavy_hitters,
         "user_event_sequences": q_user_event_sequences,
         "doc_repetition": q_doc_repetition,
         "decontaminate": q_decontaminate,
@@ -2363,6 +2443,8 @@ def oracle_sql():
         "price_quantiles": SQL_PRICE_QUANTILES,
         "rolling_user_value": SQL_ROLLING_USER_VALUE,
         "event_funnel": SQL_EVENT_FUNNEL,
+        "retention_cohorts": SQL_RETENTION_COHORTS,
+        "heavy_hitters": SQL_HEAVY_HITTERS,
         "user_event_sequences": SQL_USER_EVENT_SEQUENCES,
         "doc_repetition": SQL_DOC_REPETITION,
         "decontaminate": SQL_DECONTAMINATE,
