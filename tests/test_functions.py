@@ -1293,3 +1293,13 @@ def test_heavy_hitters_threshold_edge_inclusive(ray_session):
     )
     got = heavy_hitters(ds, "w", threshold_micro=100_000).to_pandas()
     assert set(got["w"]) == {"edge"} | {f"x{i}" for i in range(9)}  # all at 10%
+
+
+def test_json_int_field_nulls_and_negatives(ray_session):
+    from wprdc_etl_ray.functions.text import json_int_field
+
+    t = pa.table({"props": pa.array(
+        ['{"k": 7}', '{"k": -42}', '{"x": 1}', None, 'not json', '{"k": "str"}'],
+        pa.string())})
+    out = json_int_field(t)
+    assert out.column("v").to_pylist() == [7, -42, None, None, None, None]

@@ -527,3 +527,18 @@ def clean_text(batch: pa.Table, redact: bool = True) -> pa.Table:
             "n_redactions": n_red,
         }
     )
+
+
+def json_int_field(
+    batch: pa.Table, col: str = "props", key: str = "k", out: str = "v"
+) -> pa.Table:
+    """Extract an integer field from a semi-structured JSON-string
+    column, fully vectorized (Arrow RE2 ``extract_regex`` with a named
+    group — no per-row json.loads). Missing/null/malformed rows yield
+    NULL. The DuckDB oracle uses NATIVE ``json_extract``, so the two
+    engines cross-check each other's parse. For nested/typed payloads
+    swap the regex for a real JSON kernel at the same call site."""
+    s = batch.column(col)
+    m = pc.extract_regex(s, rf'"{key}":\s*(?P<v>-?\d+)')
+    v = pc.if_else(pc.is_valid(m), pc.struct_field(m, "v"), None)
+    return batch.append_column(out, v.cast(pa.int64()))

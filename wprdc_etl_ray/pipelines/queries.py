@@ -1514,6 +1514,38 @@ GROUP BY user_id
 """
 
 
+def q_props_stats(sf_dir: str):
+    """Semi-structured decode: extract the integer `k` field from the
+    JSON `props` column (vectorized Arrow RE2, no per-row json.loads),
+    then per-event-type count/sum/min/max. Oracle parses with DuckDB's
+    NATIVE json_extract — the engines cross-check each other's parse."""
+    from ..functions.relational import grouped_agg
+    from ..functions.text import json_int_field
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "props"])
+    ext = ds.map_batches(json_int_field, batch_format="pyarrow").drop_columns(["props"])
+    return grouped_agg(
+        ext,
+        ["event_type"],
+        [
+            ("", "count", "n"),
+            ("v", "sum", "sum_k"),
+            ("v", "min", "min_k"),
+            ("v", "max", "max_k"),
+        ],
+    )
+
+
+SQL_PROPS_STATS = """
+SELECT event_type,
+       count(*)::BIGINT AS n,
+       sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_k,
+       min(json_extract(props, '$.k')::BIGINT)::BIGINT AS min_k,
+       max(json_extract(props, '$.k')::BIGINT)::BIGINT AS max_k
+FROM events GROUP BY event_type
+"""
+
+
 def q_heavy_hitters(sf_dir: str):
     """Corpus tokens occurring in ≥3.3% of the token stream — exact,
     via the bounded-memory two-pass Misra-Gries shape (per-batch ≤k-row
@@ -2372,6 +2404,7 @@ def queries():
         "event_funnel": q_event_funnel,
         "retention_cohorts": q_retention_cohorts,
         "heavy_hitters": q_heavy_hitters,
+        "props_stats": q_props_stats,
         "user_event_sequences": q_user_event_sequences,
         "doc_repetition": q_doc_repetition,
         "decontaminate": q_decontaminate,
@@ -2445,6 +2478,7 @@ def oracle_sql():
         "event_funnel": SQL_EVENT_FUNNEL,
         "retention_cohorts": SQL_RETENTION_COHORTS,
         "heavy_hitters": SQL_HEAVY_HITTERS,
+        "props_stats": SQL_PROPS_STATS,
         "user_event_sequences": SQL_USER_EVENT_SEQUENCES,
         "doc_repetition": SQL_DOC_REPETITION,
         "decontaminate": SQL_DECONTAMINATE,
