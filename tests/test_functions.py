@@ -1303,3 +1303,26 @@ def test_json_int_field_nulls_and_negatives(ray_session):
         pa.string())})
     out = json_int_field(t)
     assert out.column("v").to_pylist() == [7, -42, None, None, None, None]
+
+
+def test_export_shards_resumes_only_missing(ray_session, tmp_path):
+    import os
+    import shutil
+
+    from wprdc_etl_ray.sources.sinks import export_shards, read_resumable
+
+    ds = docs_ds([f"doc number {i} text" for i in range(200)])
+    out = str(tmp_path / "shards")
+    r1 = export_shards(ds, out, n_shards=4)
+    assert sorted(r1["written"]) == ["0", "1", "2", "3"] and not r1["skipped"]
+    full = read_resumable(out).to_pandas()
+    assert len(full) == 200
+
+    # lose one shard (marker + data); re-export rewrites ONLY that shard
+    os.remove(os.path.join(out, "_SUCCESS-2"))
+    shutil.rmtree(os.path.join(out, "data", "shard=2"))
+    r2 = export_shards(ds, out, n_shards=4)
+    assert r2["written"] == ["2"] and sorted(r2["skipped"]) == ["0", "1", "3"]
+    again = read_resumable(out).to_pandas()
+    assert len(again) == 200
+    assert sorted(again["doc_id"]) == sorted(full["doc_id"])

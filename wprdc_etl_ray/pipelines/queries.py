@@ -1514,6 +1514,59 @@ GROUP BY user_id
 """
 
 
+def q_export_shards(sf_dir: str):
+    """Final training-shard export end to end: md5-rank shuffle →
+    shard = pos % 16 → resumable partitioned write → read BACK the
+    marked shards from disk and count per shard. The oracle derives
+    shard membership from the same md5 rank in SQL, so the on-disk
+    layout itself is verified."""
+    import shutil as _shutil
+
+    from ..functions.relational import grouped_agg
+    from ..sources.sinks import export_shards, read_resumable
+
+    out_dir = os.path.join(
+        "/tmp/graft_shards", os.path.basename(os.path.normpath(sf_dir))
+    )
+    _shutil.rmtree(out_dir, ignore_errors=True)
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    export_shards(ds, out_dir, n_shards=16)
+    back = read_resumable(out_dir)  # hive partition col comes back str
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "shard": batch["shard"].astype("int64"),
+                "n_docs": batch["n_docs"].astype("int64"),
+                "chars": batch["chars"].astype("int64"),
+            }
+        )
+
+    stats = back.map_batches(
+        lambda b: pd.DataFrame(
+            {"shard": b["shard"], "_len": b["text"].fillna("").str.len().astype("int64")}
+        ),
+        batch_format="pandas",
+    )
+    return grouped_agg(
+        stats, ["shard"], [("", "count", "n_docs"), ("_len", "sum", "chars")]
+    ).map_batches(finish, batch_format="pandas")
+
+
+SQL_EXPORT_SHARDS = """
+WITH ranked AS (
+  SELECT doc_id, text,
+         row_number() OVER (
+           ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT
+         ) - 1 AS pos
+  FROM documents)
+SELECT pos % 16 AS shard,
+       count(*)::BIGINT AS n_docs,
+       sum(length(coalesce(text, '')))::BIGINT AS chars
+FROM ranked GROUP BY shard
+"""
+
+
 def q_props_stats(sf_dir: str):
     """Semi-structured decode: extract the integer `k` field from the
     JSON `props` column (vectorized Arrow RE2, no per-row json.loads),
@@ -2405,6 +2458,7 @@ def queries():
         "retention_cohorts": q_retention_cohorts,
         "heavy_hitters": q_heavy_hitters,
         "props_stats": q_props_stats,
+        "export_shards": q_export_shards,
         "user_event_sequences": q_user_event_sequences,
         "doc_repetition": q_doc_repetition,
         "decontaminate": q_decontaminate,
@@ -2479,6 +2533,7 @@ def oracle_sql():
         "retention_cohorts": SQL_RETENTION_COHORTS,
         "heavy_hitters": SQL_HEAVY_HITTERS,
         "props_stats": SQL_PROPS_STATS,
+        "export_shards": SQL_EXPORT_SHARDS,
         "user_event_sequences": SQL_USER_EVENT_SEQUENCES,
         "doc_repetition": SQL_DOC_REPETITION,
         "decontaminate": SQL_DECONTAMINATE,

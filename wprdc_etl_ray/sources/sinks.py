@@ -102,3 +102,40 @@ def read_resumable(out_dir: str) -> ray.data.Dataset:
     if not files:
         return ray.data.from_arrow(pa.table({}))
     return ray.data.read_parquet(files)
+
+
+def export_shards(
+    ds: ray.data.Dataset,
+    out_dir: str,
+    n_shards: int = 16,
+    key_col: str = "doc_id",
+) -> dict:
+    """End-to-end training-shard export: deterministic global shuffle
+    (``shuffle_rank`` — md5-rank permutation, no RNG) → ``shard = pos %
+    n_shards`` → resumable partitioned write (one directory + _SUCCESS
+    marker per shard). Re-runs skip completed shards; shard membership
+    is a pure function of the key, so resumption is consistent.
+
+    The payload rejoins the (key, pos) permutation via a partitioned
+    hash join — only (key, 8-byte hash) rows move in the rank scan, the
+    payload moves once into its shard. Returns the sink's
+    {written, skipped} summary."""
+    from ..functions.pack import shuffle_rank
+    from ..functions.relational import hash_join
+
+    ranked = shuffle_rank(ds.select_columns([key_col]), key_col=key_col)
+
+    def to_shard(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        pos = batch.column("pos").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                key_col: batch.column(key_col),
+                "shard": pa.array((pos % n_shards).astype(np.int64)),
+            }
+        )
+
+    shards = ranked.map_batches(to_shard, batch_format="pyarrow")
+    joined = hash_join(ds, shards, on=key_col)
+    return resumable_write(joined, out_dir, partition_col="shard")
