@@ -208,6 +208,12 @@ def cmd_read(args):
         print(json.dumps(row, default=str))
 
 
+def cmd_vacuum(args):
+    from .pipelines.cdc import vacuum
+
+    print(json.dumps(vacuum(args.table_root, keep_epochs=args.keep_epochs)))
+
+
 def cmd_changes(args):
     """Change feed between two committed epochs as JSON lines."""
     _ray()
@@ -303,6 +309,11 @@ def main(argv=None):
     sp.add_argument("--limit", type=int, default=20)
     sp.add_argument("--conv", default=None, help="point-read one conversation")
     sp.set_defaults(fn=cmd_read)
+
+    sp = sub.add_parser("vacuum")
+    sp.add_argument("table_root")
+    sp.add_argument("--keep-epochs", type=int, default=2)
+    sp.set_defaults(fn=cmd_vacuum)
 
     sp = sub.add_parser("changes")
     sp.add_argument("table_root")

@@ -1002,6 +1002,65 @@ def read_transcripts_arrow(table_root: str) -> pa.Table:
     return out.sort_by([(KEY_COLUMNS[0], "ascending"), (KEY_COLUMNS[1], "ascending")])
 
 
+def vacuum(table_root: str, keep_epochs: int = 2) -> dict:
+    """Physical storage reclamation (the Delta/Iceberg VACUUM analog):
+    delete data files no longer referenced by the manifests of the last
+    ``keep_epochs`` committed epochs. Nothing else ever deletes files,
+    so without vacuum a long-running table accumulates every historical
+    run forever — the lifecycle piece that matters at 10^10 events.
+
+    Retention contract: time travel (``read_transcripts(epoch=E)``,
+    ``table_changes``) keeps working for the retained epochs; older
+    epoch manifests are KEPT (lineage is cheap JSON) but their reads
+    fail once their files are gone.
+
+    Safety against racing writers: runs under the commit lock, and only
+    touches files inside attempt dirs of epochs ≤ the current epoch —
+    a future-epoch attempt dir may belong to an in-flight ingest whose
+    commit hasn't flipped yet. Attempts at ≤ current epoch can never
+    commit (the lock's epoch check rejects them), so their orphans are
+    always safe to drop — this also reclaims crashed-run litter the
+    two-phase commit made invisible."""
+    import glob as _glob
+
+    import fcntl
+
+    mdir = os.path.join(table_root, "manifest")
+    deleted, freed = [], 0
+    with open(os.path.join(mdir, ".commit.lock"), "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        cur = load_manifest(table_root)
+        if cur is None:
+            return {"deleted": 0, "bytes": 0, "kept": 0}
+        E = int(cur["epoch"])
+        keep: set[str] = set()
+        for e in range(max(1, E - keep_epochs + 1), E + 1):
+            m = cur if e == E else load_epoch_manifest(table_root, e)
+            if m:
+                for entry in m["partitions"].values():
+                    for f in entry["files"]:
+                        keep.add(os.path.normpath(f["path"]))
+        for p in _glob.glob(os.path.join(table_root, "data", "*", "*.parquet")):
+            rel = os.path.normpath(os.path.relpath(p, table_root))
+            if rel in keep:
+                continue
+            dir_name = os.path.basename(os.path.dirname(p))  # epoch={E:06d}[-token]
+            try:
+                file_epoch = int(dir_name.split("=", 1)[1].split("-", 1)[0])
+            except (IndexError, ValueError):
+                continue  # not an attempt dir — leave unknown layouts alone
+            if file_epoch > E:
+                continue  # possible in-flight future attempt
+            freed += os.path.getsize(p)
+            os.remove(p)
+            deleted.append(rel)
+        # drop now-empty attempt dirs
+        for d in _glob.glob(os.path.join(table_root, "data", "*")):
+            if os.path.isdir(d) and not os.listdir(d):
+                os.rmdir(d)
+    return {"deleted": len(deleted), "bytes": freed, "kept": len(keep)}
+
+
 def table_changes(
     table_root: str,
     from_epoch: int,
