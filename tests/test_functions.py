@@ -1326,3 +1326,16 @@ def test_export_shards_resumes_only_missing(ray_session, tmp_path):
     again = read_resumable(out).to_pandas()
     assert len(again) == 200
     assert sorted(again["doc_id"]) == sorted(full["doc_id"])
+
+
+def test_table_profile_counts_nulls_distinct(ray_session):
+    from wprdc_etl_ray.functions.relational import table_profile
+
+    df = pd.DataFrame({
+        "a": [1, 1, 2, None, 3],
+        "b": ["x", None, None, "x", "y"],
+    })
+    got = (table_profile(rd.from_pandas(df, override_num_blocks=3), ["a", "b"])
+           .to_pandas().set_index("col").sort_index())
+    assert got.loc["a"].tolist() == [5, 1, 3]
+    assert got.loc["b"].tolist() == [5, 2, 2]

@@ -969,3 +969,66 @@ def heavy_hitters(
         return batch.filter(pa.array(c * 1_000_000 >= threshold_micro * total))
 
     return counts.map_batches(gate, batch_format="pyarrow")
+
+
+def table_profile(ds: ray.data.Dataset, columns: list[str]) -> ray.data.Dataset:
+    """Data-profiling sweep (the ETL "know your table" pass): one row
+    per column with (n, nulls, n_distinct — exact, excluding nulls).
+
+    Scale shape: counts/nulls are per-batch integer partials; distinct
+    is per-batch pre-dedup (unique values per column per batch, so the
+    explode shrinks before it moves) → one (col, value) partial-pre-agg
+    groupby → per-column count. Values are keyed by their in-engine
+    string form — only the COUNT crosses engines, so no cross-engine
+    representation contract is needed."""
+    import pandas as pd
+
+    def base(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "col": np.array(columns, dtype=object),
+                "n": np.full(len(columns), len(batch), dtype=np.int64),
+                "nulls": np.array(
+                    [int(batch[c].isna().sum()) for c in columns], dtype=np.int64
+                ),
+            }
+        )
+
+    totals = grouped_agg(
+        ds.map_batches(base, batch_format="pandas"),
+        ["col"],
+        [("n", "sum", "n"), ("nulls", "sum", "nulls")],
+    )
+
+    def explode_distinct(batch: pd.DataFrame) -> pd.DataFrame:
+        cols, vals = [], []
+        for c in columns:
+            u = batch[c].dropna().astype(str).unique()
+            cols.append(np.full(len(u), c, dtype=object))
+            vals.append(u.astype(object))
+        return pd.DataFrame(
+            {"col": np.concatenate(cols) if cols else np.array([], object),
+             "v": np.concatenate(vals) if vals else np.array([], object)}
+        )
+
+    pairs = grouped_agg(
+        ds.map_batches(explode_distinct, batch_format="pandas"),
+        ["col", "v"],
+        [("", "count", "_c")],
+    )
+
+    def drop_v(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"col": batch["col"]})
+
+    distinct = grouped_agg(
+        pairs.map_batches(drop_v, batch_format="pandas"),
+        ["col"],
+        [("", "count", "n_distinct")],
+    )
+    # both aggregates are O(columns) rows — a driver-side merge is the
+    # scale-correct combine (and dodges acero's empty-block join issue
+    # on groupby outputs)
+    out = totals.to_pandas().merge(distinct.to_pandas(), on="col", how="left")
+    out["n_distinct"] = out["n_distinct"].fillna(0)
+    out = out.astype({"n": "int64", "nulls": "int64", "n_distinct": "int64"})
+    return ray.data.from_pandas(out)

@@ -460,6 +460,91 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-0
 """
 
 
+def q_table_profile(sf_dir: str):
+    """Column-profiling sweep over orders: per column (n, nulls, exact
+    n_distinct); per-batch pre-dedup shrinks the distinct explode
+    before it shuffles."""
+    from ..functions.relational import table_profile
+
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
+    ds = read_table(sf_dir, "orders", columns=cols)
+    return table_profile(ds, cols)
+
+
+SQL_TABLE_PROFILE = """
+SELECT 'o_orderkey' AS col, count(*)::BIGINT AS n,
+       (count(*) - count(o_orderkey))::BIGINT AS nulls,
+       count(DISTINCT o_orderkey)::BIGINT AS n_distinct FROM orders
+UNION ALL
+SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+       count(DISTINCT o_custkey) FROM orders
+UNION ALL
+SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+       count(DISTINCT o_orderstatus) FROM orders
+UNION ALL
+SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+       count(DISTINCT o_totalprice) FROM orders
+UNION ALL
+SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+       count(DISTINCT o_orderpriority) FROM orders
+"""
+
+
+def q_region_revenue(sf_dir: str):
+    """Four-table join chain (TPC-H Q5 shape): lineitem ⋈ orders ⋈
+    customer partitioned on their keys, nation⋈region folded driver-side
+    and BROADCAST (tiny dimension chain — no shuffle for the small
+    sides). Revenue quantized per row (floor(p·(1−d)·10^4 + 0.5)) BEFORE
+    the sum so integer aggregation is order-independent; the join
+    payload is pre-narrowed to (key, rev) before any exchange."""
+    import pyarrow.parquet as pq
+
+    from ..functions.relational import broadcast_join, grouped_agg, hash_join
+
+    li = read_table(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"]
+    )
+
+    def rev(batch: pa.Table) -> pa.Table:
+        p = batch.column("l_extendedprice").cast(pa.float64())
+        d = batch.column("l_discount").cast(pa.float64())
+        r = pc.floor(
+            pc.add(pc.multiply(pc.multiply(p, pc.subtract(pa.scalar(1.0), d)), 10000.0), 0.5)
+        ).cast(pa.int64())
+        return pa.table({"l_orderkey": batch.column("l_orderkey"), "rev": r})
+
+    li = li.map_batches(rev, batch_format="pyarrow")
+    ords = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    j1 = hash_join(li, ords, on="l_orderkey", right_on="o_orderkey", num_partitions=8)
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    j2 = hash_join(j1, cust, on="o_custkey", right_on="c_custkey", num_partitions=8)
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    region = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    dim = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")[
+        ["n_nationkey", "r_name"]
+    ]
+    j3 = broadcast_join(j2, dim, on="c_nationkey", right_on="n_nationkey")
+    out = grouped_agg(
+        j3, ["r_name"], [("", "count", "n_items"), ("rev", "sum", "revenue")]
+    )
+    return out.map_batches(_as_int64(["n_items", "revenue"]), batch_format="pyarrow")
+
+
+SQL_REGION_REVENUE = """
+SELECT r_name,
+       count(*)::BIGINT AS n_items,
+       SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+                AS BIGINT))::BIGINT AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
 def q_topk_orders(sf_dir: str):
     """Global sort + top-k with a deterministic tiebreak."""
     ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice", "o_orderdate"])
@@ -2459,6 +2544,8 @@ def queries():
         "heavy_hitters": q_heavy_hitters,
         "props_stats": q_props_stats,
         "export_shards": q_export_shards,
+        "region_revenue": q_region_revenue,
+        "table_profile": q_table_profile,
         "user_event_sequences": q_user_event_sequences,
         "doc_repetition": q_doc_repetition,
         "decontaminate": q_decontaminate,
@@ -2534,6 +2621,8 @@ def oracle_sql():
         "heavy_hitters": SQL_HEAVY_HITTERS,
         "props_stats": SQL_PROPS_STATS,
         "export_shards": SQL_EXPORT_SHARDS,
+        "region_revenue": SQL_REGION_REVENUE,
+        "table_profile": SQL_TABLE_PROFILE,
         "user_event_sequences": SQL_USER_EVENT_SEQUENCES,
         "doc_repetition": SQL_DOC_REPETITION,
         "decontaminate": SQL_DECONTAMINATE,
