@@ -312,3 +312,95 @@ def test_minhash_signature_independent_of_batch_composition():
     assert sig(["", "a b"], 1) == alone          # leading empty doc
     assert sig(["a b", "", ""], 0) == alone      # multiple trailing empties
     assert sig(["x y z w", "a b", ""], 1) == alone  # mixed long + short + empty
+
+
+# --- round-3 kernel properties (pure-kernel, no Ray session needed) ----------
+
+word_st = st.text(alphabet="abXY5", min_size=1, max_size=3)
+doc_st = st.lists(word_st, min_size=0, max_size=12).map(" ".join)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(doc_st, min_size=1, max_size=8),
+       st.integers(2, 6), st.integers(0, 4))
+def test_chunk_batch_kernel_matches_python_spec(texts, max_tokens, overlap):
+    """The vectorized offset-arithmetic kernel equals the obvious
+    python slicing spec: chunk i = tokens[i*stride : i*stride+max],
+    single-space-joined; empty docs emit nothing."""
+    import pandas as pd
+
+    from wprdc_etl_ray.functions.pack import chunk_batch
+
+    if overlap >= max_tokens:
+        overlap = max_tokens - 1
+    stride = max_tokens - overlap
+    batch = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    got = chunk_batch(batch, max_tokens, stride)
+    rows = []
+    for i, t in enumerate(texts):
+        words = t.split()
+        m = (len(words) - 1) // stride + 1 if words else 0
+        for ci in range(m):
+            c = words[ci * stride: ci * stride + max_tokens]
+            rows.append((i, ci, " ".join(c), len(c)))
+    exp = pd.DataFrame(rows, columns=["doc_id", "chunk_idx", "chunk_text", "n_chunk_tokens"])
+    got = got.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+    exp = exp.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+    assert got["chunk_text"].tolist() == exp["chunk_text"].tolist()
+    assert got["n_chunk_tokens"].tolist() == exp["n_chunk_tokens"].tolist()
+    assert got["doc_id"].tolist() == exp["doc_id"].tolist()
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(doc_st, min_size=1, max_size=6))
+def test_repetition_stats_matches_bruteforce(texts):
+    import pandas as pd
+
+    from wprdc_etl_ray.functions.text import repetition_stats
+
+    batch = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    got = repetition_stats(batch.copy())
+    for i, t in enumerate(texts):
+        w = t.split()
+        n = len(w)
+        n2 = max(n - 1, 0)
+        grams = [(w[j], w[j + 1]) for j in range(n - 1)]
+        row = got.iloc[i]
+        assert row["n_tokens"] == n
+        assert row["dup_word_ratio"] == ((n - len(set(w))) * 1_000_000) // max(n, 1)
+        top = max((w.count(x) for x in set(w)), default=0)
+        assert row["top_word_ratio"] == (top * 1_000_000) // max(n, 1)
+        assert row["dup_2gram_ratio"] == ((n2 - len(set(grams))) * 1_000_000) // max(n2, 1)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(doc_st, min_size=1, max_size=5), st.lists(doc_st, min_size=1, max_size=3),
+       st.integers(2, 4))
+def test_doc_ngram_rows_match_bruteforce_sets(train, evals, n):
+    """The decontamination kernel's per-doc distinct n-gram hash count
+    equals the brute-force distinct string n-gram count (no collisions
+    at these sizes), and overlap counting matches set intersection."""
+    import pandas as pd
+
+    from wprdc_etl_ray.functions.dedup import _doc_ngram_rows
+
+    def grams(t):
+        w = t.split()
+        if not w:
+            return set()
+        if len(w) < n:
+            return {" ".join(w)}
+        return {" ".join(w[i:i + n]) for i in range(len(w) - n + 1)}
+
+    d, h = _doc_ngram_rows(pd.DataFrame({"doc_id": range(len(train)), "text": train}), n)
+    per_doc = np.bincount(d, minlength=len(train)) if len(d) else np.zeros(len(train), int)
+    for i, t in enumerate(train):
+        assert per_doc[i] == len(grams(t)), (t, n)
+
+    ed, eh = _doc_ngram_rows(pd.DataFrame({"doc_id": range(len(evals)), "text": evals}), n)
+    eset = set(eh.tolist())
+    for i, t in enumerate(train):
+        mine = h[d == i]
+        exp_overlap = len(grams(t) & set().union(*[grams(e) for e in evals]))
+        got_overlap = int(np.isin(mine, np.array(sorted(eset), dtype=np.uint64)).sum()) if len(mine) else 0
+        assert got_overlap == exp_overlap

@@ -385,46 +385,52 @@ def chunk_docs(
     stride = max_tokens - overlap
 
     def chunks(batch: pd.DataFrame) -> pd.DataFrame:
-        from .hashing import split_flat
-
-        flat, lens = split_flat(batch["text"])
-        D = len(batch)
-        n = lens.astype(np.int64)
-        m = np.where(n > 0, (n - 1) // stride + 1, 0)  # chunks per doc
-        total = int(m.sum())
-        if total == 0:
-            return pd.DataFrame(
-                {
-                    "doc_id": pd.Series([], dtype="int64"),
-                    "chunk_idx": pd.Series([], dtype="int64"),
-                    "chunk_text": pd.Series([], dtype=object),
-                    "n_chunk_tokens": pd.Series([], dtype="int64"),
-                }
-            )
-        # per-word char start within each doc's single-space join:
-        # P[word] = cumulative (len + 1) within the doc
-        wl = pd.Series(flat, dtype=object).str.len().to_numpy(dtype=np.int64)
-        doc_starts = np.concatenate([[0], np.cumsum(n)[:-1]])
-        gcum = np.concatenate([[0], np.cumsum(wl + 1)])  # global, incl sep
-        # char offset of word w within its doc = gcum[w] - gcum[doc_start]
-        doc_of = np.repeat(np.arange(D), m)
-        first = np.concatenate([[0], np.cumsum(m)[:-1]])
-        ci = np.arange(total) - first[doc_of]  # chunk_idx
-        ws = ci * stride  # first word (doc-relative)
-        we = np.minimum(ws + max_tokens, n[doc_of])  # one past last word
-        gs = doc_starts[doc_of] + ws  # global word indices
-        ge = doc_starts[doc_of] + we
-        cs = gcum[gs] - gcum[doc_starts[doc_of]]
-        ce = gcum[ge] - gcum[doc_starts[doc_of]] - 1  # drop trailing sep
-        joined = [" ".join(w) for w in batch["text"].fillna("").str.split()]
-        texts = [joined[d][a:b] for d, a, b in zip(doc_of, cs, ce)]
-        return pd.DataFrame(
-            {
-                "doc_id": batch["doc_id"].to_numpy()[doc_of],
-                "chunk_idx": ci,
-                "chunk_text": texts,
-                "n_chunk_tokens": (we - ws).astype(np.int64),
-            }
-        )
+        return chunk_batch(batch, max_tokens, stride)
 
     return ds.map_batches(chunks, batch_format="pandas")
+
+
+def chunk_batch(batch: pd.DataFrame, max_tokens: int, stride: int) -> pd.DataFrame:
+    """The pure per-batch chunking kernel behind ``chunk_docs``
+    (exported for direct property testing)."""
+    from .hashing import split_flat
+
+    flat, lens = split_flat(batch["text"])
+    D = len(batch)
+    n = lens.astype(np.int64)
+    m = np.where(n > 0, (n - 1) // stride + 1, 0)  # chunks per doc
+    total = int(m.sum())
+    if total == 0:
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "chunk_idx": pd.Series([], dtype="int64"),
+                "chunk_text": pd.Series([], dtype=object),
+                "n_chunk_tokens": pd.Series([], dtype="int64"),
+            }
+        )
+    # per-word char start within each doc's single-space join:
+    # P[word] = cumulative (len + 1) within the doc
+    wl = pd.Series(flat, dtype=object).str.len().to_numpy(dtype=np.int64)
+    doc_starts = np.concatenate([[0], np.cumsum(n)[:-1]])
+    gcum = np.concatenate([[0], np.cumsum(wl + 1)])  # global, incl sep
+    # char offset of word w within its doc = gcum[w] - gcum[doc_start]
+    doc_of = np.repeat(np.arange(D), m)
+    first = np.concatenate([[0], np.cumsum(m)[:-1]])
+    ci = np.arange(total) - first[doc_of]  # chunk_idx
+    ws = ci * stride  # first word (doc-relative)
+    we = np.minimum(ws + max_tokens, n[doc_of])  # one past last word
+    gs = doc_starts[doc_of] + ws  # global word indices
+    ge = doc_starts[doc_of] + we
+    cs = gcum[gs] - gcum[doc_starts[doc_of]]
+    ce = gcum[ge] - gcum[doc_starts[doc_of]] - 1  # drop trailing sep
+    joined = [" ".join(w) for w in batch["text"].fillna("").str.split()]
+    texts = [joined[d][a:b] for d, a, b in zip(doc_of, cs, ce)]
+    return pd.DataFrame(
+        {
+            "doc_id": batch["doc_id"].to_numpy()[doc_of],
+            "chunk_idx": ci,
+            "chunk_text": texts,
+            "n_chunk_tokens": (we - ws).astype(np.int64),
+        }
+    )
