@@ -556,3 +556,45 @@ def test_vacuum_reclaims_unreferenced_keeps_retained(ray_session, tmp_path, log)
     assert read_transcripts(root, epoch=2).count() > 0
     # replay remains a no-op after vacuum (watermark intact)
     assert run_ingest(str(tmp_path / "wal"), root, CDCConfig(num_partitions=8)).skipped
+
+
+def test_persisted_view_chained_refreshes_equal_recompute(ray_session, tmp_path, log):
+    """Refresh the persisted view after EACH of three epochs; the final
+    view (built purely from chained deltas) must equal a full recompute;
+    re-refresh with no new epoch is a no-op."""
+    import pandas as pd
+
+    from wprdc_etl_ray.pipelines.cdc import refresh_conv_stats_view
+
+    write_wal(str(tmp_path), log, segment_rows=1000)
+    segs = sorted(glob.glob(str(tmp_path / "wal" / "seg-*.parquet")))
+    root = str(tmp_path / "t")
+    thirds = [segs[: len(segs) // 3], segs[: 2 * len(segs) // 3], segs]
+    for i, part in enumerate(thirds):
+        w = str(tmp_path / f"w{i}")
+        os.makedirs(w)
+        for s in part:
+            os.link(s, os.path.join(w, os.path.basename(s)))
+        run_ingest(w, root, CDCConfig(num_partitions=8))
+        res = refresh_conv_stats_view(root)
+        assert res["refreshed"] and res["epoch"] == i + 1
+
+    noop = refresh_conv_stats_view(root)
+    assert not noop["refreshed"] and noop["epoch"] == 3
+
+    import pyarrow.parquet as pq_
+
+    view = pq_.read_table(
+        glob.glob(os.path.join(root, "views", "conv_stats", "view-*.parquet"))[0]
+    ).to_pandas()
+    new = replay_oracle_pandas(log).to_pandas()
+    want = (
+        new.assign(chars=new["text"].fillna("").str.len())
+        .groupby("conv_id")
+        .agg(n_turns=("conv_id", "size"), total_chars=("chars", "sum"))
+        .reset_index().sort_values("conv_id").reset_index(drop=True)
+    )
+    view = view.sort_values("conv_id").reset_index(drop=True)
+    assert view["conv_id"].tolist() == want["conv_id"].tolist()
+    assert view["n_turns"].tolist() == want["n_turns"].tolist()
+    assert view["total_chars"].tolist() == want["total_chars"].tolist()

@@ -1248,6 +1248,97 @@ def incremental_conv_stats(
     return out.map_batches(live_only, batch_format="pyarrow")
 
 
+def refresh_conv_stats_view(table_root: str) -> dict:
+    """PERSISTED incremental materialized view (the productized form of
+    ``incremental_conv_stats``): per-conv (n_turns, total_chars) stored
+    under ``{table_root}/views/conv_stats/`` with its own epoch
+    watermark. Each refresh applies ONLY the pre/post-image deltas
+    between the view's epoch and the table's current epoch — the prior
+    view rows re-enter as partials (never the table), so refresh cost
+    is O(view + change rate). The first refresh bootstraps from the
+    epoch-0 feed (all inserts). The view's epoch lives IN its filename
+    (``view-{E}.parquet``) and each refresh publishes a NEW name with
+    one atomic rename — a crash at any point leaves the previous
+    consistent (file, epoch) pair, never a half-state that would
+    double-apply deltas. The view itself is driver-assembled into one
+    file — right up to ~10^7 conversations; past that, substitute the
+    resumable partitioned sink for the writeback (same deltas).
+
+    Returns {"epoch": view epoch after refresh, "rows": view rows,
+    "refreshed": bool}."""
+    import glob as _glob
+
+    from ..functions.relational import grouped_agg
+
+    cur = load_manifest(table_root)
+    if cur is None:
+        raise InvalidConfigError(f"no committed table at {table_root}")
+    cur_epoch = int(cur["epoch"])
+    vdir = os.path.join(table_root, "views", "conv_stats")
+    os.makedirs(vdir, exist_ok=True)
+    existing = sorted(_glob.glob(os.path.join(vdir, "view-*.parquet")))
+    view_epoch = (
+        int(os.path.basename(existing[-1])[len("view-"):-len(".parquet")])
+        if existing
+        else 0
+    )
+    data_path = existing[-1] if existing else None
+    if view_epoch >= cur_epoch:
+        rows = pq.read_metadata(data_path).num_rows if data_path else 0
+        return {"epoch": view_epoch, "rows": rows, "refreshed": False}
+
+    import pandas as pd
+
+    feed = table_changes(table_root, view_epoch, cur_epoch, pre_images=True)
+
+    def delta_partials(batch: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        neg = batch["change_type"].isin(["delete", "update_preimage"]).to_numpy()
+        s = np.where(neg, -1, 1).astype("int64")
+        chars = batch["text"].fillna("").str.len().to_numpy(dtype="int64")
+        return pd.DataFrame(
+            {"conv_id": batch["conv_id"], "n_turns": s, "total_chars": chars * s}
+        )
+
+    parts = feed.select_columns(["conv_id", "text", "change_type"]).map_batches(
+        delta_partials, batch_format="pandas"
+    )
+    if data_path is not None and view_epoch > 0:
+        prior = ray.data.read_parquet(data_path)
+        parts = parts.union(prior)
+    out = grouped_agg(
+        parts,
+        ["conv_id"],
+        [("n_turns", "sum", "n_turns"), ("total_chars", "sum", "total_chars")],
+    )
+
+    def live_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater(batch.column("n_turns"), 0))
+
+    table = pa.concat_tables(
+        [
+            b
+            for b in ray.get(out.map_batches(live_only, batch_format="pyarrow").to_arrow_refs())
+            if b.num_rows
+        ]
+        or [pa.table({"conv_id": pa.array([], pa.string()),
+                      "n_turns": pa.array([], pa.int64()),
+                      "total_chars": pa.array([], pa.int64())})]
+    ).sort_by([("conv_id", "ascending")])
+    new_path = os.path.join(vdir, f"view-{cur_epoch:06d}.parquet")
+    tmp = new_path + ".tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, new_path)
+    for old in existing:  # best-effort cleanup; max-name wins regardless
+        if old != new_path:
+            try:
+                os.remove(old)
+            except OSError:
+                pass
+    return {"epoch": cur_epoch, "rows": table.num_rows, "refreshed": True}
+
+
 # --- fluent builder (reference Pipeline parity, SURVEY.md §2.1 C1) -----------
 
 
