@@ -1,0 +1,191 @@
+"""Merge-on-read (MOR) write mode: delta-run ingest, LWW merge at read,
+compaction, CDF and write-amplification properties.
+
+The COW path rewrites every touched (part, salt) slot fully merged each
+epoch; MOR appends only the epoch's per-key winners as a delta run
+(pipelines/cdc.py::CDCConfig.write_mode). These tests pin the contract:
+a MOR table is read-equivalent to the COW table built from the same WAL
+at every surface (full scan, point read, change feed), compaction folds
+it back to one run per slot without changing reads, and the write
+amplification is strictly lower on multi-epoch ingest."""
+
+import glob
+import os
+
+import pyarrow as pa
+import pytest
+
+from wprdc_etl_ray.gen import generate_change_log, replay_oracle_pandas, write_wal
+from wprdc_etl_ray.pipelines.cdc import (
+    CDCConfig,
+    compact,
+    read_conversation,
+    read_transcripts_arrow,
+    run_ingest,
+    table_changes,
+)
+from wprdc_etl_ray.state.manifest import load_manifest
+
+N = 8000
+
+
+@pytest.fixture(scope="module")
+def log():
+    return generate_change_log(N, seed=7)
+
+
+def check_equal(table_root, log):
+    got = read_transcripts_arrow(table_root)
+    oracle = replay_oracle_pandas(log)
+    got = got.select(oracle.schema.names).cast(oracle.schema)
+    assert got.num_rows == oracle.num_rows
+    assert got.equals(oracle), "materialized table != sequential replay oracle"
+
+
+def split_wal(tmp_path, log, k, segment_rows=500, evolve_at=None):
+    """Write the WAL once, return k cumulative directories (dir i holds
+    the first i/k of the segments plus everything before — the watermark
+    does the skipping, as in production tailing)."""
+    write_wal(str(tmp_path), log, segment_rows=segment_rows, evolve_at=evolve_at)
+    segs = sorted(glob.glob(str(tmp_path / "wal" / "seg-*.parquet")))
+    dirs = []
+    for i in range(1, k + 1):
+        bound = round(i * len(segs) / k)
+        d = str(tmp_path / f"we{i}")
+        os.makedirs(d)
+        for s in segs[:bound]:
+            os.link(s, os.path.join(d, os.path.basename(s)))
+        dirs.append(d)
+    return dirs
+
+
+def ingest_epochs(dirs, root, **cfg):
+    for d in dirs:
+        run_ingest(d, root, CDCConfig(num_partitions=8, **cfg))
+
+
+def data_bytes(root):
+    return sum(
+        os.path.getsize(p)
+        for p in glob.glob(os.path.join(root, "data", "**", "*.parquet"), recursive=True)
+    )
+
+
+def runs_per_slot(manifest):
+    out = []
+    for e in manifest["partitions"].values():
+        by_salt = {}
+        for f in e["files"]:
+            by_salt.setdefault(f["salt"], []).append(f)
+        out.extend(len(v) for v in by_salt.values())
+    return out
+
+
+def test_mor_multi_epoch_matches_oracle(ray_session, tmp_path, log):
+    dirs = split_wal(tmp_path, log, 4)
+    root = str(tmp_path / "t")
+    ingest_epochs(dirs, root, write_mode="mor")
+    m = load_manifest(root)
+    assert max(runs_per_slot(m)) > 1, "expected multi-run slots under MOR"
+    assert any(
+        f.get("delta") for e in m["partitions"].values() for f in e["files"]
+    ), "expected delta-flagged runs in the manifest"
+    check_equal(root, log)
+
+
+def test_mor_equals_cow_table(ray_session, tmp_path, log):
+    dirs = split_wal(tmp_path, log, 3)
+    rm, rc = str(tmp_path / "m"), str(tmp_path / "c")
+    ingest_epochs(dirs, rm, write_mode="mor")
+    ingest_epochs(dirs, rc, write_mode="cow")
+    tm = read_transcripts_arrow(rm)
+    tc = read_transcripts_arrow(rc)
+    assert tm.cast(tc.schema).equals(tc)
+
+
+def test_mor_write_amplification_lower(ray_session, tmp_path, log):
+    """Cumulative bytes written across epochs: MOR appends only deltas,
+    COW rewrites every touched slot — on 4 epochs of the same WAL the
+    MOR table must write strictly less (deterministic, no timing)."""
+    dirs = split_wal(tmp_path, log, 4)
+    rm, rc = str(tmp_path / "m"), str(tmp_path / "c")
+    ingest_epochs(dirs, rm, write_mode="mor")
+    ingest_epochs(dirs, rc, write_mode="cow")
+    bm, bc = data_bytes(rm), data_bytes(rc)
+    assert bm < bc * 0.75, f"MOR wrote {bm} vs COW {bc}"
+
+
+def test_mor_compact_folds_runs(ray_session, tmp_path, log):
+    dirs = split_wal(tmp_path, log, 4)
+    root = str(tmp_path / "t")
+    ingest_epochs(dirs, root, write_mode="mor")
+    before = read_transcripts_arrow(root)
+    res = compact(root)
+    assert not res.skipped
+    m = load_manifest(root)
+    assert max(runs_per_slot(m)) == 1, "compaction must fold each slot to one run"
+    after = read_transcripts_arrow(root)
+    assert after.cast(before.schema).equals(before)
+    check_equal(root, log)
+
+
+def test_mor_schema_evolution_mid_stream(ray_session, tmp_path, log):
+    dirs = split_wal(tmp_path, log, 4, evolve_at=0.5)
+    root = str(tmp_path / "t")
+    ingest_epochs(dirs, root, write_mode="mor")
+    check_equal(root, log)
+    got = read_transcripts_arrow(root)
+    assert "tool_call_id" in got.schema.names
+
+
+def test_mor_inline_compaction_threshold(ray_session, tmp_path, log):
+    """mor_compact_runs=2: a slot about to hold a 3rd run takes the COW
+    path instead — run counts stay bounded and the table stays correct."""
+    dirs = split_wal(tmp_path, log, 5)
+    root = str(tmp_path / "t")
+    ingest_epochs(dirs, root, write_mode="mor", mor_compact_runs=2)
+    m = load_manifest(root)
+    assert max(runs_per_slot(m)) <= 2
+    check_equal(root, log)
+
+
+def test_mor_point_read(ray_session, tmp_path, log):
+    dirs = split_wal(tmp_path, log, 3)
+    root = str(tmp_path / "t")
+    ingest_epochs(dirs, root, write_mode="mor")
+    oracle = replay_oracle_pandas(log).to_pandas()
+    conv = oracle["conv_id"].mode().iloc[0]  # a conversation with many turns
+    got = read_conversation(root, conv).to_pandas()
+    want = oracle[oracle["conv_id"] == conv].sort_values("turn_idx").reset_index(drop=True)
+    got = got[want.columns.tolist()].reset_index(drop=True)
+    assert got["turn_idx"].tolist() == want["turn_idx"].tolist()
+    assert got["text"].tolist() == want["text"].tolist()
+
+
+def test_mor_table_changes_matches_cow(ray_session, tmp_path, log):
+    """The change feed between two epochs must be identical whether the
+    table stores COW rewrites or MOR delta runs (slot-level diffing)."""
+    dirs = split_wal(tmp_path, log, 2)
+    rm, rc = str(tmp_path / "m"), str(tmp_path / "c")
+    ingest_epochs(dirs, rm, write_mode="mor")
+    ingest_epochs(dirs, rc, write_mode="cow")
+
+    def feed(root):
+        df = table_changes(root, 1, 2).to_pandas()
+        return df.sort_values(["conv_id", "turn_idx", "change_type"]).reset_index(
+            drop=True
+        )
+
+    fm, fc = feed(rm), feed(rc)
+    assert fm.equals(fc), "MOR change feed differs from COW change feed"
+    assert len(fm) > 0
+
+
+def test_mor_replay_is_noop(ray_session, tmp_path, log):
+    dirs = split_wal(tmp_path, log, 2)
+    root = str(tmp_path / "t")
+    ingest_epochs(dirs, root, write_mode="mor")
+    m1 = load_manifest(root)
+    res = run_ingest(dirs[-1], root, CDCConfig(num_partitions=8, write_mode="mor"))
+    assert res.skipped
+    assert load_manifest(root) == m1

@@ -79,7 +79,12 @@ def cmd_ingest(args):
     res = run_ingest(
         args.wal_dir,
         args.table_root,
-        CDCConfig(num_partitions=args.partitions, salt=args.salt, mode=args.mode),
+        CDCConfig(
+            num_partitions=args.partitions,
+            salt=args.salt,
+            mode=args.mode,
+            write_mode=args.write_mode,
+        ),
     )
     print(
         json.dumps(
@@ -274,6 +279,10 @@ def main(argv=None):
     sp.add_argument("--partitions", type=int, default=64)
     sp.add_argument("--salt", type=int, default=1)
     sp.add_argument("--mode", choices=["upsert", "refresh"], default="upsert")
+    sp.add_argument(
+        "--write-mode", choices=["cow", "mor"], default="cow",
+        help="cow = rewrite touched slots fully merged; mor = append delta runs",
+    )
     sp.set_defaults(fn=cmd_ingest)
 
     sp = sub.add_parser("tail")

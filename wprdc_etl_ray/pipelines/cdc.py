@@ -114,6 +114,25 @@ class CDCConfig:
     # which delete_datastore + create_datastore + appends — SURVEY.md §3.2);
     # here a refresh is a new epoch that REPLACES all partitions atomically.
     mode: str = "upsert"
+    # Storage strategy for incremental epochs (the Hudi COW-vs-MOR axis):
+    #   "cow" (copy-on-write) — each touched (part, salt) slot reads its
+    #     prior runs, merges, and rewrites ONE fully-merged file. Write
+    #     amplification O(partition) per epoch; reads are a plain scan.
+    #   "mor" (merge-on-read) — each touched slot appends ONE delta run
+    #     holding only this epoch's per-key winners; prior runs carry
+    #     forward untouched. Write amplification O(epoch delta) — the
+    #     10^10-events shape when epochs are small relative to the
+    #     table — at the cost of an LWW merge of the slot's runs at
+    #     read time (the arg-max is on (ts, offset) in the data, so run
+    #     order never matters). ``compact()`` folds runs back to one
+    #     file per slot; both modes commit through the same manifest
+    #     flip and are freely mixable epoch-to-epoch.
+    write_mode: str = "cow"
+    # MOR read-amplification bound: when a slot would exceed this many
+    # runs, the merge task takes the COW path for that slot this epoch
+    # (inline leveled compaction — deterministic, manifest-driven).
+    # 0 = unbounded (compact only via compact()).
+    mor_compact_runs: int = 8
 
 
 @dataclass
@@ -219,12 +238,33 @@ class _MergeWrite:
         prior_parts: dict[int, dict],
         salt: int,
         target_schema: pa.Schema,
+        write_mode: str = "cow",
+        mor_compact_runs: int = 8,
     ):
         self.root = root
         self.epoch_dir = epoch_dir
         self.prior_parts = prior_parts
         self.salt = salt
         self.target_schema = target_schema
+        self.write_mode = write_mode
+        self.mor_compact_runs = mor_compact_runs
+
+    def _mor_delta(self, part: int, salt_val: int) -> bool:
+        """True when this slot should append a delta run instead of a
+        full rewrite: MOR mode, a matching-layout prior exists (else the
+        first write IS the base run anyway), and the slot is not due for
+        inline compaction (run count would exceed ``mor_compact_runs``)."""
+        if self.write_mode != "mor":
+            return False
+        entry = self.prior_parts.get(part)
+        if not entry or entry.get("salt", 1) != self.salt:
+            return False
+        prior_runs = [f for f in entry["files"] if f["salt"] == salt_val]
+        if not prior_runs:
+            return False
+        if self.mor_compact_runs and len(prior_runs) + 1 > self.mor_compact_runs:
+            return False
+        return True
 
     def _read_prior(self, part: int, salt_val: int) -> pa.Table | None:
         entry = self.prior_parts.get(part)
@@ -239,7 +279,14 @@ class _MergeWrite:
             tables = [
                 pq.read_table(os.path.join(self.root, f["path"])) for f in files
             ]
-            return pa.concat_tables(tables) if len(tables) > 1 else tables[0]
+            # permissive: MOR slots accumulate runs across epochs whose
+            # schemas may differ post-evolution; LWW downstream resolves
+            # overlapping keys, so a plain union is all that's needed
+            return (
+                pa.concat_tables(tables, promote_options="permissive")
+                if len(tables) > 1
+                else tables[0]
+            )
         # layout MISMATCH (e.g. a salt=8 table later tailed into salt=1
         # runs, or vice versa): this slot's keys may be spread across all
         # prior files — read the whole partition and filter to the keys
@@ -285,15 +332,24 @@ class _MergeWrite:
         winner row per key (the direct exchange dedups all its groups in
         one narrow lexsort) — skip the per-group re-sort when there is no
         prior snapshot to merge against."""
-        prior = self._read_prior(part, salt_val)
+        delta = self._mor_delta(part, salt_val)
+        if delta:
+            # merge-on-read: write ONLY this epoch's winners; the prior
+            # runs stay on disk untouched and readers LWW-merge the slot
+            prior = None
+        else:
+            prior = self._read_prior(part, salt_val)
         if prior is None and prededuped:
             merged = snapshot_form(events)
         else:
             merged = merge_with_snapshot(events, prior)
         merged = normalize_batch(merged, self.target_schema)
 
+        suffix = "-d" if delta else ""
         rel = os.path.join(
-            "data", self.epoch_dir, f"part-{part:05d}-s{salt_val:02d}.parquet"
+            "data",
+            self.epoch_dir,
+            f"part-{part:05d}-s{salt_val:02d}{suffix}.parquet",
         )
         abs_path = os.path.join(self.root, rel)
         os.makedirs(os.path.dirname(abs_path), exist_ok=True)
@@ -318,6 +374,7 @@ class _MergeWrite:
                     pa.int64(),
                 ),
                 "bytes": pa.array([os.path.getsize(abs_path)], pa.int64()),
+                "delta": pa.array([delta], pa.bool_()),
             }
         )
 
@@ -557,6 +614,8 @@ def run_ingest(
     cfg = config or CDCConfig()
     if cfg.mode not in ("upsert", "refresh"):
         raise InvalidConfigError(f"unknown mode {cfg.mode!r}")
+    if cfg.write_mode not in ("cow", "mor"):
+        raise InvalidConfigError(f"unknown write_mode {cfg.write_mode!r}")
     manifest = load_manifest(table_root)
     refresh = cfg.mode == "refresh"
     wm = -1 if refresh else (manifest["global_watermark"] if manifest else -1)
@@ -637,6 +696,7 @@ def run_ingest(
         [
             "ingest",
             cfg.mode,
+            cfg.write_mode,
             str(wm),
             f"B{B}",
             f"S{S}",
@@ -649,6 +709,8 @@ def run_ingest(
         prior_parts=prior_parts,
         salt=S,
         target_schema=snapshot_target,
+        write_mode=cfg.write_mode,
+        mor_compact_runs=cfg.mor_compact_runs,
     )
 
     exchange = cfg.exchange
@@ -674,14 +736,17 @@ def run_ingest(
     else:
         raise InvalidConfigError(f"unknown exchange {exchange!r}")
 
-    # assemble per-partition entries: rewritten salt runs from this
-    # epoch + carried-forward runs for salt slots with no new events
+    # assemble per-partition entries: this epoch's runs + carried-forward
+    # prior runs. A full (COW) rewrite of a salt slot REPLACES that
+    # slot's prior files; a delta (MOR) run is APPENDED to them — readers
+    # LWW-merge multi-run slots, so rows/live_rows on a MOR entry are
+    # physical-run sums (an upper bound on live keys) until compaction.
     by_part: dict[int, list[dict]] = {}
     for r in stats:
         by_part.setdefault(int(r["part"]), []).append(r)
     updated: dict[str, dict] = {}
     for part, rows in by_part.items():
-        new_salts = {int(r["salt"]) for r in rows}
+        full_salts = {int(r["salt"]) for r in rows if not r.get("delta")}
         files = [
             {
                 "path": r["path"],
@@ -691,6 +756,7 @@ def run_ingest(
                 "tombstones": int(r["tombstones"]),
                 "bytes": int(r["bytes"]),
                 "epoch": epoch,
+                **({"delta": True} if r.get("delta") else {}),
             }
             for r in sorted(rows, key=lambda x: int(x["salt"]))
         ]
@@ -703,7 +769,7 @@ def run_ingest(
                     "compact(table_root, to_salt=...) — carrying mismatched "
                     "runs forward would duplicate keys"
                 )
-            files += [f for f in prior["files"] if f["salt"] not in new_salts]
+            files += [f for f in prior["files"] if f["salt"] not in full_salts]
         wm_new = max(int(r["watermark"]) for r in rows)
         if prior:
             wm_new = max(wm_new, prior.get("watermark", -1))
@@ -935,7 +1001,15 @@ def read_transcripts(
     manifest instead of the current one (every commit keeps
     ``manifest/epoch-{E}.json`` and carried-forward data files are never
     deleted by ingest, so any past version stays readable until a
-    refresh/compaction rewrites it)."""
+    refresh/compaction rewrites it).
+
+    Merge-on-read: a (part, salt) slot holding several runs (MOR delta
+    ingest) is LWW-merged inside one read task — single-run slots (the
+    COW steady state) stream straight off Parquet with no merge cost;
+    the merge unit is a slot, the same working set a merge task already
+    handles at ingest."""
+    import json as _json
+
     manifest = load_manifest(table_root) if epoch is None else load_epoch_manifest(
         table_root, epoch
     )
@@ -943,12 +1017,18 @@ def read_transcripts(
         return ray.data.from_arrow(
             pa.table({"conv_id": pa.array([], pa.string())})
         ).limit(0)
-    files = [
-        os.path.join(table_root, f["path"])
-        for e in manifest["partitions"].values()
-        for f in e["files"]
-        if f.get("rows")
-    ]
+    plain_files: list[str] = []
+    mor_slots: list[list[str]] = []
+    for e in manifest["partitions"].values():
+        by_salt: dict[int, list[str]] = {}
+        for f in e["files"]:
+            if f.get("rows"):
+                by_salt.setdefault(int(f.get("salt", 0)), []).append(f["path"])
+        for paths in by_salt.values():
+            if len(paths) > 1:
+                mor_slots.append([os.path.join(table_root, p) for p in paths])
+            else:
+                plain_files.append(os.path.join(table_root, paths[0]))
     target = public_schema(manifest)
     pub = pa.schema([f for f in target if f.name not in INTERNAL_COLS])
     want = [f.name for f in pub] if columns is None else columns
@@ -958,7 +1038,31 @@ def read_transcripts(
         batch = normalize_batch(batch, target)
         return batch.select(want)
 
-    return ray.data.read_parquet(files).map_batches(clean, batch_format="pyarrow")
+    def merge_slot(batch: pa.Table) -> pa.Table:
+        outs = []
+        for paths_json in batch.column("paths").to_pylist():
+            runs = [pq.read_table(p) for p in _json.loads(paths_json)]
+            merged = merge_with_snapshot(snapshot_as_events_multi(runs), None)
+            outs.append(clean(merged))
+        return pa.concat_tables(outs) if len(outs) > 1 else outs[0]
+
+    parts = []
+    if plain_files:
+        parts.append(
+            ray.data.read_parquet(plain_files).map_batches(
+                clean, batch_format="pyarrow"
+            )
+        )
+    if mor_slots:
+        parts.append(
+            ray.data.from_items(
+                [{"paths": _json.dumps(s)} for s in mor_slots]
+            ).map_batches(merge_slot, batch_format="pyarrow", batch_size=1)
+        )
+    ds = parts[0]
+    for other in parts[1:]:
+        ds = ds.union(other)
+    return ds
 
 
 def read_conversation(table_root: str, conv_id: str) -> pa.Table:
@@ -983,6 +1087,12 @@ def read_conversation(table_root: str, conv_id: str) -> pa.Table:
         t = normalize_batch(t, target)
         tables.append(t.filter(pc.equal(t.column("conv_id"), conv_id)))
     allt = pa.concat_tables(tables)
+    if len(tables) > 1:
+        # multi-run partition (MOR deltas, or several salt runs): a
+        # turn may appear in more than one run — LWW-merge the filtered
+        # slice (conversation-sized, so the arg-max is negligible)
+        allt = merge_with_snapshot(snapshot_as_events_multi([allt]), None)
+        allt = normalize_batch(allt, target)
     allt = allt.filter(pc.equal(allt.column("_deleted"), False))
     allt = allt.drop_columns([c for c in INTERNAL_COLS if c in allt.schema.names])
     return allt.sort_by([("turn_idx", "ascending")])
@@ -1122,15 +1232,30 @@ def table_changes(
     key_cols = list(KEY_COLUMNS)
     payload = [c for c in pub_cols if c not in key_cols]
 
+    import json as _json
+
     old_parts = m_from["partitions"] if m_from else {}
     new_parts = m_to["partitions"] if m_to else {}
     items = []
     for part in sorted(set(old_parts) | set(new_parts), key=int):
-        of = {f["salt"]: f["path"] for f in old_parts.get(part, {}).get("files", [])}
-        nf = {f["salt"]: f["path"] for f in new_parts.get(part, {}).get("files", [])}
+        # the pruning unit is a (part, salt) SLOT — a list of runs (one
+        # in COW steady state, several under MOR). Identical run lists
+        # ⇔ identical slot content; a changed list (rewrite OR appended
+        # delta) reads the slot's full LWW state at both epochs.
+        of: dict[int, list[str]] = {}
+        nf: dict[int, list[str]] = {}
+        for f in old_parts.get(part, {}).get("files", []):
+            of.setdefault(int(f.get("salt", 0)), []).append(f["path"])
+        for f in new_parts.get(part, {}).get("files", []):
+            nf.setdefault(int(f.get("salt", 0)), []).append(f["path"])
         for slot in sorted(set(of) | set(nf)):
-            if of.get(slot) != nf.get(slot):
-                items.append({"old": of.get(slot, ""), "new": nf.get(slot, "")})
+            if sorted(of.get(slot, [])) != sorted(nf.get(slot, [])):
+                items.append(
+                    {
+                        "old": _json.dumps(of.get(slot, [])),
+                        "new": _json.dumps(nf.get(slot, [])),
+                    }
+                )
 
     empty = pa.schema(
         [target.field(c) for c in pub_cols] + [pa.field("change_type", pa.string())]
@@ -1138,10 +1263,15 @@ def table_changes(
     if not items:
         return ray.data.from_arrow(empty)
 
-    def read_live(path: str) -> pd.DataFrame:
-        if not path:
+    def read_live(paths_json: str) -> pd.DataFrame:
+        paths = _json.loads(paths_json)
+        if not paths:
             return pa.schema([target.field(c) for c in pub_cols]).empty_table().to_pandas()
-        t = pq.read_table(os.path.join(table_root, path))
+        runs = [pq.read_table(os.path.join(table_root, p)) for p in paths]
+        if len(runs) > 1:
+            t = merge_with_snapshot(snapshot_as_events_multi(runs), None)
+        else:
+            t = runs[0]
         t = normalize_batch(t, snap_target)
         t = t.filter(pc.equal(t.column("_deleted"), False))
         return t.select(pub_cols).to_pandas()

@@ -151,6 +151,43 @@ FROM ranked WHERE rn = 1 AND op <> 'delete'
 """
 
 
+def q_cdc_mor(sf_dir: str):
+    """Merge-on-read ingest: the flagship WAL applied in THREE epochs
+    with write_mode='mor' — epochs append per-key delta runs instead of
+    rewriting slots (write amplification O(epoch delta), the 10^10-event
+    shape) and the read path LWW-merges each multi-run slot. Oracle =
+    the same full-WAL replay SQL as the flagship: equality proves the
+    deferred merge reaches the identical table state."""
+    from .cdc import read_transcripts
+
+    return read_transcripts(_cdc_mor_root(sf_dir))
+
+
+def _cdc_mor_root(sf_dir: str) -> str:
+    """Three-epoch MOR table over the flagship WAL, cached per scale
+    factor; idempotent via the committed epoch counter."""
+    from ..state.manifest import load_manifest
+    from .cdc import CDCConfig, list_segments, run_ingest
+
+    wal = cdc_wal_dir(sf_dir)
+    base = os.path.dirname(wal)
+    root = os.path.join(base, "table_mor")
+    segs = list_segments(wal)
+    m = load_manifest(root)
+    epoch = m["epoch"] if m else 0
+    for i in (1, 2, 3):
+        if epoch >= i:
+            continue
+        sub = os.path.join(base, f"wal_mor_{i}")
+        os.makedirs(sub, exist_ok=True)
+        for s in segs[: round(len(segs) * i / 3)]:
+            dst = os.path.join(sub, os.path.basename(s))
+            if not os.path.exists(dst):
+                os.symlink(s, dst)
+        run_ingest(sub, root, CDCConfig(num_partitions=32, write_mode="mor"))
+    return root
+
+
 def _cdc_cf_root(sf_dir: str) -> str:
     """Two-epoch table for the change-feed query: epoch 1 = first half
     of the flagship WAL's segments (symlinked into a sub-dir), epoch 2 =
@@ -2502,6 +2539,7 @@ def queries():
     return {
         "cdc_flagship": q_cdc_flagship,
         "cdc_turn_counts": q_cdc_turn_counts,
+        "cdc_mor": q_cdc_mor,
         "cdc_changes": q_cdc_changes,
         "cdc_incremental_view": q_cdc_incremental_view,
         "conv_role_quality": q_conv_role_quality,
@@ -2579,6 +2617,7 @@ def oracle_sql():
     return {
         "cdc_flagship": _cdc_oracle_sql(),
         "cdc_turn_counts": _cdc_turn_counts_sql(),
+        "cdc_mor": _cdc_oracle_sql(),
         "cdc_changes": _cdc_changes_sql(),
         "cdc_incremental_view": _cdc_incremental_view_sql(),
         "conv_role_quality": _conv_role_quality_sql(),
