@@ -181,6 +181,69 @@ def test_mor_table_changes_matches_cow(ray_session, tmp_path, log):
     assert len(fm) > 0
 
 
+def test_tail_mor_matches_oracle(ray_session, tmp_path, log):
+    """Tail session in MOR mode: every commit appends delta runs (no
+    slot rewrite, no resident table in the actors) and the final state
+    still equals the replay oracle."""
+    from wprdc_etl_ray.pipelines.tail import TailSession
+
+    write_wal(str(tmp_path / "full"), log, segment_rows=1000)
+    segs = sorted(glob.glob(str(tmp_path / "full" / "wal" / "seg-*.parquet")))
+    wal = str(tmp_path / "wal")
+    os.makedirs(wal)
+    root = str(tmp_path / "t")
+    sess = TailSession(
+        wal, root, CDCConfig(num_partitions=8, write_mode="mor"), num_actors=2
+    )
+    total = 0
+    for i, seg in enumerate(segs):
+        os.link(seg, os.path.join(wal, os.path.basename(seg)))
+        if i % 3 == 2:
+            total += sess.poll()
+            sess.commit()
+    total += sess.poll()
+    sess.commit()
+    assert total == N
+    # MOR actors hold nothing after a commit (state lives on disk)
+    import ray as _ray
+
+    stats = _ray.get([a.stats.remote() for a in sess.actors])
+    assert sum(s["resident_rows"] for s in stats) == 0
+    sess.shutdown()
+    m = load_manifest(root)
+    assert max(runs_per_slot(m)) > 1
+    assert any(
+        f.get("delta") for e in m["partitions"].values() for f in e["files"]
+    )
+    check_equal(root, log)
+
+
+def test_tail_mor_inline_compaction(ray_session, tmp_path, log):
+    """mor_compact_runs bounds run growth across many tail commits."""
+    from wprdc_etl_ray.pipelines.tail import TailSession
+
+    write_wal(str(tmp_path / "full"), log, segment_rows=500)
+    segs = sorted(glob.glob(str(tmp_path / "full" / "wal" / "seg-*.parquet")))
+    wal = str(tmp_path / "wal")
+    os.makedirs(wal)
+    root = str(tmp_path / "t")
+    sess = TailSession(
+        wal,
+        root,
+        CDCConfig(num_partitions=4, write_mode="mor", mor_compact_runs=3),
+        num_actors=2,
+    )
+    for i, seg in enumerate(segs):
+        os.link(seg, os.path.join(wal, os.path.basename(seg)))
+        sess.poll()
+        sess.commit()
+    sess.shutdown()
+    m = load_manifest(root)
+    assert max(runs_per_slot(m)) <= 3
+    assert m["epoch"] >= 6  # many commits happened
+    check_equal(root, log)
+
+
 def test_mor_replay_is_noop(ray_session, tmp_path, log):
     dirs = split_wal(tmp_path, log, 2)
     root = str(tmp_path / "t")

@@ -25,6 +25,13 @@ A tail-mode table is byte-compatible with the batch path: same snapshot
 schema, same LWW semantics, same salted run layout, same manifest; the
 e2e tests assert the final tables are equal row-for-row. Salt (like
 num_partitions) is a TABLE property read from the committed manifest.
+
+With ``CDCConfig.write_mode='mor'`` the tailer goes one step further:
+actors never load committed runs (resident state is O(pending winners),
+not O(table/actors)) and each commit appends ONE delta run per dirty
+slot — both the per-commit write cost and the actor heap become
+O(delta), the micro-batch ideal — with ``mor_compact_runs`` bounding
+read amplification via inline compaction (see CDCConfig).
 """
 
 from __future__ import annotations
@@ -55,14 +62,28 @@ class MergerActor:
     actor only AMORTIZES snapshot IO across micro-batches, it does not
     change semantics."""
 
-    def __init__(self, table_root: str, gids: list[int], salt: int):
+    def __init__(
+        self,
+        table_root: str,
+        gids: list[int],
+        salt: int,
+        write_mode: str = "cow",
+        mor_compact_runs: int = 8,
+    ):
         self.root = table_root
         self.S = max(1, salt)
         self.gids = set(gids)
+        self.write_mode = write_mode
+        self.mor_compact_runs = mor_compact_runs
         self.snapshots: dict[int, pa.Table | None] = {}
         self.pending: dict[int, list[pa.Table]] = {g: [] for g in gids}
         self.events_applied = 0
-        manifest = load_manifest(table_root)
+        # MOR: the actor never loads committed runs — they stay on disk
+        # and flush() appends delta runs beside them, so resident state
+        # is O(pending winners since last commit), not O(live keys).
+        # ``snapshots`` then holds only the accumulated un-flushed
+        # winners (the delta in progress), reset to None at each flush.
+        manifest = None if write_mode == "mor" else load_manifest(table_root)
         if manifest:
             for g in gids:
                 p, sv = g // self.S, g % self.S
@@ -104,11 +125,23 @@ class MergerActor:
         self.pending[gid] = []
 
     def flush(
-        self, epoch_dir: str, target_fields: list[tuple[str, str, bool]]
+        self,
+        epoch_dir: str,
+        target_fields: list[tuple[str, str, bool]],
+        prior_run_paths: dict[int, list[str]] | None = None,
     ) -> list[dict]:
         """Merge + write every owned slot that has pending events; return
-        manifest rows. Untouched slots carry forward without a rewrite."""
+        manifest rows. Untouched slots carry forward without a rewrite.
+
+        COW: the resident snapshot (full slot state) is written merged.
+        MOR: only the accumulated pending winners are written as a delta
+        run, UNLESS the slot's on-disk run count (``prior_run_paths``,
+        supplied by the session from its manifest view) has reached
+        ``mor_compact_runs`` — then the prior runs are read back once,
+        merged with the delta, and written full (inline compaction)."""
         from ..schema import fields_to_schema
+        from ..stages.merge import merge_with_snapshot as _merge
+        from .cdc import snapshot_as_events_multi
 
         target = fields_to_schema(
             [{"id": n, "type": t, "nullable": nu} for n, t, nu in target_fields]
@@ -118,10 +151,32 @@ class MergerActor:
             if not self.pending[g]:
                 continue  # slot untouched this commit: carried forward
             self.compact(g)
-            merged = normalize_batch(self.snapshots[g], target)
-            self.snapshots[g] = merged
+            merged = self.snapshots[g]
+            delta = False
+            prior_paths = (prior_run_paths or {}).get(g, [])
+            if self.write_mode == "mor":
+                due = (
+                    self.mor_compact_runs
+                    and len(prior_paths) + 1 > self.mor_compact_runs
+                )
+                if prior_paths and due:
+                    runs = [
+                        pq.read_table(os.path.join(self.root, pth))
+                        for pth in prior_paths
+                    ]
+                    runs.append(merged)
+                    merged = _merge(snapshot_as_events_multi(runs), None)
+                else:
+                    delta = bool(prior_paths)
+            merged = normalize_batch(merged, target)
+            # MOR never keeps flushed state resident; COW serves the next
+            # micro-batch from the merged snapshot
+            self.snapshots[g] = None if self.write_mode == "mor" else merged
             p, sv = g // self.S, g % self.S
-            rel = os.path.join("data", epoch_dir, f"part-{p:05d}-s{sv:02d}.parquet")
+            suffix = "-d" if delta else ""
+            rel = os.path.join(
+                "data", epoch_dir, f"part-{p:05d}-s{sv:02d}{suffix}.parquet"
+            )
             abs_path = os.path.join(self.root, rel)
             os.makedirs(os.path.dirname(abs_path), exist_ok=True)
             pq.write_table(merged, abs_path)
@@ -138,6 +193,7 @@ class MergerActor:
                     "tombstones": n_tomb,
                     "bytes": os.path.getsize(abs_path),
                     "watermark": -1 if wm is None else int(wm),
+                    "delta": delta,
                 }
             )
         return out
@@ -229,7 +285,14 @@ class TailSession:
             # groups over different actors (same as the batch exchange)
             owned[g % num_actors].append(g)
         self.actors = [
-            MergerActor.remote(table_root, gids, S) for gids in owned
+            MergerActor.remote(
+                table_root,
+                gids,
+                S,
+                write_mode=self.cfg.write_mode,
+                mor_compact_runs=self.cfg.mor_compact_runs,
+            )
+            for gids in owned
         ]
         self._pending_events = 0
         self._pending_schema: pa.Schema | None = (
@@ -369,14 +432,11 @@ class TailSession:
         from .cdc import attempt_epoch_dir
 
         epoch_dir = attempt_epoch_dir(
-            epoch, f"tail|{self.watermark}|{self._pending_events}"
+            epoch, f"tail|{self.cfg.write_mode}|{self.watermark}|{self._pending_events}"
         )
         fields = [
             (f.name, str(f.type), f.nullable) for f in self._pending_schema
         ]
-        rows_nested = ray.get(
-            [a.flush.remote(epoch_dir, fields) for a in self.actors]
-        )
         manifest = load_manifest(self.root)
         # a tail session owns its table: if another writer advanced the
         # manifest beneath us, our actors' resident snapshots are stale
@@ -385,6 +445,7 @@ class TailSession:
         # we (correctly) base carried-forward entries on the manifest we
         # just loaded. Fail loudly instead; the operator restarts the
         # session (which reloads committed state and replays the WAL).
+        # (Checked BEFORE flushing so a conflict leaves no orphan files.)
         cur_epoch = manifest["epoch"] if manifest else 0
         if cur_epoch != self.epoch:
             from ..errors import ConcurrentCommitError
@@ -396,13 +457,30 @@ class TailSession:
         prior_parts = (
             {int(k): v for k, v in manifest["partitions"].items()} if manifest else {}
         )
+        # MOR: per-slot on-disk run lists drive the actors' inline
+        # compaction decision (flush reads them back only when a slot
+        # hits mor_compact_runs)
+        prior_run_paths: dict[int, list[str]] = {}
+        if self.cfg.write_mode == "mor":
+            for part, entry in prior_parts.items():
+                if entry.get("salt", 1) != self.S:
+                    continue  # layout mismatch is caught by assembly below
+                for f in entry["files"]:
+                    g = part * self.S + int(f.get("salt", 0))
+                    prior_run_paths.setdefault(g, []).append(f["path"])
+        rows_nested = ray.get(
+            [
+                a.flush.remote(epoch_dir, fields, prior_run_paths)
+                for a in self.actors
+            ]
+        )
         by_part: dict[int, list[dict]] = {}
         for rows in rows_nested:
             for r in rows:
                 by_part.setdefault(int(r["part"]), []).append(r)
         updated: dict[str, dict] = {}
         for part, rows in by_part.items():
-            new_salts = {int(r["salt"]) for r in rows}
+            full_salts = {int(r["salt"]) for r in rows if not r.get("delta")}
             files = [
                 {
                     "path": r["path"],
@@ -412,13 +490,15 @@ class TailSession:
                     "tombstones": int(r["tombstones"]),
                     "bytes": int(r["bytes"]),
                     "epoch": epoch,
+                    **({"delta": True} if r.get("delta") else {}),
                 }
                 for r in sorted(rows, key=lambda x: int(x["salt"]))
             ]
             prior = prior_parts.get(part)
             if prior:
-                # salt slots untouched this commit carry forward
-                files += [f for f in prior["files"] if f["salt"] not in new_salts]
+                # untouched slots carry forward; a delta run APPENDS to
+                # its slot's prior runs, a full rewrite replaces them
+                files += [f for f in prior["files"] if f["salt"] not in full_salts]
             wm_new = max(int(r["watermark"]) for r in rows)
             if prior:
                 wm_new = max(wm_new, prior.get("watermark", -1))
