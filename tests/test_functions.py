@@ -1339,3 +1339,51 @@ def test_table_profile_counts_nulls_distinct(ray_session):
            .to_pandas().set_index("col").sort_index())
     assert got.loc["a"].tolist() == [5, 1, 3]
     assert got.loc["b"].tolist() == [5, 2, 2]
+
+
+def test_kmeans_matches_brute_force(ray_session):
+    """Distributed Lloyd's == a plain numpy Lloyd's on the same data
+    (same integer quantization, same init, same iteration count)."""
+    from wprdc_etl_ray.functions.cluster import SCALE, kmeans
+
+    rng = np.random.default_rng(5)
+    n, d, k, it = 300, 16, 5, 3
+    emb = rng.normal(size=(n, d)).astype(np.float32)
+    ds = rd.from_arrow(
+        pa.table({"vec_id": pa.array(range(n), pa.int64()),
+                  "embedding": pa.array(list(emb))})
+    )
+    got = kmeans(ds, k=k, n_iter=it).to_pandas().sort_values("vec_id")
+
+    q = np.floor(emb.astype(np.float64) * SCALE + 0.5)
+    cents = q[:k].copy()
+    for _ in range(it):
+        d2 = (q * q).sum(1)[:, None] - 2 * q @ cents.T + (cents * cents).sum(1)[None]
+        a = d2.argmin(1)
+        for c in range(k):
+            if (a == c).any():
+                cents[c] = np.floor(q[a == c].sum(0) / (a == c).sum())
+    d2 = (q * q).sum(1)[:, None] - 2 * q @ cents.T + (cents * cents).sum(1)[None]
+    want = d2.argmin(1)
+    assert got["cluster"].to_numpy().tolist() == want.tolist()
+
+
+def test_kmeans_empty_cluster_carried(ray_session):
+    """An init centroid that captures no points keeps its coordinates."""
+    from wprdc_etl_ray.functions.cluster import kmeans
+
+    # two tight blobs far apart; k=3 inits on the first three points —
+    # after one update two centroids converge onto the blobs and one
+    # empties out; the run must not crash and must still label all rows
+    pts = np.array(
+        [[0.0, 0.0], [0.001, 0.0], [10.0, 10.0], [10.001, 10.0],
+         [0.0, 0.001], [10.0, 10.001]] * 10,
+        np.float32,
+    )
+    ds = rd.from_arrow(
+        pa.table({"vec_id": pa.array(range(len(pts)), pa.int64()),
+                  "embedding": pa.array(list(pts))})
+    )
+    out = kmeans(ds, k=3, n_iter=2).to_pandas()
+    assert len(out) == len(pts)
+    assert out["cluster"].nunique() <= 3

@@ -2322,6 +2322,58 @@ def q_label_centroids(sf_dir: str):
     return label_centroids(ds)
 
 
+def q_kmeans(sf_dir: str):
+    """Distributed Lloyd's k-means over every embedding: per-iteration
+    map_batches partial (count, per-dim sum) reduced to new centroids on
+    the driver, no shuffle; integer micro-unit arithmetic keeps numpy
+    and the SQL oracle bit-identical (functions/cluster.py). Oracle =
+    one chained CTE per iteration (assign → floor-div update), final
+    assignment under the last centroids."""
+    from ..functions.cluster import kmeans
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return kmeans(ds, k=8, n_iter=2)
+
+
+def _sql_kmeans(k: int = 8, n_iter: int = 2) -> str:
+    dist = (
+        "list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c.v)"
+        " + list_dot_product(c.v, c.v)"
+    )
+    ctes = [
+        "e AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,"
+        " list_transform(CAST(embedding AS DOUBLE[]),"
+        " x -> FLOOR(x * 1000000 + 0.5)) AS v FROM embeddings)",
+        f"c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v"
+        f" FROM e ORDER BY vec_id LIMIT {k})",
+    ]
+    for i in range(1, n_iter + 1):
+        ctes += [
+            f"a{i} AS (SELECT vec_id, v, cid FROM ("
+            f"SELECT e.vec_id, e.v, c.cid, row_number() OVER ("
+            f"PARTITION BY e.vec_id ORDER BY {dist}, c.cid) AS rn"
+            f" FROM e, c{i-1} c) WHERE rn = 1)",
+            f"u{i} AS (SELECT cid, CAST(generate_subscripts(v, 1) AS BIGINT)"
+            f" AS dim, unnest(v) AS val FROM a{i})",
+            f"s{i} AS (SELECT cid, dim, FLOOR(SUM(val) / COUNT(*)) AS nv"
+            f" FROM u{i} GROUP BY cid, dim)",
+            f"n{i} AS (SELECT cid, list(nv ORDER BY dim) AS v FROM s{i}"
+            f" GROUP BY cid)",
+            f"c{i} AS (SELECT p.cid, COALESCE(n.v, p.v) AS v"
+            f" FROM c{i-1} p LEFT JOIN n{i} n USING (cid))",
+        ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT vec_id, cid AS cluster FROM (
+  SELECT e.vec_id, c.cid, row_number() OVER (
+      PARTITION BY e.vec_id ORDER BY {dist}, c.cid) AS rn
+  FROM e, c{n_iter} c) WHERE rn = 1
+"""
+    )
+
+
 SQL_LABEL_CENTROIDS = """
 WITH x AS (
   SELECT CAST(label AS BIGINT) AS label,
@@ -2607,6 +2659,7 @@ def queries():
         "embedding_near_dups": q_embedding_near_dups,
         "embed_dedup_clusters": q_embed_dedup_clusters,
         "label_centroids": q_label_centroids,
+        "kmeans": q_kmeans,
         "cosine_lsh_pairs": q_cosine_lsh_pairs,
         "ivf_topk": q_ivf_topk,
         "ivf_topk_batch": q_ivf_topk_batch,
@@ -2685,6 +2738,7 @@ def oracle_sql():
         "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
         "embed_dedup_clusters": _sql_embed_dedup_clusters(),
         "label_centroids": SQL_LABEL_CENTROIDS,
+        "kmeans": _sql_kmeans(),
         "cosine_lsh_pairs": _sql_cosine_lsh(),
         "ivf_topk": _sql_ivf_topk(),
         "ivf_topk_batch": _sql_ivf_topk_batch(),
