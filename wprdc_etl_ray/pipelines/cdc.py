@@ -975,6 +975,231 @@ def compact(
     )
 
 
+def merge_into(
+    table_root: str,
+    source: ray.data.Dataset,
+    config: CDCConfig | None = None,
+    job_id: str = "merge",
+) -> CommitResult:
+    """MERGE INTO: apply a source Dataset of keyed rows to the committed
+    table in one atomic epoch — the Delta/Hudi ``MERGE`` shape, distinct
+    from WAL ingest in that the source is arbitrary query output, source
+    rows win unconditionally when matched (no LWW on ``ts``), and the
+    watermark does not move.
+
+    Source schema: the key columns (conv_id, turn_idx), any payload
+    columns (new columns widen the table schema — evolution through
+    MERGE), and an optional ``_action`` column: 'upsert' (default when
+    absent) updates matched keys / inserts unmatched ones; 'delete'
+    tombstones matched LIVE keys and no-ops otherwise. Duplicate source
+    keys raise (the ANSI/Delta MERGE cardinality rule). Result rows
+    carry ``_offset`` = the current watermark, so later WAL events
+    still win their LWW tie-breaks against merged rows.
+
+    Shape: source rows take the SAME hash partitioner as ingest and one
+    groupby shuffle co-locates them with their (part, salt) slot; each
+    touched slot is rewritten fully merged (COW) by its merge task —
+    index-only matching (pandas ``MultiIndex.get_indexer`` on the
+    narrow key columns), payloads moved by Arrow ``take`` so carried
+    rows stay byte-stable; untouched slots carry forward. Concurrent
+    distinct merges must pass distinct ``job_id`` (content-addresses
+    the attempt dir); the manifest flip rejects the loser."""
+    cfg = config or CDCConfig()
+    manifest = load_manifest(table_root)
+    if manifest is None:
+        raise InvalidConfigError(f"no committed table at {table_root} to merge into")
+    B = int(manifest["num_partitions"])
+    S = int(manifest.get("metrics", {}).get("salt", 1))
+    wm = int(manifest["global_watermark"])
+    epoch = int(manifest["epoch"]) + 1
+    epoch_dir = attempt_epoch_dir(epoch, f"merge|{job_id}|{wm}|{epoch}")
+    prior_parts = {int(k): v for k, v in manifest["partitions"].items()}
+
+    target = public_schema(manifest)
+    src_fields = [f for f in source.schema().base_schema if f.name != "_action"]
+    unified_pub = unify_schemas(
+        [pa.schema([f for f in target if f.name not in INTERNAL_COLS]),
+         pa.schema(src_fields)]
+    )
+    snapshot_target = pa.schema(
+        list(unified_pub)
+        + [pa.field("_offset", pa.int64()), pa.field("_deleted", pa.bool_())]
+    )
+    fields = [(f.name, str(f.type), f.nullable) for f in snapshot_target]
+    key_cols = list(KEY_COLUMNS)
+
+    def route(batch: pa.Table) -> pa.Table:
+        return add_partition_cols(batch, B, S)
+
+    reader = _MergeWrite(
+        root=table_root,
+        epoch_dir=epoch_dir,
+        prior_parts=prior_parts,
+        salt=S,
+        target_schema=snapshot_target,
+    )
+
+    def merge_task(group: pa.Table) -> pa.Table:
+        import numpy as np
+        import pandas as pd
+
+        from ..schema import fields_to_schema
+
+        tgt = fields_to_schema(
+            [{"id": n, "type": t, "nullable": nu} for n, t, nu in fields]
+        )
+        part = group.column("part")[0].as_py()
+        salt_val = group.column("salt")[0].as_py() if "salt" in group.schema.names else 0
+        src = group.drop_columns(
+            [c for c in ("part", "salt") if c in group.schema.names]
+        )
+        if "_action" in src.schema.names:
+            action = src.column("_action").to_numpy(zero_copy_only=False)
+            src = src.drop_columns(["_action"])
+        else:
+            action = np.full(src.num_rows, "upsert", dtype=object)
+        is_del = action == "delete"
+
+        prior = reader._read_prior(part, salt_val)
+        if prior is not None and prior.num_rows:
+            # collapse multi-run (MOR) priors to the live LWW view
+            prior = merge_with_snapshot(snapshot_as_events_multi([prior]), None)
+            prior = normalize_batch(prior, tgt)
+
+        sk = pd.MultiIndex.from_arrays(
+            [src.column(c).to_numpy(zero_copy_only=False) for c in key_cols]
+        )
+        if sk.duplicated().any():
+            raise SchemaValidationError(
+                f"duplicate source keys in MERGE (partition {part})"
+            )
+        if prior is not None and prior.num_rows:
+            pk = pd.MultiIndex.from_arrays(
+                [prior.column(c).to_numpy(zero_copy_only=False) for c in key_cols]
+            )
+            idx = pk.get_indexer(sk)
+            p_dead = prior.column("_deleted").to_numpy(zero_copy_only=False)
+        else:
+            idx = np.full(src.num_rows, -1, dtype=np.int64)
+            p_dead = np.zeros(0, dtype=bool)
+        matched = idx >= 0
+        matched_live = matched.copy()
+        matched_live[matched] = ~p_dead[idx[matched]]
+
+        # prior rows replaced: any matched upsert; tombstoned: matched
+        # live delete. (Upserting a tombstoned key replaces the marker.)
+        replaced = idx[matched & (~is_del | matched_live)]
+        outs = []
+        if prior is not None and prior.num_rows:
+            keep = np.ones(prior.num_rows, dtype=bool)
+            keep[replaced] = False
+            outs.append(prior.filter(pa.array(keep)))
+        ups = src.filter(pa.array(~is_del))
+        if ups.num_rows:
+            t = ups.append_column(
+                "_offset", pa.array(np.full(ups.num_rows, wm, np.int64), pa.int64())
+            ).append_column("_deleted", pa.array(np.zeros(ups.num_rows, bool)))
+            outs.append(normalize_batch(t, tgt))
+        dels = src.filter(pa.array(is_del & matched_live))
+        if dels.num_rows:
+            # tombstone: keys + ts survive, other payload nulls
+            cols = {c: dels.column(c) for c in key_cols}
+            if "ts" in dels.schema.names:
+                cols["ts"] = dels.column("ts")
+            t = pa.table(cols)
+            t = t.append_column(
+                "_offset", pa.array(np.full(t.num_rows, wm, np.int64), pa.int64())
+            ).append_column("_deleted", pa.array(np.ones(t.num_rows, bool)))
+            outs.append(normalize_batch(t, tgt))
+        if not outs:  # e.g. only unmatched deletes into an empty slot
+            outs.append(tgt.empty_table())
+        merged = pa.concat_tables(outs) if len(outs) > 1 else outs[0]
+        merged = merged.sort_by([(k, "ascending") for k in key_cols])
+
+        rel = os.path.join(
+            "data", epoch_dir, f"part-{part:05d}-s{salt_val:02d}.parquet"
+        )
+        abs_path = os.path.join(table_root, rel)
+        os.makedirs(os.path.dirname(abs_path), exist_ok=True)
+        pq.write_table(merged, abs_path)
+        n_tomb = pc.sum(pc.cast(merged.column("_deleted"), pa.int64())).as_py() or 0
+        return pa.table(
+            {
+                "part": pa.array([part], pa.int32()),
+                "salt": pa.array([salt_val], pa.int32()),
+                "path": pa.array([rel]),
+                "rows": pa.array([merged.num_rows], pa.int64()),
+                "live_rows": pa.array([merged.num_rows - n_tomb], pa.int64()),
+                "tombstones": pa.array([n_tomb], pa.int64()),
+                "watermark": pa.array([wm], pa.int64()),
+                "events_applied": pa.array([src.num_rows], pa.int64()),
+                "bytes": pa.array([os.path.getsize(abs_path)], pa.int64()),
+            }
+        )
+
+    routed = source.map_batches(route, batch_format="pyarrow")
+    group_keys = ["part", "salt"] if S > 1 else ["part"]
+    stats = (
+        routed.groupby(group_keys)
+        .map_groups(merge_task, batch_format="pyarrow")
+        .take_all()
+    )
+
+    by_part: dict[int, list[dict]] = {}
+    for r in stats:
+        by_part.setdefault(int(r["part"]), []).append(r)
+    updated: dict[str, dict] = {}
+    for part, rows in by_part.items():
+        new_salts = {int(r["salt"]) for r in rows}
+        files = [
+            {
+                "path": r["path"],
+                "salt": int(r["salt"]),
+                "rows": int(r["rows"]),
+                "live_rows": int(r["live_rows"]),
+                "tombstones": int(r["tombstones"]),
+                "bytes": int(r["bytes"]),
+                "epoch": epoch,
+            }
+            for r in sorted(rows, key=lambda x: int(x["salt"]))
+        ]
+        prior = prior_parts.get(part)
+        if prior:
+            files += [f for f in prior["files"] if f["salt"] not in new_salts]
+        wm_part = max(int(r["watermark"]) for r in rows)
+        if prior:
+            wm_part = max(wm_part, prior.get("watermark", -1))
+        updated[str(part)] = {
+            "files": files,
+            "salt": S,
+            "rows": sum(f["rows"] for f in files),
+            "live_rows": sum(f["live_rows"] for f in files),
+            "tombstones": sum(f["tombstones"] for f in files),
+            "bytes": sum(f["bytes"] for f in files),
+            "watermark": wm_part,
+            "events_applied": sum(int(r["events_applied"]) for r in rows),
+            "epoch": epoch,
+        }
+    n_src = sum(int(r["events_applied"]) for r in stats)
+    new_manifest = commit_manifest(
+        table_root,
+        manifest,
+        table=manifest["table"],
+        num_partitions=B,
+        schema=snapshot_target,
+        new_watermark=wm,
+        updated_partitions=updated,
+        metrics={"mode": "merge", "salt": S, "merge_source_rows": n_src},
+    )
+    return CommitResult(
+        epoch=new_manifest["epoch"],
+        global_watermark=wm,
+        events_read=n_src,
+        partitions_updated=len(updated),
+        manifest=new_manifest,
+    )
+
+
 def snapshot_as_events_multi(tables: list[pa.Table]) -> pa.Table:
     """Union several snapshot runs (possibly different epochs/schemas)
     back into event form for a re-merge."""

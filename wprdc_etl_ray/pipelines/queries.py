@@ -188,6 +188,102 @@ def _cdc_mor_root(sf_dir: str) -> str:
     return root
 
 
+def q_cdc_merge(sf_dir: str):
+    """MERGE INTO: a source Dataset derived from the epoch-1 table via
+    time travel (upper-cased upserts on turn%10==0, deletes on ==1,
+    brand-new keys for ==2) applied in one atomic epoch — source rows
+    win unconditionally when matched, no watermark movement. Oracle
+    rebuilds the same source from the replay CTE and composes the
+    post-merge table in SQL."""
+    from .cdc import read_transcripts
+
+    return read_transcripts(_cdc_merge_root(sf_dir))
+
+
+def _cdc_merge_root(sf_dir: str) -> str:
+    import pyarrow.compute as pc
+
+    from ..state.manifest import load_manifest
+    from .cdc import CDCConfig, merge_into, read_transcripts, run_ingest
+
+    wal = cdc_wal_dir(sf_dir)
+    base = os.path.dirname(wal)
+    root = os.path.join(base, "table_merge")
+    m = load_manifest(root)
+    epoch = m["epoch"] if m else 0
+    if epoch < 1:
+        run_ingest(wal, root, CDCConfig(num_partitions=32))
+    if epoch < 2:
+
+        def mk_src(batch: pa.Table) -> pa.Table:
+            import numpy as np
+
+            turn = batch.column("turn_idx").to_numpy(zero_copy_only=False)
+            mod = pa.array(turn.astype(np.int64) % 10, pa.int64())
+            u = batch.filter(pc.equal(mod, 0))
+            i = batch.filter(pc.equal(mod, 2))
+            d = batch.filter(pc.equal(mod, 1))
+            payload = ["role", "text", "tool", "tool_call_id", "tool_args", "ts"]
+
+            def slab(t: pa.Table, turn_col, role, text, action):
+                n = t.num_rows
+                cols = {
+                    "conv_id": t.column("conv_id"),
+                    "turn_idx": turn_col,
+                    "role": pa.array([role] * n, pa.string()),
+                    "text": text,
+                    "tool": t.column("tool"),
+                    "tool_call_id": t.column("tool_call_id"),
+                    "tool_args": t.column("tool_args"),
+                    "ts": t.column("ts"),
+                    "_action": pa.array([action] * n, pa.string()),
+                }
+                return pa.table(cols)
+
+            outs = [
+                slab(u, u.column("turn_idx"), "merged",
+                     pc.utf8_upper(u.column("text")), "upsert"),
+                slab(i, pc.add(i.column("turn_idx"), 100000), "merged",
+                     pa.array(["NEW"] * i.num_rows, pa.string()), "upsert"),
+                slab(d, d.column("turn_idx"), "merged",
+                     pa.nulls(d.num_rows, pa.string()), "delete"),
+            ]
+            return pa.concat_tables(outs)
+
+        src = read_transcripts(root, epoch=1).map_batches(
+            mk_src, batch_format="pyarrow"
+        )
+        merge_into(root, src, job_id="q_cdc_merge")
+    return root
+
+
+def _cdc_merge_sql() -> str:
+    wal = cdc_wal_dir("/root/testdata/sf0.01")  # driver compares at sf0.01
+    glob_path = os.path.join(wal, "seg-*.parquet")
+    return f"""
+WITH ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY conv_id, turn_idx
+      ORDER BY ts DESC, "offset" DESC) AS rn
+  FROM read_parquet('{glob_path}', union_by_name=true)
+),
+t AS (
+  SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, role, text, tool,
+         tool_call_id, tool_args, ts
+  FROM ranked WHERE rn = 1 AND op <> 'delete')
+SELECT conv_id, turn_idx, role, text, tool, tool_call_id, tool_args, ts
+FROM t WHERE turn_idx % 10 NOT IN (0, 1)
+UNION ALL
+SELECT conv_id, turn_idx, 'merged', upper(text), tool,
+       tool_call_id, tool_args, ts
+FROM t WHERE turn_idx % 10 = 0
+UNION ALL
+SELECT conv_id, turn_idx + 100000, 'merged', 'NEW', tool,
+       tool_call_id, tool_args, ts
+FROM t WHERE turn_idx % 10 = 2
+"""
+
+
 def _cdc_cf_root(sf_dir: str) -> str:
     """Two-epoch table for the change-feed query: epoch 1 = first half
     of the flagship WAL's segments (symlinked into a sub-dir), epoch 2 =
@@ -2592,6 +2688,7 @@ def queries():
         "cdc_flagship": q_cdc_flagship,
         "cdc_turn_counts": q_cdc_turn_counts,
         "cdc_mor": q_cdc_mor,
+        "cdc_merge": q_cdc_merge,
         "cdc_changes": q_cdc_changes,
         "cdc_incremental_view": q_cdc_incremental_view,
         "conv_role_quality": q_conv_role_quality,
@@ -2671,6 +2768,7 @@ def oracle_sql():
         "cdc_flagship": _cdc_oracle_sql(),
         "cdc_turn_counts": _cdc_turn_counts_sql(),
         "cdc_mor": _cdc_oracle_sql(),
+        "cdc_merge": _cdc_merge_sql(),
         "cdc_changes": _cdc_changes_sql(),
         "cdc_incremental_view": _cdc_incremental_view_sql(),
         "conv_role_quality": _conv_role_quality_sql(),
