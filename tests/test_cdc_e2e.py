@@ -598,3 +598,68 @@ def test_persisted_view_chained_refreshes_equal_recompute(ray_session, tmp_path,
     assert view["conv_id"].tolist() == want["conv_id"].tolist()
     assert view["n_turns"].tolist() == want["n_turns"].tolist()
     assert view["total_chars"].tolist() == want["total_chars"].tolist()
+
+
+def test_clone_table_shallow_and_independent(ray_session, tmp_path, log):
+    """Shallow clone: zero-copy birth (hardlinks), identical reads,
+    then fully independent evolution — and vacuum on the source cannot
+    break the clone (hardlinked bytes survive until the last link)."""
+    from wprdc_etl_ray.pipelines.cdc import clone_table, vacuum
+
+    write_wal(str(tmp_path), log, segment_rows=1000)
+    segs = sorted(glob.glob(str(tmp_path / "wal" / "seg-*.parquet")))
+    w1 = str(tmp_path / "w1")
+    os.makedirs(w1)
+    for s in segs[: len(segs) // 2]:
+        os.link(s, os.path.join(w1, os.path.basename(s)))
+    src = str(tmp_path / "src")
+    run_ingest(w1, src, CDCConfig(num_partitions=8))
+
+    dst = str(tmp_path / "dst")
+    m = clone_table(src, dst)
+    assert m["metrics"]["mode"] == "clone"
+    a = read_transcripts_arrow(src)
+    b = read_transcripts_arrow(dst)
+    assert a.equals(b)
+    # hardlinked, not copied
+    f = next(
+        os.path.join(src, e["files"][0]["path"])
+        for e in m["partitions"].values()
+    )
+    assert os.stat(f).st_nlink >= 2
+
+    # diverge: src gets the rest of the WAL; clone stays at birth state
+    run_ingest(str(tmp_path / "wal"), src, CDCConfig(num_partitions=8))
+    assert read_transcripts_arrow(dst).equals(b)
+    check_equal(src, log)
+
+    # vacuum source aggressively; clone must still read its bytes
+    vacuum(src, keep_epochs=1)
+    assert read_transcripts_arrow(dst).equals(b)
+
+    # cloning onto an existing table refuses
+    import pytest as _pytest
+
+    from wprdc_etl_ray.errors import InvalidConfigError
+
+    with _pytest.raises(InvalidConfigError):
+        clone_table(src, dst)
+
+
+def test_clone_at_past_epoch(ray_session, tmp_path, log):
+    from wprdc_etl_ray.pipelines.cdc import clone_table
+
+    write_wal(str(tmp_path), log, segment_rows=1000)
+    segs = sorted(glob.glob(str(tmp_path / "wal" / "seg-*.parquet")))
+    w1 = str(tmp_path / "w1")
+    os.makedirs(w1)
+    for s in segs[: len(segs) // 2]:
+        os.link(s, os.path.join(w1, os.path.basename(s)))
+    src = str(tmp_path / "src")
+    run_ingest(w1, src, CDCConfig(num_partitions=8))
+    epoch1 = read_transcripts_arrow(src)
+    run_ingest(str(tmp_path / "wal"), src, CDCConfig(num_partitions=8))
+
+    dst = str(tmp_path / "dst")
+    clone_table(src, dst, epoch=1)
+    assert read_transcripts_arrow(dst).equals(epoch1)

@@ -11,6 +11,9 @@ Commands:
   read     <table_root> [--limit N]       print committed rows
   check    <table_root> <wal_dir>         verify table == replay oracle (DuckDB)
   query    <name> [--sf-dir D]            run any operator pipeline ('list' to enumerate)
+  clone    <src_root> <dst_root> [--epoch E]  shallow clone (hardlinked, zero-copy)
+  changes  <table_root> --from E [...]    change-data-feed between epochs
+  vacuum   <table_root> [--keep-epochs N] reclaim unreferenced data files
 
 Owns its Ray session (guarded init) — the ONLY library-adjacent place
 allowed to call ray.init besides bench.py and the test fixture.
@@ -219,6 +222,14 @@ def cmd_vacuum(args):
     print(json.dumps(vacuum(args.table_root, keep_epochs=args.keep_epochs)))
 
 
+def cmd_clone(args):
+    from .pipelines.cdc import clone_table
+
+    m = clone_table(args.src_root, args.dst_root, epoch=args.epoch)
+    print(json.dumps({"dst": args.dst_root, "epoch": m["epoch"],
+                      "partitions": len(m["partitions"])}))
+
+
 def cmd_changes(args):
     """Change feed between two committed epochs as JSON lines."""
     _ray()
@@ -323,6 +334,12 @@ def main(argv=None):
     sp.add_argument("table_root")
     sp.add_argument("--keep-epochs", type=int, default=2)
     sp.set_defaults(fn=cmd_vacuum)
+
+    sp = sub.add_parser("clone")
+    sp.add_argument("src_root")
+    sp.add_argument("dst_root")
+    sp.add_argument("--epoch", type=int, default=None)
+    sp.set_defaults(fn=cmd_clone)
 
     sp = sub.add_parser("changes")
     sp.add_argument("table_root")

@@ -1396,6 +1396,62 @@ def vacuum(table_root: str, keep_epochs: int = 2) -> dict:
     return {"deleted": len(deleted), "bytes": freed, "kept": len(keep)}
 
 
+def clone_table(
+    src_root: str, dst_root: str, epoch: int | None = None
+) -> dict:
+    """Shallow clone: a new independent table rooted at ``dst_root``
+    whose initial state is ``src_root`` at ``epoch`` (default: current).
+
+    Every referenced data file is HARDLINKED (copy fallback across
+    filesystems) — O(metadata) and zero data bytes moved, the
+    Delta-Lake shallow-clone shape, except hardlinks make the clone
+    safe without reference counting: ``vacuum`` on either table only
+    unlinks its own name for a file; the bytes survive until the last
+    link drops, so neither side can break the other's reads. The clone
+    then evolves independently (ingest/merge/compact write fresh files
+    under its own root). History before the cloned epoch is not
+    carried — time travel on the clone starts at its birth epoch."""
+    import json as _json
+    import shutil
+
+    src_manifest = (
+        load_manifest(src_root) if epoch is None else load_epoch_manifest(src_root, epoch)
+    )
+    if src_manifest is None:
+        raise InvalidConfigError(
+            f"no committed manifest at {src_root}"
+            + (f" epoch {epoch}" if epoch is not None else "")
+        )
+    if load_manifest(dst_root) is not None:
+        raise InvalidConfigError(f"{dst_root} already holds a committed table")
+    for entry in src_manifest["partitions"].values():
+        for f in entry["files"]:
+            src_p = os.path.join(src_root, f["path"])
+            dst_p = os.path.join(dst_root, f["path"])
+            os.makedirs(os.path.dirname(dst_p), exist_ok=True)
+            try:
+                os.link(src_p, dst_p)
+            except OSError:
+                shutil.copy2(src_p, dst_p)
+    manifest = dict(src_manifest)
+    manifest["metrics"] = dict(manifest.get("metrics", {}))
+    manifest["metrics"].update(
+        {"mode": "clone", "clone_of": src_root, "clone_epoch": src_manifest["epoch"]}
+    )
+    mdir = os.path.join(dst_root, "manifest")
+    os.makedirs(mdir, exist_ok=True)
+    hist = os.path.join(mdir, f"epoch-{manifest['epoch']:06d}.json")
+    with open(hist, "w") as f:
+        _json.dump(manifest, f, indent=1)
+    tmp = os.path.join(mdir, ".tmp-clone")
+    with open(tmp, "w") as f:
+        _json.dump(manifest, f, indent=1)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(mdir, "manifest.json"))
+    return manifest
+
+
 def table_changes(
     table_root: str,
     from_epoch: int,
