@@ -1387,3 +1387,52 @@ def test_kmeans_empty_cluster_carried(ray_session):
     out = kmeans(ds, k=3, n_iter=2).to_pandas()
     assert len(out) == len(pts)
     assert out["cluster"].nunique() <= 3
+
+
+def test_bucketed_join_matches_pandas(ray_session, tmp_path):
+    """Co-partitioned storage join == pandas merge, including keys that
+    miss (inner drops, left nulls) and buckets one side never touched."""
+    import pandas as pd
+
+    from wprdc_etl_ray.functions.bucketed import bucketed_join, bucketed_write
+
+    rng = np.random.default_rng(9)
+    left = pd.DataFrame(
+        {"k": rng.integers(0, 40, 200), "lv": np.arange(200)}
+    )
+    right = pd.DataFrame(
+        {"rk": np.arange(0, 30), "rv": np.arange(0, 30) * 10}
+    )
+    ld, rd_ = str(tmp_path / "l"), str(tmp_path / "r")
+    bucketed_write(rd.from_pandas(left), ld, key="k", n_buckets=8)
+    bucketed_write(rd.from_pandas(right), rd_, key="rk", n_buckets=8)
+
+    for how in ("inner", "left"):
+        got = (
+            bucketed_join(ld, rd_, how=how)
+            .to_pandas()
+            .sort_values(["k", "lv"])
+            .reset_index(drop=True)
+        )
+        want = (
+            left.merge(right, how=how, left_on="k", right_on="rk")
+            .drop(columns=["rk"])
+            .sort_values(["k", "lv"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got[want.columns.tolist()], want, check_dtype=False
+        )
+
+
+def test_bucketed_join_layout_mismatch_raises(ray_session, tmp_path):
+    import pandas as pd
+
+    from wprdc_etl_ray.functions.bucketed import bucketed_join, bucketed_write
+
+    df = pd.DataFrame({"k": [1, 2], "v": [1, 2]})
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    bucketed_write(rd.from_pandas(df), a, key="k", n_buckets=4)
+    bucketed_write(rd.from_pandas(df), b, key="k", n_buckets=8)
+    with pytest.raises(ValueError):
+        bucketed_join(a, b)

@@ -623,6 +623,54 @@ SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
 """
 
 
+def q_bucketed_join(sf_dir: str):
+    """Co-partitioned storage join: orders and customer are written ONCE
+    hash-bucketed by custkey (resumable sink, schema-recorded layout),
+    then the join runs one local task per bucket with NO shuffle —
+    the pay-the-exchange-once pattern for keys joined repeatedly
+    (functions/bucketed.py). Oracle = the plain SQL equi-join."""
+    from ..functions.bucketed import bucketed_join, bucketed_write
+
+    base = os.path.join(
+        "/tmp/graft_bucketed", os.path.basename(os.path.normpath(sf_dir))
+    )
+    odir, cdir = os.path.join(base, "orders"), os.path.join(base, "customer")
+    if not os.path.exists(os.path.join(odir, "_BUCKETS.json")):
+        bucketed_write(
+            read_table(sf_dir, "orders",
+                       columns=["o_orderkey", "o_custkey", "o_totalprice"]),
+            odir, key="o_custkey", n_buckets=16,
+        )
+    if not os.path.exists(os.path.join(cdir, "_BUCKETS.json")):
+        bucketed_write(
+            read_table(sf_dir, "customer", columns=["c_custkey", "c_name"]),
+            cdir, key="c_custkey", n_buckets=16,
+        )
+    joined = bucketed_join(odir, cdir, how="inner")
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        v = pc.floor(
+            pc.add(pc.multiply(batch.column("o_totalprice").cast(pa.float64()), 100.0), 0.5)
+        ).cast(pa.int64())
+        return pa.table(
+            {
+                "o_orderkey": batch.column("o_orderkey"),
+                "o_custkey": batch.column("o_custkey"),
+                "c_name": batch.column("c_name"),
+                "o_total_cents": v,
+            }
+        )
+
+    return joined.map_batches(to_cents, batch_format="pyarrow")
+
+
+SQL_BUCKETED_JOIN = """
+SELECT o_orderkey, o_custkey, c_name,
+       CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS o_total_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+"""
+
+
 def q_region_revenue(sf_dir: str):
     """Four-table join chain (TPC-H Q5 shape): lineitem ⋈ orders ⋈
     customer partitioned on their keys, nation⋈region folded driver-side
@@ -2732,6 +2780,7 @@ def queries():
         "props_stats": q_props_stats,
         "export_shards": q_export_shards,
         "region_revenue": q_region_revenue,
+        "bucketed_join": q_bucketed_join,
         "table_profile": q_table_profile,
         "user_event_sequences": q_user_event_sequences,
         "doc_repetition": q_doc_repetition,
@@ -2812,6 +2861,7 @@ def oracle_sql():
         "props_stats": SQL_PROPS_STATS,
         "export_shards": SQL_EXPORT_SHARDS,
         "region_revenue": SQL_REGION_REVENUE,
+        "bucketed_join": SQL_BUCKETED_JOIN,
         "table_profile": SQL_TABLE_PROFILE,
         "user_event_sequences": SQL_USER_EVENT_SEQUENCES,
         "doc_repetition": SQL_DOC_REPETITION,
