@@ -663,3 +663,63 @@ def test_clone_at_past_epoch(ray_session, tmp_path, log):
     dst = str(tmp_path / "dst")
     clone_table(src, dst, epoch=1)
     assert read_transcripts_arrow(dst).equals(epoch1)
+
+
+def test_repartition_table_layout_migration(ray_session, tmp_path, log):
+    """Re-hash to a different (B, S): reads identical before/after, the
+    manifest reflects the new layout, continued ingest + point reads
+    keep working at the new B — and tombstones survive the move (a late
+    older event still cannot resurrect a deleted key)."""
+    from wprdc_etl_ray.pipelines.cdc import read_conversation, repartition_table
+
+    write_wal(str(tmp_path), log, segment_rows=1000)
+    segs = sorted(glob.glob(str(tmp_path / "wal" / "seg-*.parquet")))
+    w1 = str(tmp_path / "w1")
+    os.makedirs(w1)
+    for s in segs[: len(segs) // 2]:
+        os.link(s, os.path.join(w1, os.path.basename(s)))
+    root = str(tmp_path / "t")
+    run_ingest(w1, root, CDCConfig(num_partitions=4))
+    before = read_transcripts_arrow(root)
+
+    res = repartition_table(root, new_partitions=16, new_salt=2)
+    m = load_manifest(root)
+    assert m["num_partitions"] == 16 and m["metrics"]["salt"] == 2
+    assert res.partitions_updated <= 16
+    after = read_transcripts_arrow(root)
+    assert after.cast(before.schema).equals(before)
+
+    # continued ingest at the new layout reaches the full-replay truth
+    run_ingest(str(tmp_path / "wal"), root, CDCConfig(num_partitions=4))
+    check_equal(root, log)
+    m2 = load_manifest(root)
+    assert m2["num_partitions"] == 16  # table property wins over config
+
+    # point read resolves through the new hash
+    conv = read_transcripts_arrow(root).column("conv_id")[0].as_py()
+    got = read_conversation(root, conv)
+    assert got.num_rows > 0
+
+
+def test_repartition_mor_table(ray_session, tmp_path, log):
+    """Repartitioning a MOR table collapses its delta runs in the move."""
+    from wprdc_etl_ray.pipelines.cdc import repartition_table
+
+    write_wal(str(tmp_path), log, segment_rows=1000)
+    segs = sorted(glob.glob(str(tmp_path / "wal" / "seg-*.parquet")))
+    w1 = str(tmp_path / "w1")
+    os.makedirs(w1)
+    for s in segs[: len(segs) // 2]:
+        os.link(s, os.path.join(w1, os.path.basename(s)))
+    root = str(tmp_path / "t")
+    run_ingest(w1, root, CDCConfig(num_partitions=4, write_mode="mor"))
+    run_ingest(str(tmp_path / "wal"), root, CDCConfig(num_partitions=4, write_mode="mor"))
+    repartition_table(root, new_partitions=8)
+    m = load_manifest(root)
+    # every slot is one file after the rewrite
+    for e in m["partitions"].values():
+        by_salt = {}
+        for f in e["files"]:
+            by_salt.setdefault(f["salt"], []).append(f)
+        assert all(len(v) == 1 for v in by_salt.values())
+    check_equal(root, log)

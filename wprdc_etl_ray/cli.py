@@ -12,6 +12,7 @@ Commands:
   check    <table_root> <wal_dir>         verify table == replay oracle (DuckDB)
   query    <name> [--sf-dir D]            run any operator pipeline ('list' to enumerate)
   clone    <src_root> <dst_root> [--epoch E]  shallow clone (hardlinked, zero-copy)
+  repartition <table_root> --partitions B [--salt S]  hash-layout migration
   changes  <table_root> --from E [...]    change-data-feed between epochs
   vacuum   <table_root> [--keep-epochs N] reclaim unreferenced data files
 
@@ -222,6 +223,15 @@ def cmd_vacuum(args):
     print(json.dumps(vacuum(args.table_root, keep_epochs=args.keep_epochs)))
 
 
+def cmd_repartition(args):
+    from .pipelines.cdc import repartition_table
+
+    res = repartition_table(
+        args.table_root, new_partitions=args.partitions, new_salt=args.salt
+    )
+    print(json.dumps({"epoch": res.epoch, "partitions": res.partitions_updated}))
+
+
 def cmd_clone(args):
     from .pipelines.cdc import clone_table
 
@@ -334,6 +344,12 @@ def main(argv=None):
     sp.add_argument("table_root")
     sp.add_argument("--keep-epochs", type=int, default=2)
     sp.set_defaults(fn=cmd_vacuum)
+
+    sp = sub.add_parser("repartition")
+    sp.add_argument("table_root")
+    sp.add_argument("--partitions", type=int, required=True)
+    sp.add_argument("--salt", type=int, default=None)
+    sp.set_defaults(fn=cmd_repartition)
 
     sp = sub.add_parser("clone")
     sp.add_argument("src_root")

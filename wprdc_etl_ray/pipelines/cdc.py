@@ -1396,6 +1396,114 @@ def vacuum(table_root: str, keep_epochs: int = 2) -> dict:
     return {"deleted": len(deleted), "bytes": freed, "kept": len(keep)}
 
 
+def repartition_table(
+    table_root: str,
+    new_partitions: int,
+    new_salt: int | None = None,
+) -> CommitResult:
+    """Hash-layout migration: rewrite the table to a different partition
+    count (and optionally salt) in ONE atomic epoch — the operation that
+    un-sticks ``num_partitions`` chosen at table creation once the table
+    outgrows it (B bounds the per-task merge working set; a 1000×-grown
+    table needs a bigger B, and the hash ``conv_id % B`` pins every key's
+    location to B).
+
+    Everything rides existing machinery: committed rows (tombstones
+    included — they keep guarding late events) re-enter event form, take
+    the partitioner at the NEW layout, and one groupby exchange merges
+    and writes each new slot; the commit replaces all partitions behind
+    the same manifest flip, so readers see the old layout until the flip
+    and the new one after — no downtime, crash leaves the old table.
+    This is the ONLY maintenance op that moves the whole table; it is
+    what you schedule, deliberately, when doubling the cluster."""
+    manifest = load_manifest(table_root)
+    if manifest is None or not manifest["partitions"]:
+        raise InvalidConfigError(f"no committed table at {table_root}")
+    B = int(new_partitions)
+    S = new_salt if new_salt is not None else int(
+        manifest.get("metrics", {}).get("salt", 1)
+    )
+    S = max(1, S)
+    wm = int(manifest["global_watermark"])
+    epoch = int(manifest["epoch"]) + 1
+    target = public_schema(manifest)
+    files = [
+        os.path.join(table_root, f["path"])
+        for e in manifest["partitions"].values()
+        for f in e["files"]
+        if f.get("rows")
+    ]
+    writer = _MergeWrite(
+        root=table_root,
+        epoch_dir=attempt_epoch_dir(epoch, f"repartition|{B}|{S}|{wm}"),
+        prior_parts={},
+        salt=S,
+        target_schema=target,
+    )
+
+    def to_events(batch: pa.Table) -> pa.Table:
+        from ..stages.merge import snapshot_as_events
+
+        batch = normalize_batch(batch, target)
+        return add_partition_cols(snapshot_as_events(batch), B, S)
+
+    ds = ray.data.read_parquet(files).map_batches(
+        to_events, batch_format="pyarrow"
+    )
+    group_keys = ["part", "salt"] if S > 1 else ["part"]
+    stats = (
+        ds.groupby(group_keys)
+        .map_groups(lambda g: writer(g), batch_format="pyarrow")
+        .take_all()
+    )
+    updated: dict[str, dict] = {}
+    by_part: dict[int, list[dict]] = {}
+    for r in stats:
+        by_part.setdefault(int(r["part"]), []).append(r)
+    for part, rows in by_part.items():
+        files_e = [
+            {
+                "path": r["path"],
+                "salt": int(r["salt"]),
+                "rows": int(r["rows"]),
+                "live_rows": int(r["live_rows"]),
+                "tombstones": int(r["tombstones"]),
+                "bytes": int(r["bytes"]),
+                "epoch": epoch,
+            }
+            for r in sorted(rows, key=lambda x: int(x["salt"]))
+        ]
+        updated[str(part)] = {
+            "files": files_e,
+            "salt": S,
+            "rows": sum(f["rows"] for f in files_e),
+            "live_rows": sum(f["live_rows"] for f in files_e),
+            "tombstones": sum(f["tombstones"] for f in files_e),
+            "bytes": sum(f["bytes"] for f in files_e),
+            "watermark": wm,
+            "events_applied": 0,
+            "epoch": epoch,
+        }
+    new_manifest = commit_manifest(
+        table_root,
+        manifest,
+        table=manifest["table"],
+        num_partitions=B,
+        schema=target,
+        new_watermark=wm,
+        updated_partitions=updated,
+        replace_all=True,
+        metrics={"mode": "repartition", "salt": S},
+    )
+    return CommitResult(
+        epoch=new_manifest["epoch"],
+        global_watermark=wm,
+        events_read=0,
+        partitions_updated=len(updated),
+        manifest=new_manifest,
+    )
+
+
 def clone_table(
     src_root: str, dst_root: str, epoch: int | None = None
 ) -> dict:
