@@ -224,6 +224,7 @@ def cmd_vacuum(args):
 
 
 def cmd_repartition(args):
+    _ray()
     from .pipelines.cdc import repartition_table
 
     res = repartition_table(
