@@ -723,3 +723,56 @@ def test_repartition_mor_table(ray_session, tmp_path, log):
             by_salt.setdefault(f["salt"], []).append(f)
         assert all(len(v) == 1 for v in by_salt.values())
     check_equal(root, log)
+
+
+def test_follow_changes_yields_epoch_feeds(ray_session, tmp_path, log):
+    """The change-feed subscription yields one CDF per committed epoch,
+    in order, exactly once — and a replication consumer (merge_into of
+    the feed rows) reconstructs the source table."""
+    import numpy as np
+
+    from wprdc_etl_ray.pipelines.cdc import follow_changes, merge_into
+
+    write_wal(str(tmp_path), log, segment_rows=1000)
+    segs = sorted(glob.glob(str(tmp_path / "wal" / "seg-*.parquet")))
+    root = str(tmp_path / "t")
+    feed = follow_changes(root, from_epoch=0, poll_interval=0.05, max_polls=2)
+
+    # replica table: bootstrap empty with the same layout
+    import ray.data as rd
+
+    from wprdc_etl_ray.schema import TRANSCRIPT_SCHEMA, snapshot_schema
+    from wprdc_etl_ray.state.manifest import commit_manifest
+
+    replica = str(tmp_path / "r")
+    os.makedirs(replica)
+    commit_manifest(
+        replica, None, table="transcripts", num_partitions=8,
+        schema=snapshot_schema(TRANSCRIPT_SCHEMA), new_watermark=-1,
+        updated_partitions={}, metrics={"salt": 1},
+    )
+
+    thirds = [len(segs) // 3, 2 * len(segs) // 3, len(segs)]
+    got_epochs = []
+    for i, bound in enumerate(thirds, start=1):
+        d = str(tmp_path / f"w{i}")
+        os.makedirs(d)
+        for s in segs[:bound]:
+            os.link(s, os.path.join(d, os.path.basename(s)))
+        run_ingest(d, root, CDCConfig(num_partitions=8))
+        epoch, cdf = next(feed)
+        got_epochs.append(epoch)
+        df = cdf.to_pandas()
+        assert len(df) > 0
+        # replicate: deletes -> _action delete, everything else upsert
+        df["_action"] = np.where(df.pop("change_type") == "delete", "delete", "upsert")
+        merge_into(replica, rd.from_pandas(df), job_id=f"repl{epoch}")
+    assert got_epochs == [1, 2, 3]
+    # exhausted: no further epochs within max_polls
+    assert next(feed, None) is None
+
+    src_t = read_transcripts_arrow(root)
+    dst_t = read_transcripts_arrow(replica).select(src_t.schema.names)
+    assert dst_t.cast(src_t.schema).sort_by(
+        [("conv_id", "ascending"), ("turn_idx", "ascending")]
+    ).equals(src_t)

@@ -51,14 +51,10 @@ def bucketed_write(
     Resumable: a re-run skips buckets already marked complete;
     ``_BUCKETS.json`` (layout + schema) lands LAST and is the
     whole-table completion marker joins require."""
-    from ..schema import schema_to_fields
+    from ..schema import dataset_schema, schema_to_fields
     from ..sources.sinks import resumable_write
 
-    s = ds.schema()
-    base = getattr(s, "base_schema", None)
-    if not isinstance(base, pa.Schema):  # pandas-block datasets
-        base = pa.schema([pa.field(n, t) for n, t in zip(s.names, s.types)])
-    schema = base
+    schema = dataset_schema(ds)
     res = resumable_write(ds, out_dir, key, num_buckets=n_buckets)
     # record layout + schema: joins verify compatibility and can build
     # typed empty frames for buckets one side never touched

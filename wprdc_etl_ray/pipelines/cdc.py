@@ -1016,7 +1016,9 @@ def merge_into(
     prior_parts = {int(k): v for k, v in manifest["partitions"].items()}
 
     target = public_schema(manifest)
-    src_fields = [f for f in source.schema().base_schema if f.name != "_action"]
+    from ..schema import dataset_schema
+
+    src_fields = [f for f in dataset_schema(source) if f.name != "_action"]
     unified_pub = unify_schemas(
         [pa.schema([f for f in target if f.name not in INTERNAL_COLS]),
          pa.schema(src_fields)]
@@ -1702,6 +1704,53 @@ def table_changes(
     return ray.data.from_items(items).map_batches(
         diff, batch_format="pandas", batch_size=1
     )
+
+
+def follow_changes(
+    table_root: str,
+    from_epoch: int | None = None,
+    pre_images: bool = False,
+    poll_interval: float = 1.0,
+    max_polls: int | None = None,
+):
+    """Subscribe to the table's change feed: yield ``(epoch, Dataset)``
+    for every epoch committed after ``from_epoch`` (default: the current
+    epoch at subscribe time — i.e. only future commits), each Dataset
+    being that epoch's CDF (``table_changes(e-1, e)``).
+
+    The downstream-consumer loop of the CDC story: a follower drives
+    incremental view refreshes, cache invalidation, or replication into
+    another table (``merge_into`` accepts the feed's rows directly).
+    Polling reads ONE small JSON manifest per interval — no data IO
+    until an epoch actually lands; each yielded feed reads only that
+    epoch's changed slots (manifest path-equality pruning).
+
+    ``max_polls`` bounds the wait loop for tests/batch drains: the
+    generator ends after that many EMPTY polls (None = follow forever).
+    Epochs are yielded in order, exactly once; a consumer that crashes
+    resumes by passing its last processed epoch as ``from_epoch``."""
+    import time as _time
+
+    cur = load_manifest(table_root)
+    last = int(cur["epoch"]) if cur else 0
+    if from_epoch is not None:
+        last = int(from_epoch)
+    idle = 0
+    while True:
+        m = load_manifest(table_root)
+        cur_epoch = int(m["epoch"]) if m else 0
+        if cur_epoch > last:
+            idle = 0
+            for e in range(last + 1, cur_epoch + 1):
+                yield e, table_changes(
+                    table_root, from_epoch=e - 1, to_epoch=e, pre_images=pre_images
+                )
+            last = cur_epoch
+            continue
+        idle += 1
+        if max_polls is not None and idle > max_polls:
+            return
+        _time.sleep(poll_interval)
 
 
 def incremental_conv_stats(

@@ -126,6 +126,27 @@ def schema_to_fields(schema: pa.Schema) -> list[dict]:
     ]
 
 
+def dataset_schema(ds) -> pa.Schema:
+    """Arrow schema of a ray.data.Dataset regardless of block format
+    (Arrow blocks expose ``base_schema`` as a pa.Schema; pandas blocks
+    expose name/type lists)."""
+    s = ds.schema()
+    base = getattr(s, "base_schema", None)
+    if isinstance(base, pa.Schema):
+        return base
+
+    def conv(t):
+        if isinstance(t, pa.DataType):
+            return t
+        if t in (object, str):  # pandas object columns are strings here
+            return pa.string()
+        import numpy as np
+
+        return pa.from_numpy_dtype(np.dtype(t))
+
+    return pa.schema([pa.field(n, conv(t)) for n, t in zip(s.names, s.types)])
+
+
 def fields_to_schema(fields: list[dict]) -> pa.Schema:
     """Inverse of :func:`schema_to_fields`."""
     out = []
