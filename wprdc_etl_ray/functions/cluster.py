@@ -63,8 +63,10 @@ def kmeans(
     n_iter: int = 2,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    keep_cols: list[str] | None = None,
 ) -> ray.data.Dataset:
-    """Lloyd's k-means; returns (id_col, cluster) for every vector.
+    """Lloyd's k-means; returns (id_col, cluster[, keep_cols…]) for
+    every vector.
 
     Deterministic init: the k vectors with the SMALLEST ids, cluster
     index = rank of the id. ``n_iter`` centroid updates run over the
@@ -77,7 +79,9 @@ def kmeans(
     pinning the projection in the (spillable) object store turns that
     into one read. This is the standard residency trade for iterative
     work; drop ``.materialize()`` to trade re-read CPU for memory."""
-    ds = ds.select_columns([id_col, emb_col]).materialize()
+    ds = ds.select_columns(
+        [id_col, emb_col] + [c for c in (keep_cols or []) if c != id_col]
+    ).materialize()
 
     # --- init: k smallest ids (narrow candidate pass, k rows per batch)
     def min_k(batch: pa.Table) -> pa.Table:
@@ -140,11 +144,12 @@ def kmeans(
     def label(batch: pa.Table) -> pa.Table:
         c = ray.get(cref)
         a = _assign(_quantize(batch.column(emb_col)), c)
-        return pa.table(
-            {
-                id_col: batch.column(id_col),
-                "cluster": pa.array(a.astype(np.int64), pa.int64()),
-            }
-        )
+        cols = {
+            id_col: batch.column(id_col),
+            "cluster": pa.array(a.astype(np.int64), pa.int64()),
+        }
+        for kc in keep_cols or []:
+            cols[kc] = batch.column(kc)
+        return pa.table(cols)
 
     return ds.map_batches(label, batch_format="pyarrow")

@@ -2479,7 +2479,31 @@ def q_kmeans(sf_dir: str):
     return kmeans(ds, k=8, n_iter=2)
 
 
-def _sql_kmeans(k: int = 8, n_iter: int = 2) -> str:
+def q_kmeans_purity(sf_dir: str):
+    """Cluster-composition audit (mixture-balancing / dedup-bucket QA):
+    k-means assignments crossed with the table's labels — (cluster,
+    label, n). The assignment pass carries the label through, then one
+    partial-pre-agg groupby; oracle = the same iteration CTEs joined
+    back to the labels."""
+    from ..functions.cluster import kmeans
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+    asg = kmeans(ds, k=8, n_iter=2, keep_cols=["label"])
+    out = grouped_agg(asg, ["cluster", "label"], [("vec_id", "count", "n")])
+
+    def cast(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cluster": batch.column("cluster").cast(pa.int64()),
+                "label": batch.column("label").cast(pa.int64()),
+                "n": batch.column("n").cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(cast, batch_format="pyarrow")
+
+
+def _sql_kmeans(k: int = 8, n_iter: int = 2, purity: bool = False) -> str:
     dist = (
         "list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c.v)"
         " + list_dot_product(c.v, c.v)"
@@ -2506,16 +2530,25 @@ def _sql_kmeans(k: int = 8, n_iter: int = 2) -> str:
             f"c{i} AS (SELECT p.cid, COALESCE(n.v, p.v) AS v"
             f" FROM c{i-1} p LEFT JOIN n{i} n USING (cid))",
         ]
-    return (
-        "WITH "
-        + ",\n".join(ctes)
-        + f"""
+    if purity:
+        tail = f"""
+SELECT cid AS cluster, CAST(emb.label AS BIGINT) AS label,
+       count(*) AS n
+FROM (
+  SELECT e.vec_id, c.cid, row_number() OVER (
+      PARTITION BY e.vec_id ORDER BY {dist}, c.cid) AS rn
+  FROM e, c{n_iter} c) fin
+JOIN embeddings emb ON fin.vec_id = emb.vec_id
+WHERE rn = 1 GROUP BY 1, 2
+"""
+    else:
+        tail = f"""
 SELECT vec_id, cid AS cluster FROM (
   SELECT e.vec_id, c.cid, row_number() OVER (
       PARTITION BY e.vec_id ORDER BY {dist}, c.cid) AS rn
   FROM e, c{n_iter} c) WHERE rn = 1
 """
-    )
+    return "WITH " + ",\n".join(ctes) + tail
 
 
 SQL_LABEL_CENTROIDS = """
@@ -2806,6 +2839,7 @@ def queries():
         "embed_dedup_clusters": q_embed_dedup_clusters,
         "label_centroids": q_label_centroids,
         "kmeans": q_kmeans,
+        "kmeans_purity": q_kmeans_purity,
         "cosine_lsh_pairs": q_cosine_lsh_pairs,
         "ivf_topk": q_ivf_topk,
         "ivf_topk_batch": q_ivf_topk_batch,
@@ -2887,6 +2921,7 @@ def oracle_sql():
         "embed_dedup_clusters": _sql_embed_dedup_clusters(),
         "label_centroids": SQL_LABEL_CENTROIDS,
         "kmeans": _sql_kmeans(),
+        "kmeans_purity": _sql_kmeans(purity=True),
         "cosine_lsh_pairs": _sql_cosine_lsh(),
         "ivf_topk": _sql_ivf_topk(),
         "ivf_topk_batch": _sql_ivf_topk_batch(),
