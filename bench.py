@@ -123,6 +123,27 @@ def run_bench() -> dict:
 
     timings: dict[str, float] = {"cdc_ingest": round(cdc_sec, 3)}
 
+    if "--cdc-only" not in sys.argv:
+        # MOR variant (round-3 session 4): the same WAL applied in two
+        # epochs with write_mode='mor' — epoch 2 appends delta runs
+        # instead of rewriting slots. One run (headline stays
+        # cdc_ingest); write-amplification evidence is the
+        # deterministic bytes probe in BASELINE.md, this entry tracks
+        # the wall-time of the delta path.
+        half_dir = os.path.join(BENCH_TMP, f"wal-half-{NUM_CPUS}")
+        if not os.path.isdir(half_dir):
+            os.makedirs(half_dir)
+            segs = sorted(_glob.glob(os.path.join(wal, "seg-*.parquet")))
+            for s in segs[: len(segs) // 2]:
+                os.link(s, os.path.join(half_dir, os.path.basename(s)))
+        mor_cfg = CDCConfig(num_partitions=64, salt=8, write_mode="mor")
+        mor_root = os.path.join(BENCH_TMP, f"table-mor-{NUM_CPUS}")
+        shutil.rmtree(mor_root, ignore_errors=True)
+        t0 = time.perf_counter()
+        run_ingest(half_dir, mor_root, mor_cfg)
+        run_ingest(wal, mor_root, mor_cfg)
+        timings["mor_ingest"] = round(time.perf_counter() - t0, 3)
+
     if "--cdc-only" in sys.argv:
         result = {
             "metric": "cdc_ingest",
