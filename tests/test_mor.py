@@ -252,3 +252,40 @@ def test_mor_replay_is_noop(ray_session, tmp_path, log):
     res = run_ingest(dirs[-1], root, CDCConfig(num_partitions=8, write_mode="mor"))
     assert res.skipped
     assert load_manifest(root) == m1
+
+
+def test_mixed_cow_mor_epochs(ray_session, tmp_path, log):
+    """COW and MOR epochs interleave freely on one table: a COW epoch
+    rewrites its touched slots fully merged (collapsing their delta
+    runs), untouched slots keep their runs, and the final state always
+    equals the replay oracle."""
+    dirs = split_wal(tmp_path, log, 4)
+    root = str(tmp_path / "t")
+    for d, mode in zip(dirs, ["cow", "mor", "cow", "mor"]):
+        run_ingest(d, root, CDCConfig(num_partitions=8, write_mode=mode))
+    check_equal(root, log)
+
+
+def test_mor_read_with_column_pruning(ray_session, tmp_path, log):
+    """read_transcripts(columns=...) on a MOR table returns the same
+    pruned view as the full read (the slot merge reads only key/order
+    + requested columns)."""
+    from wprdc_etl_ray.pipelines.cdc import read_transcripts
+
+    dirs = split_wal(tmp_path, log, 3)
+    root = str(tmp_path / "t")
+    ingest_epochs(dirs, root, write_mode="mor")
+    full = (
+        read_transcripts(root)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    pruned = (
+        read_transcripts(root, columns=["conv_id", "turn_idx", "role"])
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert list(pruned.columns) == ["conv_id", "turn_idx", "role"]
+    assert pruned.equals(full[["conv_id", "turn_idx", "role"]])

@@ -1265,10 +1265,22 @@ def read_transcripts(
         batch = normalize_batch(batch, target)
         return batch.select(want)
 
+    # the slot merge needs only key/order/internal columns + what the
+    # caller asked for — prune the run reads to that (a 2-column scan
+    # of a wide MOR table should not page in the payload)
+    need = list(
+        dict.fromkeys(
+            list(KEY_COLUMNS) + ["ts", "_offset", "_deleted"] + list(want)
+        )
+    )
+
     def merge_slot(batch: pa.Table) -> pa.Table:
         outs = []
         for paths_json in batch.column("paths").to_pylist():
-            runs = [pq.read_table(p) for p in _json.loads(paths_json)]
+            runs = []
+            for p in _json.loads(paths_json):
+                avail = [c for c in need if c in pq.read_schema(p).names]
+                runs.append(pq.read_table(p, columns=avail))
             merged = merge_with_snapshot(snapshot_as_events_multi(runs), None)
             outs.append(clean(merged))
         return pa.concat_tables(outs) if len(outs) > 1 else outs[0]
