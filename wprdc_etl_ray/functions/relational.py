@@ -1032,3 +1032,85 @@ def table_profile(ds: ray.data.Dataset, columns: list[str]) -> ray.data.Dataset:
     out["n_distinct"] = out["n_distinct"].fillna(0)
     out = out.astype({"n": "int64", "nulls": "int64", "n_distinct": "int64"})
     return ray.data.from_pandas(out)
+
+
+def rollup_agg(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    specs: list[tuple[str, str, str]],
+) -> ray.data.Dataset:
+    """GROUP BY ROLLUP(keys): every prefix granularity in one logical
+    pass — (k1..kn), (k1..kn-1), …, () — with rolled-up key columns
+    NULL and ``lvl`` = SQL ``GROUPING_ID`` (bitmask, leftmost key most
+    significant).
+
+    Scale shape: the input is aggregated ONCE at the finest level
+    (``grouped_agg`` — partial pre-agg combiner, one shuffle); every
+    coarser level re-aggregates the FINEST RESULT (cardinality =
+    distinct key tuples, not input rows), each a further tiny
+    grouped_agg — the input is never rescanned, exactly how a
+    warehouse computes ROLLUP. Sums/counts/mins/maxes compose; derive
+    averages downstream from sum+count.
+
+    Caveat (same as SQL): NULL key VALUES in the data are
+    indistinguishable from rolled-up NULLs except via ``lvl``."""
+    for _, op, _ in specs:
+        if op not in ("sum", "count", "min", "max"):
+            raise ValueError(f"rollup cannot compose op {op!r}")
+    finest = grouped_agg(ds, keys, specs)
+    # coarser levels re-aggregate the previous level's ALIAS columns
+    composed = [
+        (alias, "sum" if op in ("sum", "count") else op, alias)
+        for _, op, alias in specs
+    ]
+    aliases = [alias for _, _, alias in specs]
+
+    def widen(level_keys: list[str], lvl: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            cols: dict = {}
+            for k in keys:
+                if k in level_keys:
+                    cols[k] = batch.column(k)
+                else:
+                    cols[k] = pa.nulls(batch.num_rows, finest_schema.field(k).type)
+            for a in aliases:
+                cols[a] = batch.column(a)
+            cols["lvl"] = pa.array([lvl] * batch.num_rows, pa.int64())
+            return pa.table(cols)
+
+        return fn
+
+    finest_schema = None
+    levels = []
+    prev = finest
+    for i in range(len(keys), -1, -1):
+        level_keys = keys[:i]
+        lvl = sum(1 << (len(keys) - 1 - j) for j in range(i, len(keys)))
+        if i == len(keys):
+            cur = finest
+        elif i == 0:
+            # global aggregate: single row, no groupby needed
+            import ray.data as _rd
+
+            from ray.data.aggregate import Max as _Max
+            from ray.data.aggregate import Min as _Min
+            from ray.data.aggregate import Sum as _Sum
+
+            aggs = []
+            for src, op, alias in composed:
+                cls = {"sum": _Sum, "min": _Min, "max": _Max}[op]
+                aggs.append(cls(src, alias_name=alias))
+            row = prev.aggregate(*aggs)
+            cur = _rd.from_items([row])
+        else:
+            cur = grouped_agg(prev, level_keys, composed)
+        if finest_schema is None:
+            from ..schema import dataset_schema
+
+            finest_schema = dataset_schema(finest)
+        levels.append(cur.map_batches(widen(level_keys, lvl), batch_format="pyarrow"))
+        prev = cur
+    out = levels[0]
+    for other in levels[1:]:
+        out = out.union(other)
+    return out

@@ -671,6 +671,47 @@ FROM orders JOIN customer ON o_custkey = c_custkey
 """
 
 
+def q_priority_rollup(sf_dir: str):
+    """Multi-granularity aggregate in one logical pass: GROUP BY
+    ROLLUP(o_orderpriority, o_orderstatus) — the finest level is the
+    only aggregation of the INPUT (partial pre-agg + one shuffle);
+    coarser levels re-aggregate the finest result, never rescanning.
+    Oracle = native ROLLUP + GROUPING_ID."""
+    from ..functions.relational import rollup_agg
+
+    ds = read_table(
+        sf_dir, "orders",
+        columns=["o_orderpriority", "o_orderstatus", "o_totalprice"],
+    ).map_batches(_to_cents_cols(["o_totalprice"]), batch_format="pyarrow")
+    out = rollup_agg(
+        ds,
+        ["o_orderpriority", "o_orderstatus"],
+        [("o_totalprice", "sum", "sum_cents"), ("o_totalprice", "count", "n")],
+    )
+
+    def cast(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderpriority": batch.column("o_orderpriority"),
+                "o_orderstatus": batch.column("o_orderstatus"),
+                "sum_cents": batch.column("sum_cents").cast(pa.int64()),
+                "n": batch.column("n").cast(pa.int64()),
+                "lvl": batch.column("lvl").cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(cast, batch_format="pyarrow")
+
+
+SQL_PRIORITY_ROLLUP = """
+SELECT o_orderpriority, o_orderstatus,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
+       COUNT(*) AS n,
+       GROUPING_ID(o_orderpriority, o_orderstatus) AS lvl
+FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+"""
+
+
 def q_region_revenue(sf_dir: str):
     """Four-table join chain (TPC-H Q5 shape): lineitem ⋈ orders ⋈
     customer partitioned on their keys, nation⋈region folded driver-side
@@ -2814,6 +2855,7 @@ def queries():
         "export_shards": q_export_shards,
         "region_revenue": q_region_revenue,
         "bucketed_join": q_bucketed_join,
+        "priority_rollup": q_priority_rollup,
         "table_profile": q_table_profile,
         "user_event_sequences": q_user_event_sequences,
         "doc_repetition": q_doc_repetition,
@@ -2896,6 +2938,7 @@ def oracle_sql():
         "export_shards": SQL_EXPORT_SHARDS,
         "region_revenue": SQL_REGION_REVENUE,
         "bucketed_join": SQL_BUCKETED_JOIN,
+        "priority_rollup": SQL_PRIORITY_ROLLUP,
         "table_profile": SQL_TABLE_PROFILE,
         "user_event_sequences": SQL_USER_EVENT_SEQUENCES,
         "doc_repetition": SQL_DOC_REPETITION,
