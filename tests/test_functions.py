@@ -1436,3 +1436,30 @@ def test_bucketed_join_layout_mismatch_raises(ray_session, tmp_path):
     bucketed_write(rd.from_pandas(df), b, key="k", n_buckets=8)
     with pytest.raises(ValueError):
         bucketed_join(a, b)
+
+
+def test_pivot_counts_matches_pandas(ray_session):
+    import pandas as pd
+
+    from wprdc_etl_ray.functions.relational import pivot_counts
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame(
+        {
+            "u": rng.integers(0, 20, 500),
+            "t": rng.choice(["a", "b", "c"], 500),
+        }
+    )
+    got = (
+        pivot_counts(rd.from_pandas(df), "u", "t", ["a", "b", "c"])
+        .to_pandas()
+        .sort_values("u")
+        .reset_index(drop=True)
+    )
+    want = (
+        df.pivot_table(index="u", columns="t", aggfunc="size", fill_value=0)
+        .reset_index()
+        .rename_axis(None, axis=1)
+    )
+    for c in ("a", "b", "c"):
+        assert got[c].astype(int).tolist() == want[c].astype(int).tolist()

@@ -1114,3 +1114,40 @@ def rollup_agg(
     for other in levels[1:]:
         out = out.union(other)
     return out
+
+
+def pivot_counts(
+    ds: ray.data.Dataset,
+    index: str,
+    pivot_col: str,
+    values: list[str],
+) -> ray.data.Dataset:
+    """PIVOT: one wide row per ``index`` key with a count column per
+    ``pivot_col`` value (the SQL ``count(*) FILTER (WHERE col = v)``
+    block, or ``PIVOT ... IN (values)``).
+
+    The widening happens BEFORE the shuffle: each input batch reduces to
+    one wide partial row per key present in it (vectorized mask counts),
+    so the single exchange carries (keys-per-batch × batches) narrow
+    int rows — never the event stream — and the final groupby is a
+    plain composable sum. ``values`` must be the closed value list
+    (same contract as SQL PIVOT IN); unlisted values are ignored."""
+    import numpy as np
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = batch.column(index)
+        codes = pc.dictionary_encode(keys)
+        if isinstance(codes, pa.ChunkedArray):
+            codes = codes.combine_chunks()
+        idx = codes.indices.to_numpy(zero_copy_only=False)
+        uniq = codes.dictionary
+        pv = batch.column(pivot_col).to_numpy(zero_copy_only=False)
+        cols: dict = {index: uniq}
+        for v in values:
+            mask = pv == v
+            cnt = np.bincount(idx[mask], minlength=len(uniq)).astype(np.int64)
+            cols[v] = pa.array(cnt, pa.int64())
+        return pa.table(cols)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return grouped_agg(partials, [index], [(v, "sum", v) for v in values])

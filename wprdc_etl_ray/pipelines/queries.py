@@ -671,6 +671,38 @@ FROM orders JOIN customer ON o_custkey = c_custkey
 """
 
 
+def q_event_pivot(sf_dir: str):
+    """PIVOT events to one wide row per user (count column per event
+    type): batch-local widening BEFORE the shuffle, composable sums
+    after. Oracle = the count(*) FILTER block."""
+    from ..functions.relational import pivot_counts
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_type"])
+    out = pivot_counts(
+        ds, "user_id", "event_type",
+        ["click", "error", "purchase", "signup", "view"],
+    )
+
+    def cast(batch: pa.Table) -> pa.Table:
+        cols = {"user_id": batch.column("user_id").cast(pa.int64())}
+        for v in ("click", "error", "purchase", "signup", "view"):
+            cols[v] = batch.column(v).cast(pa.int64())
+        return pa.table(cols)
+
+    return out.map_batches(cast, batch_format="pyarrow")
+
+
+SQL_EVENT_PIVOT = """
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       count(*) FILTER (WHERE event_type = 'click') AS click,
+       count(*) FILTER (WHERE event_type = 'error') AS error,
+       count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+       count(*) FILTER (WHERE event_type = 'signup') AS signup,
+       count(*) FILTER (WHERE event_type = 'view') AS view
+FROM events GROUP BY user_id
+"""
+
+
 def q_priority_rollup(sf_dir: str):
     """Multi-granularity aggregate in one logical pass: GROUP BY
     ROLLUP(o_orderpriority, o_orderstatus) — the finest level is the
@@ -2856,6 +2888,7 @@ def queries():
         "region_revenue": q_region_revenue,
         "bucketed_join": q_bucketed_join,
         "priority_rollup": q_priority_rollup,
+        "event_pivot": q_event_pivot,
         "table_profile": q_table_profile,
         "user_event_sequences": q_user_event_sequences,
         "doc_repetition": q_doc_repetition,
@@ -2939,6 +2972,7 @@ def oracle_sql():
         "region_revenue": SQL_REGION_REVENUE,
         "bucketed_join": SQL_BUCKETED_JOIN,
         "priority_rollup": SQL_PRIORITY_ROLLUP,
+        "event_pivot": SQL_EVENT_PIVOT,
         "table_profile": SQL_TABLE_PROFILE,
         "user_event_sequences": SQL_USER_EVENT_SEQUENCES,
         "doc_repetition": SQL_DOC_REPETITION,
