@@ -1463,3 +1463,29 @@ def test_pivot_counts_matches_pandas(ray_session):
     )
     for c in ("a", "b", "c"):
         assert got[c].astype(int).tolist() == want[c].astype(int).tolist()
+
+
+def test_pagerank_exact_integer_power_iteration(ray_session):
+    """Distributed PageRank == a dense numpy power iteration with the
+    same floor-division algebra; isolated nodes hold the teleport."""
+    from wprdc_etl_ray.functions.graph import pagerank
+
+    pairs = pd.DataFrame({"vec_a": [0, 0, 1, 5], "vec_b": [1, 2, 2, 6]})
+    ids = np.arange(8)  # 7 is fully isolated
+    got = pagerank(rd.from_pandas(pairs), ids, n_iter=3).to_pandas()
+
+    n = len(ids)
+    deg = np.zeros(n, np.int64)
+    adj = np.zeros((n, n), np.int64)
+    for a, b in zip(pairs.vec_a, pairs.vec_b):
+        adj[a, b] = adj[b, a] = 1
+        deg[a] += 1
+        deg[b] += 1
+    t = (15 * 1_000_000 // 100) // n
+    r = np.full(n, 1_000_000 // n, np.int64)
+    for _ in range(3):
+        contrib = np.where(deg > 0, r // np.maximum(deg, 1), 0)
+        s = adj @ contrib
+        r = t + (85 * s) // 100
+    assert got.sort_values("vec_id")["rank_micro"].tolist() == r.tolist()
+    assert got.set_index("vec_id").loc[7, "rank_micro"] == t

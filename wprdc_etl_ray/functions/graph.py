@@ -19,7 +19,9 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
+import ray
 import ray.data
 
 from .relational import bucketed_group_map
@@ -233,4 +235,91 @@ def _cc_join_path(
 
     return labels.map_batches(
         lambda b: b.rename(columns={"lbl": "comp"}), batch_format="pandas"
+    )
+
+
+def pagerank(
+    pairs: ray.data.Dataset,
+    node_ids: "np.ndarray",
+    n_iter: int = 2,
+    scale: int = 1_000_000,
+    damping_pct: int = 85,
+    a_col: str = "vec_a",
+    b_col: str = "vec_b",
+    id_out: str = "vec_id",
+) -> "pa.Table":
+    """PageRank over an undirected pair list (e.g. the near-dup graph) in
+    EXACT integer micro-units — floor-division arithmetic that numpy and
+    SQL reproduce bit-for-bit, so ranks are oracle-checkable.
+
+    r0 = scale // n for every node; each iteration every node sends
+    r // deg to each neighbor and receives
+    t + (damping_pct · Σ incoming) // 100, with teleport
+    t = (100−damping_pct)·scale//100 // n. Isolated nodes hold t.
+
+    Scale shape: the EDGE list stays a Dataset — each iteration is one
+    ``map_batches`` pass emitting per-batch (dst, partial-sum) rows
+    (bincount over the batch, O(nodes-in-batch) out) plus a combiner
+    groupby; the rank/degree vectors are the broadcast small side
+    (O(nodes) ints, the kmeans-centroid pattern writ larger). When the
+    node set itself outgrows a broadcast, substitute a ``hash_join`` of
+    the edge Dataset against a rank Dataset per iteration — same
+    algebra, all pieces in-repo."""
+    import numpy as np
+
+    from .relational import grouped_agg
+
+    ids = np.sort(np.asarray(node_ids, np.int64))
+    n = len(ids)
+    t = ((100 - damping_pct) * scale // 100) // n
+    rank = np.full(n, scale // n, np.int64)
+
+    def sym(batch: pa.Table) -> pa.Table:
+        a = batch.column(a_col).cast(pa.int64())
+        b = batch.column(b_col).cast(pa.int64())
+        return pa.table(
+            {
+                "src": pa.concat_arrays([a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a,
+                                          b.combine_chunks() if isinstance(b, pa.ChunkedArray) else b]),
+                "dst": pa.concat_arrays([b.combine_chunks() if isinstance(b, pa.ChunkedArray) else b,
+                                          a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a]),
+            }
+        )
+
+    edges = pairs.map_batches(sym, batch_format="pyarrow").materialize()
+
+    deg_rows = grouped_agg(edges, ["src"], [("dst", "count", "d")]).take_all()
+    deg = np.zeros(n, np.int64)
+    for r in deg_rows:
+        deg[np.searchsorted(ids, r["src"])] = r["d"]
+
+    for _ in range(n_iter):
+        state = ray.put((ids, rank, deg))
+
+        def contrib(batch: pa.Table) -> pa.Table:
+            ids_, rank_, deg_ = ray.get(state)
+            src = batch.column("src").to_numpy(zero_copy_only=False)
+            dst = batch.column("dst").to_numpy(zero_copy_only=False)
+            si = np.searchsorted(ids_, src)
+            di = np.searchsorted(ids_, dst)
+            c = rank_[si] // deg_[si]
+            s = np.bincount(di, weights=c.astype(np.float64), minlength=len(ids_))
+            live = np.flatnonzero(s)
+            return pa.table(
+                {
+                    "v": pa.array(ids_[live], pa.int64()),
+                    "s": pa.array(s[live].astype(np.int64), pa.int64()),
+                }
+            )
+
+        rows = grouped_agg(
+            edges.map_batches(contrib, batch_format="pyarrow"), ["v"], [("s", "sum", "s")]
+        ).take_all()
+        s = np.zeros(n, np.int64)
+        for r in rows:
+            s[np.searchsorted(ids, r["v"])] = r["s"]
+        rank = t + (damping_pct * s) // 100
+
+    return pa.table(
+        {id_out: pa.array(ids, pa.int64()), "rank_micro": pa.array(rank, pa.int64())}
     )

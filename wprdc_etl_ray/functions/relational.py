@@ -1151,3 +1151,31 @@ def pivot_counts(
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
     return grouped_agg(partials, [index], [(v, "sum", v) for v in values])
+
+
+def melt(
+    ds: ray.data.Dataset,
+    id_cols: list[str],
+    value_cols: list[str],
+    var_name: str = "variable",
+    value_name: str = "value",
+) -> ray.data.Dataset:
+    """UNPIVOT / melt: wide → long, one output row per (input row ×
+    value column). Pure batch-local reshaping (zero shuffle): each
+    batch concatenates len(value_cols) column slices with a constant
+    ``var_name`` label; value columns unify to a common Arrow type."""
+    import pyarrow as _pa
+
+    def fn(batch: pa.Table) -> pa.Table:
+        vt = _pa.unify_schemas(
+            [pa.schema([batch.schema.field(c).with_name(value_name)]) for c in value_cols]
+        ).field(value_name).type
+        outs = []
+        for c in value_cols:
+            cols = {k: batch.column(k) for k in id_cols}
+            cols[var_name] = pa.array([c] * batch.num_rows, pa.string())
+            cols[value_name] = batch.column(c).cast(vt)
+            outs.append(pa.table(cols))
+        return pa.concat_tables(outs)
+
+    return ds.map_batches(fn, batch_format="pyarrow")

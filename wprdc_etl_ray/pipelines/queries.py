@@ -703,6 +703,26 @@ FROM events GROUP BY user_id
 """
 
 
+def q_event_melt(sf_dir: str):
+    """UNPIVOT composition: the wide per-user pivot melted back to long
+    (user_id, variable, value) — wide→long is batch-local, no shuffle.
+    Oracle = native UNPIVOT over the FILTER-block pivot."""
+    from ..functions.relational import melt
+
+    wide = q_event_pivot(sf_dir)
+    return melt(
+        wide, ["user_id"],
+        ["click", "error", "purchase", "signup", "view"],
+    )
+
+
+SQL_EVENT_MELT = f"""
+WITH wide AS ({SQL_EVENT_PIVOT})
+SELECT user_id, variable, value
+FROM wide UNPIVOT (value FOR variable IN (click, error, purchase, signup, view))
+"""
+
+
 def q_priority_rollup(sf_dir: str):
     """Multi-granularity aggregate in one logical pass: GROUP BY
     ROLLUP(o_orderpriority, o_orderstatus) — the finest level is the
@@ -2529,6 +2549,55 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 """
 
 
+def q_pagerank(sf_dir: str):
+    """PageRank over the embedding near-dup graph (canonical-doc
+    scoring for dedup clusters): exact block-pair cosine pairs as
+    edges, 2 power iterations in exact integer micro-units — edge list
+    stays a Dataset (per-batch bincount partials + combiner groupby per
+    iteration), rank vector is the broadcast small side. Oracle = the
+    same floor-division algebra as chained CTEs."""
+    import pyarrow.parquet as _pq
+
+    from ..functions.graph import pagerank
+    from ..functions.similarity import blocked_near_dup_pairs
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    pairs = blocked_near_dup_pairs(emb, threshold=0.2)
+    ids = _pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id"]
+    ).column("vec_id").to_numpy(zero_copy_only=False)
+    return pagerank(pairs, ids, n_iter=2)
+
+
+def _sql_pagerank(n_iter: int = 2) -> str:
+    ctes = [
+        """pairs AS (
+  SELECT CAST(a.vec_id AS BIGINT) AS va, CAST(b.vec_id AS BIGINT) AS vb
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[])) >= 0.2)""",
+        "edges AS (SELECT va AS src, vb AS dst FROM pairs"
+        " UNION ALL SELECT vb, va FROM pairs)",
+        "nodes AS (SELECT CAST(vec_id AS BIGINT) AS v FROM embeddings)",
+        "deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src)",
+        "r0 AS (SELECT v, CAST(1000000 // (SELECT count(*) FROM nodes)"
+        " AS BIGINT) AS r FROM nodes)",
+    ]
+    for i in range(1, n_iter + 1):
+        ctes += [
+            f"c{i} AS (SELECT e.dst AS v, SUM(r{i-1}.r // deg.d) AS s"
+            f" FROM edges e JOIN r{i-1} ON r{i-1}.v = e.src"
+            f" JOIN deg ON deg.src = e.src GROUP BY e.dst)",
+            f"r{i} AS (SELECT n.v, CAST((150000 // (SELECT count(*) FROM nodes))"
+            f" + (85 * COALESCE(c{i}.s, 0)) // 100 AS BIGINT) AS r"
+            f" FROM nodes n LEFT JOIN c{i} ON c{i}.v = n.v)",
+        ]
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT v AS vec_id, r AS rank_micro FROM r{n_iter}"
+    )
+
+
 def q_label_centroids(sf_dir: str):
     """Per-label embedding centroid (k-means/IVF building block) in
     exact integer micro-units: quantize per element, integer-sum via a
@@ -2889,6 +2958,7 @@ def queries():
         "bucketed_join": q_bucketed_join,
         "priority_rollup": q_priority_rollup,
         "event_pivot": q_event_pivot,
+        "event_melt": q_event_melt,
         "table_profile": q_table_profile,
         "user_event_sequences": q_user_event_sequences,
         "doc_repetition": q_doc_repetition,
@@ -2913,6 +2983,7 @@ def queries():
         "embedding_near_dups": q_embedding_near_dups,
         "embed_dedup_clusters": q_embed_dedup_clusters,
         "label_centroids": q_label_centroids,
+        "pagerank": q_pagerank,
         "kmeans": q_kmeans,
         "kmeans_purity": q_kmeans_purity,
         "cosine_lsh_pairs": q_cosine_lsh_pairs,
@@ -2973,6 +3044,7 @@ def oracle_sql():
         "bucketed_join": SQL_BUCKETED_JOIN,
         "priority_rollup": SQL_PRIORITY_ROLLUP,
         "event_pivot": SQL_EVENT_PIVOT,
+        "event_melt": SQL_EVENT_MELT,
         "table_profile": SQL_TABLE_PROFILE,
         "user_event_sequences": SQL_USER_EVENT_SEQUENCES,
         "doc_repetition": SQL_DOC_REPETITION,
@@ -2997,6 +3069,7 @@ def oracle_sql():
         "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
         "embed_dedup_clusters": _sql_embed_dedup_clusters(),
         "label_centroids": SQL_LABEL_CENTROIDS,
+        "pagerank": _sql_pagerank(),
         "kmeans": _sql_kmeans(),
         "kmeans_purity": _sql_kmeans(purity=True),
         "cosine_lsh_pairs": _sql_cosine_lsh(),
