@@ -289,3 +289,18 @@ def test_mor_read_with_column_pruning(ray_session, tmp_path, log):
     )
     assert list(pruned.columns) == ["conv_id", "turn_idx", "role"]
     assert pruned.equals(full[["conv_id", "turn_idx", "role"]])
+
+
+def test_vacuum_keeps_live_mor_runs(ray_session, tmp_path, log):
+    """Aggressive vacuum must never delete delta runs the CURRENT
+    manifest still references (they are old-epoch files, but live)."""
+    from wprdc_etl_ray.pipelines.cdc import vacuum
+
+    dirs = split_wal(tmp_path, log, 3)
+    root = str(tmp_path / "t")
+    ingest_epochs(dirs, root, write_mode="mor")
+    before = read_transcripts_arrow(root)
+    res = vacuum(root, keep_epochs=1)
+    after = read_transcripts_arrow(root)
+    assert after.equals(before)
+    check_equal(root, log)

@@ -1057,7 +1057,10 @@ def rollup_agg(
     for _, op, _ in specs:
         if op not in ("sum", "count", "min", "max"):
             raise ValueError(f"rollup cannot compose op {op!r}")
-    finest = grouped_agg(ds, keys, specs)
+    # materialize: each level consumes the previous one twice (derive +
+    # widen) and Ray re-executes lazy upstreams per consumption — pin
+    # the small finest result so the INPUT is scanned exactly once
+    finest = grouped_agg(ds, keys, specs).materialize()
     # coarser levels re-aggregate the previous level's ALIAS columns
     composed = [
         (alias, "sum" if op in ("sum", "count") else op, alias)
@@ -1179,3 +1182,66 @@ def melt(
         return pa.concat_tables(outs)
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def cube_agg(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    specs: list[tuple[str, str, str]],
+) -> ray.data.Dataset:
+    """GROUP BY CUBE(keys): all 2^k granularities. Like
+    :func:`rollup_agg`, the input is aggregated ONCE at the finest
+    level; every other subset re-aggregates the finest result (distinct
+    key tuples, not input rows). ``lvl`` mirrors SQL ``GROUPING_ID``."""
+    for _, op, _ in specs:
+        if op not in ("sum", "count", "min", "max"):
+            raise ValueError(f"cube cannot compose op {op!r}")
+    # 2^k-1 subsets all derive from finest: materialize it (small —
+    # distinct key tuples) so the input is scanned exactly once
+    finest = grouped_agg(ds, keys, specs).materialize()
+    composed = [
+        (alias, "sum" if op in ("sum", "count") else op, alias)
+        for _, op, alias in specs
+    ]
+    aliases = [alias for _, _, alias in specs]
+    from ..schema import dataset_schema
+
+    fschema = dataset_schema(finest)
+
+    def widen(level_keys: list[str], lvl: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            cols: dict = {}
+            for k in keys:
+                if k in level_keys:
+                    cols[k] = batch.column(k)
+                else:
+                    cols[k] = pa.nulls(batch.num_rows, fschema.field(k).type)
+            for a in aliases:
+                cols[a] = batch.column(a)
+            cols["lvl"] = pa.array([lvl] * batch.num_rows, pa.int64())
+            return pa.table(cols)
+
+        return fn
+
+    out = None
+    for mask in range(1 << len(keys)):
+        level_keys = [k for j, k in enumerate(keys) if not (mask >> (len(keys) - 1 - j)) & 1]
+        if level_keys == keys:
+            cur = finest
+        elif level_keys:
+            cur = grouped_agg(finest, level_keys, composed)
+        else:
+            from ray.data.aggregate import Max as _Max
+            from ray.data.aggregate import Min as _Min
+            from ray.data.aggregate import Sum as _Sum
+
+            import ray.data as _rd
+
+            aggs = [
+                {"sum": _Sum, "min": _Min, "max": _Max}[op](src, alias_name=alias)
+                for src, op, alias in composed
+            ]
+            cur = _rd.from_items([finest.aggregate(*aggs)])
+        wide = cur.map_batches(widen(level_keys, mask), batch_format="pyarrow")
+        out = wide if out is None else out.union(wide)
+    return out

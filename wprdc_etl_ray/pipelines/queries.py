@@ -764,6 +764,45 @@ FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
 """
 
 
+def q_priority_cube(sf_dir: str):
+    """GROUP BY CUBE: all four granularities of (priority, status) from
+    ONE aggregation of the input (subsets derive from the materialized
+    finest level). Oracle = native CUBE + GROUPING_ID."""
+    from ..functions.relational import cube_agg
+
+    ds = read_table(
+        sf_dir, "orders",
+        columns=["o_orderpriority", "o_orderstatus", "o_totalprice"],
+    ).map_batches(_to_cents_cols(["o_totalprice"]), batch_format="pyarrow")
+    out = cube_agg(
+        ds,
+        ["o_orderpriority", "o_orderstatus"],
+        [("o_totalprice", "sum", "sum_cents"), ("o_totalprice", "count", "n")],
+    )
+
+    def cast(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderpriority": batch.column("o_orderpriority"),
+                "o_orderstatus": batch.column("o_orderstatus"),
+                "sum_cents": batch.column("sum_cents").cast(pa.int64()),
+                "n": batch.column("n").cast(pa.int64()),
+                "lvl": batch.column("lvl").cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(cast, batch_format="pyarrow")
+
+
+SQL_PRIORITY_CUBE = """
+SELECT o_orderpriority, o_orderstatus,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
+       COUNT(*) AS n,
+       GROUPING_ID(o_orderpriority, o_orderstatus) AS lvl
+FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)
+"""
+
+
 def q_region_revenue(sf_dir: str):
     """Four-table join chain (TPC-H Q5 shape): lineitem ⋈ orders ⋈
     customer partitioned on their keys, nation⋈region folded driver-side
@@ -2957,6 +2996,7 @@ def queries():
         "region_revenue": q_region_revenue,
         "bucketed_join": q_bucketed_join,
         "priority_rollup": q_priority_rollup,
+        "priority_cube": q_priority_cube,
         "event_pivot": q_event_pivot,
         "event_melt": q_event_melt,
         "table_profile": q_table_profile,
@@ -3043,6 +3083,7 @@ def oracle_sql():
         "region_revenue": SQL_REGION_REVENUE,
         "bucketed_join": SQL_BUCKETED_JOIN,
         "priority_rollup": SQL_PRIORITY_ROLLUP,
+        "priority_cube": SQL_PRIORITY_CUBE,
         "event_pivot": SQL_EVENT_PIVOT,
         "event_melt": SQL_EVENT_MELT,
         "table_profile": SQL_TABLE_PROFILE,
