@@ -188,6 +188,39 @@ def _cdc_mor_root(sf_dir: str) -> str:
     return root
 
 
+def q_tool_index(sf_dir: str):
+    """CDF-maintained secondary index: the inverted (tool → conv_id,
+    n_turns) map over the two-epoch table — built at first call,
+    incrementally refreshed from the pre/post-image change feed after
+    (pipelines/index.py). Returns the FULL index content so the oracle
+    verifies every pair, not a point probe."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    from .index import refresh_index, _index_dir
+
+    root = _cdc_cf_root(sf_dir)
+    refresh_index(root, "tool")  # build on first call; no-op after
+    files = sorted(_glob.glob(os.path.join(_index_dir(root, "tool"), "bucket-*.parquet")))
+    t = pa.concat_tables([_pq.read_table(f) for f in files])
+    return t.sort_by([("value", "ascending"), ("conv_id", "ascending")])
+
+
+def _sql_tool_index() -> str:
+    wal = cdc_wal_dir("/root/testdata/sf0.01")  # driver compares at sf0.01
+    glob_path = os.path.join(wal, "seg-*.parquet")
+    return f"""
+WITH ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+            ORDER BY ts DESC, "offset" DESC) AS rn
+  FROM read_parquet('{glob_path}', union_by_name=true))
+SELECT tool AS value, conv_id, count(*) AS n_turns
+FROM ranked WHERE rn = 1 AND op <> 'delete' AND tool IS NOT NULL
+GROUP BY tool, conv_id
+"""
+
+
 def q_cdc_merge(sf_dir: str):
     """MERGE INTO: a source Dataset derived from the epoch-1 table via
     time travel (upper-cased upserts on turn%10==0, deletes on ==1,
@@ -2951,6 +2984,7 @@ def queries():
         "cdc_turn_counts": q_cdc_turn_counts,
         "cdc_mor": q_cdc_mor,
         "cdc_merge": q_cdc_merge,
+        "tool_index": q_tool_index,
         "cdc_changes": q_cdc_changes,
         "cdc_incremental_view": q_cdc_incremental_view,
         "conv_role_quality": q_conv_role_quality,
@@ -3038,6 +3072,7 @@ def oracle_sql():
         "cdc_turn_counts": _cdc_turn_counts_sql(),
         "cdc_mor": _cdc_oracle_sql(),
         "cdc_merge": _cdc_merge_sql(),
+        "tool_index": _sql_tool_index(),
         "cdc_changes": _cdc_changes_sql(),
         "cdc_incremental_view": _cdc_incremental_view_sql(),
         "conv_role_quality": _conv_role_quality_sql(),
