@@ -1376,6 +1376,50 @@ FROM toks
 """.replace("{stop}", "[" + ",".join(f"'{w}'" for w in _STOPWORDS) + "]")
 
 
+def q_quality_filter(sf_dir: str):
+    """The C4/Gopher-style combined pretraining filter: language-ID +
+    repetition + length rules evaluated in ONE batch pass over the
+    corpus (all three kernels are batch-local — single scan, zero
+    shuffle), emitting keep + a reason bitmask per document. Oracle
+    composes the three per-signal SQLs and applies identical rules."""
+    from ..functions.text import LangId, repetition_stats
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    lang_kernel = LangId()
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        li = lang_kernel(batch)
+        rep = repetition_stats(batch)
+        bits = (
+            (li["lang_pred"].to_numpy() != "en").astype("int64") * 1
+            + (rep["dup_word_ratio"].to_numpy() > 600_000).astype("int64") * 2
+            + (rep["n_tokens"].to_numpy() < 20).astype("int64") * 4
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype("int64"),
+                "keep": (bits == 0).astype("int64"),
+                "reasons": bits,
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def _sql_quality_filter() -> str:
+    return f"""
+WITH l AS (SELECT * FROM ({_sql_lang_id()})),
+r AS (SELECT * FROM ({SQL_DOC_REPETITION}))
+SELECT l.doc_id,
+       CAST(CASE WHEN l.lang_pred = 'en' AND r.dup_word_ratio <= 600000
+                  AND r.n_tokens >= 20 THEN 1 ELSE 0 END AS BIGINT) AS keep,
+       CAST((CASE WHEN l.lang_pred <> 'en' THEN 1 ELSE 0 END)
+          + (CASE WHEN r.dup_word_ratio > 600000 THEN 2 ELSE 0 END)
+          + (CASE WHEN r.n_tokens < 20 THEN 4 ELSE 0 END) AS BIGINT) AS reasons
+FROM l JOIN r ON l.doc_id = r.doc_id
+"""
+
+
 def q_bpe_tokens(sf_dir: str):
     """BPE-ish token counting — RE2 regex kernels in pure Arrow."""
     from ..functions.text import bpe_token_stats
@@ -2552,6 +2596,45 @@ FROM reach GROUP BY n
 """
 
 
+def q_dedup_corpus(sf_dir: str):
+    """Dedup APPLIED: the corpus with non-canonical near-dup cluster
+    members removed — pairs → connected components → drop-list
+    broadcast (duplicate members only, a tiny fraction of the corpus)
+    → streamed filter. The end-to-end 'give me the deduplicated
+    training set' pipeline."""
+    import numpy as np
+
+    from ..functions.dedup import minhash_near_dups
+    from ..functions.graph import connected_components
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    cc = connected_components(minhash_near_dups(ds, threshold_micro=800_000))
+    cdf = cc.to_pandas()
+    drop = np.sort(cdf.loc[cdf["node"] != cdf["comp"], "node"].to_numpy("int64"))
+    dref = ray.put(drop)
+
+    corpus = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        d = ray.get(dref)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        mask = ~_np.isin(ids, d)
+        return batch.filter(pa.array(mask))
+
+    return corpus.map_batches(keep, batch_format="pyarrow")
+
+
+def _sql_dedup_corpus() -> str:
+    return f"""
+WITH clusters AS (SELECT * FROM ({_sql_dedup_clusters()}))
+SELECT d.doc_id, d.n_chars FROM documents d
+WHERE d.doc_id NOT IN (
+  SELECT doc_id FROM clusters WHERE doc_id <> canonical_id)
+"""
+
+
 def q_embed_dedup_clusters(sf_dir: str):
     """Semantic (embedding-cosine) dedup end-to-end: exact block-pair
     cosine-threshold pairs → distributed connected components →
@@ -3010,6 +3093,7 @@ def queries():
         "bpe_tokens": q_bpe_tokens,
         "event_windows_sliding": q_event_windows_sliding,
         "quality_score": q_quality,
+        "quality_filter": q_quality_filter,
         "corpus_freq": q_corpus_freq,
         "corpus_freq_join": q_corpus_freq_join,
         "lang_source_stats": q_lang_source_stats,
@@ -3052,6 +3136,7 @@ def queries():
         "minhash_pairs": q_minhash_pairs,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_corpus": q_dedup_corpus,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
         "embedding_near_dups": q_embedding_near_dups,
@@ -3098,6 +3183,7 @@ def oracle_sql():
         "bpe_tokens": SQL_BPE_TOKENS,
         "event_windows_sliding": SQL_EVENT_WINDOWS_SLIDING,
         "quality_score": SQL_QUALITY,
+        "quality_filter": _sql_quality_filter(),
         "corpus_freq": SQL_CORPUS_FREQ,
         "corpus_freq_join": SQL_CORPUS_FREQ,
         "lang_source_stats": SQL_LANG_SOURCE_STATS,
@@ -3142,6 +3228,7 @@ def oracle_sql():
         "minhash_pairs": SQL_MINHASH_PAIRS,
         "ngram_jaccard": SQL_MINHASH_PAIRS,  # same exact-Jaccard semantics
         "dedup_clusters": _sql_dedup_clusters(),
+        "dedup_corpus": _sql_dedup_corpus(),
         "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
         "embed_dedup_clusters": _sql_embed_dedup_clusters(),
         "label_centroids": SQL_LABEL_CENTROIDS,
