@@ -13,6 +13,7 @@ Commands:
   query    <name> [--sf-dir D]            run any operator pipeline ('list' to enumerate)
   clone    <src_root> <dst_root> [--epoch E]  shallow clone (hardlinked, zero-copy)
   repartition <table_root> --partitions B [--salt S]  hash-layout migration
+  index    build|refresh|lookup <table_root> <column> [--value V]  secondary index
   changes  <table_root> --from E [...]    change-data-feed between epochs
   vacuum   <table_root> [--keep-epochs N] reclaim unreferenced data files
 
@@ -241,6 +242,21 @@ def cmd_clone(args):
                       "partitions": len(m["partitions"])}))
 
 
+def cmd_index(args):
+    _ray()
+    from .pipelines.index import build_index, index_lookup, refresh_index
+
+    if args.action == "build":
+        print(json.dumps(build_index(args.table_root, args.column)))
+    elif args.action == "refresh":
+        print(json.dumps(refresh_index(args.table_root, args.column)))
+    else:  # lookup
+        if args.value is None:
+            print(json.dumps({"error": "--value required for lookup"}))
+            sys.exit(1)
+        print(json.dumps(index_lookup(args.table_root, args.column, args.value)))
+
+
 def cmd_changes(args):
     """Change feed between two committed epochs as JSON lines."""
     _ray()
@@ -357,6 +373,13 @@ def main(argv=None):
     sp.add_argument("dst_root")
     sp.add_argument("--epoch", type=int, default=None)
     sp.set_defaults(fn=cmd_clone)
+
+    sp = sub.add_parser("index")
+    sp.add_argument("action", choices=["build", "refresh", "lookup"])
+    sp.add_argument("table_root")
+    sp.add_argument("column")
+    sp.add_argument("--value", default=None)
+    sp.set_defaults(fn=cmd_index)
 
     sp = sub.add_parser("changes")
     sp.add_argument("table_root")
