@@ -304,3 +304,28 @@ def test_vacuum_keeps_live_mor_runs(ray_session, tmp_path, log):
     after = read_transcripts_arrow(root)
     assert after.equals(before)
     check_equal(root, log)
+
+
+def test_maintain_service_pass(ray_session, tmp_path, log):
+    """maintain(): compacts a run-heavy MOR table, vacuums old epochs,
+    and never changes what readers see."""
+    from wprdc_etl_ray.pipelines.cdc import maintain
+
+    dirs = split_wal(tmp_path, log, 5)
+    root = str(tmp_path / "t")
+    ingest_epochs(dirs, root, write_mode="mor", mor_compact_runs=0)
+    before = read_transcripts_arrow(root)
+    m = load_manifest(root)
+    assert max(runs_per_slot(m)) > 2
+
+    res = maintain(root, max_runs_per_slot=2, keep_epochs=1)
+    assert res["compacted"] is True
+    assert res["vacuum"] is not None
+    m2 = load_manifest(root)
+    assert max(runs_per_slot(m2)) == 1
+    assert read_transcripts_arrow(root).equals(before)
+    check_equal(root, log)
+
+    # second pass: nothing to compact
+    res2 = maintain(root, max_runs_per_slot=2, keep_epochs=1)
+    assert res2["compacted"] is False

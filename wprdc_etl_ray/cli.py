@@ -14,6 +14,7 @@ Commands:
   clone    <src_root> <dst_root> [--epoch E]  shallow clone (hardlinked, zero-copy)
   repartition <table_root> --partitions B [--salt S]  hash-layout migration
   index    build|refresh|lookup <table_root> <column> [--value V]  secondary index
+  maintain <table_root> [--max-runs N] [--keep-epochs K]  compact-if-needed + vacuum pass
   changes  <table_root> --from E [...]    change-data-feed between epochs
   vacuum   <table_root> [--keep-epochs N] reclaim unreferenced data files
 
@@ -242,6 +243,22 @@ def cmd_clone(args):
                       "partitions": len(m["partitions"])}))
 
 
+def cmd_maintain(args):
+    _ray()
+    from .pipelines.cdc import maintain
+
+    print(
+        json.dumps(
+            maintain(
+                args.table_root,
+                max_runs_per_slot=args.max_runs,
+                keep_epochs=args.keep_epochs,
+                drop_tombstones=args.drop_tombstones,
+            )
+        )
+    )
+
+
 def cmd_index(args):
     _ray()
     from .pipelines.index import build_index, index_lookup, refresh_index
@@ -373,6 +390,13 @@ def main(argv=None):
     sp.add_argument("dst_root")
     sp.add_argument("--epoch", type=int, default=None)
     sp.set_defaults(fn=cmd_clone)
+
+    sp = sub.add_parser("maintain")
+    sp.add_argument("table_root")
+    sp.add_argument("--max-runs", type=int, default=8)
+    sp.add_argument("--keep-epochs", type=int, default=4)
+    sp.add_argument("--drop-tombstones", action="store_true")
+    sp.set_defaults(fn=cmd_maintain)
 
     sp = sub.add_parser("index")
     sp.add_argument("action", choices=["build", "refresh", "lookup"])

@@ -1410,6 +1410,46 @@ def vacuum(table_root: str, keep_epochs: int = 2) -> dict:
     return {"deleted": len(deleted), "bytes": freed, "kept": len(keep)}
 
 
+def maintain(
+    table_root: str,
+    max_runs_per_slot: int = 8,
+    keep_epochs: int = 4,
+    drop_tombstones: bool = False,
+    min_tombstone_ratio: float = 0.3,
+) -> dict:
+    """One table-maintenance pass — the OPTIMIZE/clean service loop an
+    operator schedules (cron / after N tail commits): compact when any
+    slot's run count exceeds ``max_runs_per_slot`` (MOR read-amp bound)
+    or, with ``drop_tombstones``, when a partition's tombstone share
+    crosses ``min_tombstone_ratio``; then vacuum epochs older than
+    ``keep_epochs``. Safe beside writers: compaction goes through the
+    epoch-checked commit (a racing ingest simply wins and the next pass
+    retries), vacuum runs under the commit lock and never touches
+    future-epoch attempt dirs."""
+    manifest = load_manifest(table_root)
+    actions: dict = {"compacted": False, "gc": False, "vacuum": None}
+    if manifest is None or not manifest["partitions"]:
+        return actions
+    worst = 0
+    for e in manifest["partitions"].values():
+        by_salt: dict[int, int] = {}
+        for f in e["files"]:
+            by_salt[f["salt"]] = by_salt.get(f["salt"], 0) + 1
+        worst = max(worst, max(by_salt.values(), default=0))
+    if worst > max_runs_per_slot:
+        compact(table_root)
+        actions["compacted"] = True
+    elif drop_tombstones:
+        res = compact(
+            table_root,
+            drop_tombstones=True,
+            min_tombstone_ratio=min_tombstone_ratio,
+        )
+        actions["gc"] = not res.skipped
+    actions["vacuum"] = vacuum(table_root, keep_epochs=keep_epochs)
+    return actions
+
+
 def repartition_table(
     table_root: str,
     new_partitions: int,
