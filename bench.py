@@ -34,6 +34,25 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_TMP = "/tmp/graft_bench"
 
 
+
+def _host_memcopy_gbps() -> float:
+    """Single-thread DRAM-copy control (GB/s). This VM's co-tenant noise
+    shows up here first (usual ~5; degraded hours read 0.04-0.2), so the
+    committed BENCH JSON carries its own interpretability signal —
+    compare wall-times across rounds ONLY at similar control readings
+    (BASELINE.md harness notes)."""
+    import numpy as _np
+    import time as _time
+
+    a = _np.ones(2 ** 26, dtype=_np.uint8)
+    best = 0.0
+    for _ in range(3):
+        t0 = _time.perf_counter()
+        a.copy()
+        dt = _time.perf_counter() - t0
+        best = max(best, a.nbytes / dt / 1e9)
+    return round(best, 3)
+
 def _sf_of(sf_dir: str) -> float:
     name = os.path.basename(os.path.normpath(sf_dir))
     try:
@@ -154,6 +173,7 @@ def run_bench() -> dict:
             "num_cpus": NUM_CPUS,
             "events": n_events,
             "events_per_sec": round(n_events / cdc_sec, 1),
+            "host_memcopy_gbps": _host_memcopy_gbps(),
         }
         ray.shutdown()
         return result
@@ -183,6 +203,7 @@ def run_bench() -> dict:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "host_memcopy_gbps": _host_memcopy_gbps(),
         "sf": sf,
         "num_cpus": NUM_CPUS,
         "events": n_events,
