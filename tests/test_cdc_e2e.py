@@ -820,3 +820,43 @@ def test_secondary_index_incremental_refresh(ray_session, tmp_path, log):
     assert len(rows) == len(want_rows)
     # refresh with no new epoch is a no-op
     assert refresh_index(ra, "tool")["refreshed"] is False
+
+
+def test_cdf_consumers_invariant_across_repartition(ray_session, tmp_path, log):
+    """A repartition epoch surfaces key MOVES as cancelling
+    delete+insert pairs — the incremental view and the secondary index
+    folded across it must equal from-scratch recomputes."""
+    from wprdc_etl_ray.pipelines.cdc import incremental_conv_stats, repartition_table
+    from wprdc_etl_ray.pipelines.index import build_index, index_lookup, refresh_index
+
+    write_wal(str(tmp_path), log, segment_rows=1000)
+    root = str(tmp_path / "t")
+    run_ingest(str(tmp_path / "wal"), root, CDCConfig(num_partitions=4))
+    build_index(root, "tool")
+    repartition_table(root, new_partitions=16)  # epoch 2, pure move
+
+    # index refreshed THROUGH the repartition == built from scratch
+    refresh_index(root, "tool")
+    oracle = replay_oracle_pandas(log).to_pandas()
+    for tool in sorted(oracle["tool"].dropna().unique())[:4]:
+        want = sorted(oracle[oracle["tool"] == tool]["conv_id"].unique())
+        assert index_lookup(root, "tool", tool) == want
+
+    # incremental view across the repartition epoch == full aggregate
+    view = (
+        incremental_conv_stats(root, from_epoch=1, to_epoch=2)
+        .to_pandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    live = oracle
+    want = (
+        live.assign(chars=live["text"].fillna("").str.len())
+        .groupby("conv_id")
+        .agg(n_turns=("turn_idx", "size"), total_chars=("chars", "sum"))
+        .reset_index()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    assert view["n_turns"].tolist() == want["n_turns"].tolist()
+    assert view["total_chars"].tolist() == want["total_chars"].tolist()

@@ -199,3 +199,30 @@ def test_merge_into_mor_table(ray_session, tmp_path, log):
         assert (c, 1) not in a.index
     # no duplicated keys anywhere (the MOR collapse worked)
     assert not after.duplicated(subset=["conv_id", "turn_idx"]).any()
+
+
+def test_merge_whole_row_semantics(ray_session, tmp_path, log):
+    """An upsert REPLACES the whole row: payload columns the source
+    omits become NULL (documented MERGE contract here — not a partial
+    column update)."""
+    root = base_table(tmp_path, log)
+    before = read_transcripts_arrow(root).to_pandas()
+    hit = before[before["tool"].notna()].iloc[0]
+    src = rd.from_arrow(
+        pa.table(
+            {
+                "conv_id": pa.array([hit["conv_id"]]),
+                "turn_idx": pa.array([int(hit["turn_idx"])], pa.int64()),
+                "text": pa.array(["replaced"]),
+                "ts": pa.array([hit["ts"]], pa.timestamp("us")),
+            }
+        )
+    )
+    merge_into(root, src)
+    after = read_transcripts_arrow(root).to_pandas()
+    row = after[
+        (after.conv_id == hit["conv_id"]) & (after.turn_idx == hit["turn_idx"])
+    ].iloc[0]
+    assert row["text"] == "replaced"
+    assert row["tool"] is None or (isinstance(row["tool"], float) and np.isnan(row["tool"]))
+    assert row["role"] is None or (isinstance(row["role"], float) and np.isnan(row["role"]))

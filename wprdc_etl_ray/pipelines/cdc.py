@@ -1649,9 +1649,18 @@ def table_changes(
     Note: outer-join null-filling upcasts integer PAYLOAD columns to
     float in the diff frame; the transcript payload is all strings +
     timestamp, so nothing here is affected — revisit if integer payload
-    columns are added. Reference analog: wprdc-etl records per-run
-    status rows (pipeline/status.py) but cannot reconstruct deltas;
-    this is the generalization its SQLite status table gestures at."""
+    columns are added.
+
+    Layout-change epochs (``repartition_table``): a key that merely
+    MOVED slots surfaces as a delete (old slot) + insert (new slot)
+    pair carrying identical payloads. Sum-decomposable consumers
+    (incremental views, the secondary index) cancel these exactly, so
+    derived state stays correct across a repartition (tested); raw-feed
+    consumers that treat delete as a business event should not diff
+    across a ``metrics.mode == 'repartition'`` epoch. Reference analog:
+    wprdc-etl records per-run status rows (pipeline/status.py) but
+    cannot reconstruct deltas; this is the generalization its SQLite
+    status table gestures at."""
     import numpy as np
     import pandas as pd
 
