@@ -404,3 +404,164 @@ def test_doc_ngram_rows_match_bruteforce_sets(train, evals, n):
         exp_overlap = len(grams(t) & set().union(*[grams(e) for e in evals]))
         got_overlap = int(np.isin(mine, np.array(sorted(eset), dtype=np.uint64)).sum()) if len(mine) else 0
         assert got_overlap == exp_overlap
+
+
+# --- session-4 operator properties ------------------------------------------
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 6), st.sampled_from(["a", "b", "c"])),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_pivot_melt_roundtrip(rows):
+    """melt(pivot(x)) summed back equals the original (key, value)
+    counts for every input."""
+    import ray.data as rd
+
+    from wprdc_etl_ray.functions.relational import melt, pivot_counts
+
+    df = pd.DataFrame({"u": [r[0] for r in rows], "t": [r[1] for r in rows]})
+    wide = pivot_counts(rd.from_pandas(df), "u", "t", ["a", "b", "c"])
+    long = melt(wide, ["u"], ["a", "b", "c"]).to_pandas()
+    got = (
+        long[long["value"] > 0]
+        .set_index(["u", "variable"])["value"]
+        .sort_index()
+    )
+    want = df.groupby(["u", "t"]).size().sort_index()
+    assert got.astype(int).to_dict() == want.to_dict()
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["p", "q"]),
+            st.sampled_from(["x", "y", "z"]),
+            st.integers(-50, 50),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_rollup_levels_consistent(rows):
+    """Every ROLLUP level equals the corresponding pandas groupby, and
+    the grand total equals the sum of the input."""
+    import ray.data as rd
+
+    from wprdc_etl_ray.functions.relational import rollup_agg
+
+    df = pd.DataFrame(
+        {"a": [r[0] for r in rows], "b": [r[1] for r in rows], "v": [r[2] for r in rows]}
+    )
+    out = rollup_agg(
+        rd.from_pandas(df), ["a", "b"], [("v", "sum", "s"), ("v", "count", "n")]
+    ).to_pandas()
+    lvl0 = out[out.lvl == 0].set_index(["a", "b"])
+    want0 = df.groupby(["a", "b"]).agg(s=("v", "sum"), n=("v", "size"))
+    assert lvl0["s"].astype(int).sort_index().to_dict() == want0["s"].sort_index().to_dict()
+    lvl1 = out[out.lvl == 1].set_index("a")
+    want1 = df.groupby("a").agg(s=("v", "sum"))
+    assert lvl1["s"].astype(int).sort_index().to_dict() == want1["s"].sort_index().to_dict()
+    total = out[out.lvl == 3]
+    assert len(total) == 1
+    assert int(total["s"].iloc[0]) == int(df["v"].sum())
+    assert int(total["n"].iloc[0]) == len(df)
+
+
+_MI_CACHE = {}
+
+
+def _mi_base(tmp_path_factory):
+    """Committed base table built ONCE per session; each property
+    example shallow-clones it (hardlinks — milliseconds) instead of
+    re-ingesting."""
+    if "root" not in _MI_CACHE:
+        from wprdc_etl_ray.gen import generate_change_log, write_wal
+        from wprdc_etl_ray.pipelines.cdc import (
+            CDCConfig,
+            read_transcripts_arrow,
+            run_ingest,
+        )
+
+        tmp = tmp_path_factory.mktemp("mi_base")
+        log = generate_change_log(800, seed=23)
+        write_wal(str(tmp), log, segment_rows=400)
+        root = str(tmp / "t")
+        run_ingest(str(tmp / "wal"), root, CDCConfig(num_partitions=4))
+        _MI_CACHE["root"] = root
+        _MI_CACHE["before"] = read_transcripts_arrow(root).to_pandas()
+        _MI_CACHE["n"] = 0
+    return _MI_CACHE["root"], _MI_CACHE["before"]
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 5),          # conv index (existing keys c0..c5)
+            st.integers(0, 4),          # turn
+            st.sampled_from(["upsert", "delete"]),
+        ),
+        min_size=1,
+        max_size=12,
+        unique_by=lambda t: (t[0], t[1]),
+    )
+)
+def test_merge_into_matches_reference_simulator(tmp_path_factory, actions):
+    """merge_into == a row-by-row pandas simulator for arbitrary
+    unique-keyed action lists over a committed table."""
+    import ray.data as rd
+
+    from wprdc_etl_ray.pipelines.cdc import merge_into, read_transcripts_arrow
+
+    from wprdc_etl_ray.pipelines.cdc import clone_table
+
+    base, before = _mi_base(tmp_path_factory)
+    _MI_CACHE["n"] += 1
+    root = str(tmp_path_factory.mktemp("mi") / f"c{_MI_CACHE['n']}")
+    clone_table(base, root)
+    convs = sorted(before["conv_id"].unique())
+
+    rows = []
+    for ci, turn, act in actions:
+        rows.append(
+            {
+                "conv_id": convs[ci % len(convs)],
+                "turn_idx": int(turn),
+                "role": "m",
+                "text": f"m-{ci}-{turn}",
+                "tool": None,
+                "ts": before["ts"].iloc[0],
+                "_action": act,
+            }
+        )
+    src = pd.DataFrame(rows)
+    src["ts"] = src["ts"].astype("datetime64[us]")
+    merge_into(root, rd.from_pandas(src), job_id=f"prop{len(rows)}")
+    after = read_transcripts_arrow(root).to_pandas()
+
+    # pandas simulator
+    sim = before.set_index(["conv_id", "turn_idx"])
+    for r in rows:
+        k = (r["conv_id"], r["turn_idx"])
+        if r["_action"] == "delete":
+            if k in sim.index:
+                sim = sim.drop(index=[k])
+        else:
+            payload = {c: r.get(c) for c in sim.columns}
+            if k in sim.index:
+                sim.loc[k, list(payload)] = pd.Series(payload)
+            else:
+                add = pd.DataFrame([payload], index=pd.MultiIndex.from_tuples([k], names=["conv_id", "turn_idx"]))
+                sim = pd.concat([sim, add])
+    sim = sim.sort_index().reset_index()
+    got = after.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert len(got) == len(sim)
+    assert got["conv_id"].tolist() == sim["conv_id"].tolist()
+    assert got["turn_idx"].astype(int).tolist() == sim["turn_idx"].astype(int).tolist()
+    assert got["text"].fillna("").tolist() == sim["text"].fillna("").tolist()

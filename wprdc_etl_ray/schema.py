@@ -174,6 +174,10 @@ _WIDENINGS: dict[str, set[str]] = {
 def _can_widen(src: pa.DataType, dst: pa.DataType) -> bool:
     if src.equals(dst):
         return True
+    if pa.types.is_null(src):
+        # an ALL-null column (pandas None column, empty frame) carries
+        # no values to narrow — it casts losslessly to any type
+        return True
     allowed = _WIDENINGS.get(str(dst))
     return allowed is not None and str(src) in allowed
 
