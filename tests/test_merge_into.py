@@ -226,3 +226,31 @@ def test_merge_whole_row_semantics(ray_session, tmp_path, log):
     assert row["text"] == "replaced"
     assert row["tool"] is None or (isinstance(row["tool"], float) and np.isnan(row["tool"]))
     assert row["role"] is None or (isinstance(row["role"], float) and np.isnan(row["role"]))
+
+
+def test_merge_partial_update_cols(ray_session, tmp_path, log):
+    """update_cols = the UPDATE SET clause: matched rows replace only
+    the listed columns, keeping prior values elsewhere; unmatched rows
+    insert the source as-is."""
+    root = base_table(tmp_path, log)
+    before = read_transcripts_arrow(root).to_pandas()
+    hit = before[before["tool"].notna() & (before["turn_idx"] == 0)].iloc[0]
+    src = rd.from_arrow(
+        pa.table(
+            {
+                "conv_id": pa.array([hit["conv_id"], hit["conv_id"]]),
+                "turn_idx": pa.array([0, 88888], pa.int64()),
+                "text": pa.array(["patched", "new-row"]),
+                "ts": pa.array([hit["ts"]] * 2, pa.timestamp("us")),
+            }
+        )
+    )
+    merge_into(root, src, update_cols=["text"])
+    after = read_transcripts_arrow(root).to_pandas()
+    row = after[(after.conv_id == hit["conv_id"]) & (after.turn_idx == 0)].iloc[0]
+    assert row["text"] == "patched"
+    assert row["tool"] == hit["tool"]          # prior value KEPT
+    assert row["role"] == hit["role"]          # prior value KEPT
+    new = after[(after.conv_id == hit["conv_id"]) & (after.turn_idx == 88888)].iloc[0]
+    assert new["text"] == "new-row"
+    assert new["tool"] is None or (isinstance(new["tool"], float))

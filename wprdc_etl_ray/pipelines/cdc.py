@@ -980,12 +980,19 @@ def merge_into(
     source: ray.data.Dataset,
     config: CDCConfig | None = None,
     job_id: str = "merge",
+    update_cols: list[str] | None = None,
 ) -> CommitResult:
     """MERGE INTO: apply a source Dataset of keyed rows to the committed
     table in one atomic epoch — the Delta/Hudi ``MERGE`` shape, distinct
     from WAL ingest in that the source is arbitrary query output, source
     rows win unconditionally when matched (no LWW on ``ts``), and the
     watermark does not move.
+
+    ``update_cols``: the SQL ``UPDATE SET col, …`` clause — when given,
+    a MATCHED upsert replaces only those payload columns and keeps the
+    prior row's values everywhere else (partial update, the common CDC
+    enrichment case); unmatched upserts insert the source row as-is
+    (unlisted columns null). Default None = whole-row replace.
 
     Source schema: the key columns (conv_id, turn_idx), any payload
     columns (new columns widen the table schema — evolution through
@@ -1098,6 +1105,43 @@ def merge_into(
             outs.append(prior.filter(pa.array(keep)))
         ups = src.filter(pa.array(~is_del))
         if ups.num_rows:
+            if update_cols is not None and prior is not None and prior.num_rows:
+                # partial update: matched rows carry prior values for
+                # columns outside the SET list; one prior.take aligns
+                # them (unmatched rows take nulls — plain insert)
+                up_idx = idx[~is_del]
+                up_matched = up_idx >= 0
+                safe = np.where(up_matched, up_idx, 0)
+                aligned = prior.take(pa.array(safe))
+                keep_set = set(update_cols) | set(key_cols)
+                for c in [f.name for f in tgt if f.name not in INTERNAL_COLS]:
+                    if c in keep_set:
+                        continue
+                    prior_col = (
+                        aligned.column(c)
+                        if c in aligned.schema.names
+                        else pa.nulls(ups.num_rows, tgt.field(c).type)
+                    )
+                    src_col = (
+                        ups.column(c).cast(tgt.field(c).type)
+                        if c in ups.schema.names
+                        else pa.nulls(ups.num_rows, tgt.field(c).type)
+                    )
+                    merged_col = pc.if_else(
+                        pa.array(up_matched),
+                        prior_col.combine_chunks()
+                        if isinstance(prior_col, pa.ChunkedArray)
+                        else prior_col,
+                        src_col.combine_chunks()
+                        if isinstance(src_col, pa.ChunkedArray)
+                        else src_col,
+                    )
+                    if c in ups.schema.names:
+                        ups = ups.set_column(
+                            ups.schema.get_field_index(c), c, merged_col
+                        )
+                    else:
+                        ups = ups.append_column(c, merged_col)
             t = ups.append_column(
                 "_offset", pa.array(np.full(ups.num_rows, wm, np.int64), pa.int64())
             ).append_column("_deleted", pa.array(np.zeros(ups.num_rows, bool)))
