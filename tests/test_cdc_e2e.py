@@ -860,3 +860,41 @@ def test_cdf_consumers_invariant_across_repartition(ray_session, tmp_path, log):
     )
     assert view["n_turns"].tolist() == want["n_turns"].tolist()
     assert view["total_chars"].tolist() == want["total_chars"].tolist()
+
+
+def test_read_conversations_batched(ray_session, tmp_path, log):
+    """Batched point reads == per-conversation point reads, over a MOR
+    table (multi-run slots merge inside the task)."""
+    from wprdc_etl_ray.pipelines.cdc import read_conversation, read_conversations
+
+    write_wal(str(tmp_path), log, segment_rows=1000)
+    segs = sorted(glob.glob(str(tmp_path / "wal" / "seg-*.parquet")))
+    w1 = str(tmp_path / "w1")
+    os.makedirs(w1)
+    for s in segs[: len(segs) // 2]:
+        os.link(s, os.path.join(w1, os.path.basename(s)))
+    root = str(tmp_path / "t")
+    run_ingest(w1, root, CDCConfig(num_partitions=8, write_mode="mor"))
+    run_ingest(str(tmp_path / "wal"), root, CDCConfig(num_partitions=8, write_mode="mor"))
+
+    oracle = replay_oracle_pandas(log).to_pandas()
+    convs = sorted(oracle["conv_id"].unique())[:30]
+    got = (
+        read_conversations(root, convs)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    want = (
+        oracle[oracle["conv_id"].isin(convs)]
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert got["conv_id"].tolist() == want["conv_id"].tolist()
+    assert got["text"].fillna("").tolist() == want["text"].fillna("").tolist()
+    # equals the single-point path too
+    one = read_conversation(root, convs[0]).to_pandas()
+    sub = got[got.conv_id == convs[0]].reset_index(drop=True)
+    assert one["text"].fillna("").tolist() == sub["text"].fillna("").tolist()
+    # unknown ids: empty, no error
+    assert read_conversations(root, ["nope-1", "nope-2"]).count() == 0

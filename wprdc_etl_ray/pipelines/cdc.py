@@ -1381,6 +1381,83 @@ def read_conversation(table_root: str, conv_id: str) -> pa.Table:
     return allt.sort_by([("turn_idx", "ascending")])
 
 
+def read_conversations(
+    table_root: str, conv_ids: list[str], columns: list[str] | None = None
+) -> ray.data.Dataset:
+    """Batched point reads: the live rows of MANY conversations, one
+    Ray task per OWNING partition (ids grouped by ``hash(conv_id) % B``
+    first, so each partition's files are read exactly once no matter
+    how many of its conversations were requested — the shape an
+    index-driven fetch needs). Multi-run (MOR) slots LWW-merge inside
+    the task; IO is O(touched partitions), never a table scan."""
+    import json as _json
+
+    from ..stages.partition import partition_of
+
+    manifest = load_manifest(table_root)
+    if manifest is None or not manifest["partitions"] or not conv_ids:
+        return ray.data.from_arrow(
+            pa.table({"conv_id": pa.array([], pa.string())})
+        ).limit(0)
+    B = int(manifest["num_partitions"])
+    parts = partition_of(pa.array(list(conv_ids)), B)
+    by_part: dict[int, list[str]] = {}
+    for c, p in zip(conv_ids, parts):
+        by_part.setdefault(int(p), []).append(c)
+    target = public_schema(manifest)
+    pub = pa.schema([f for f in target if f.name not in INTERNAL_COLS])
+    want = [f.name for f in pub] if columns is None else columns
+
+    items = []
+    for p, convs in sorted(by_part.items()):
+        entry = manifest["partitions"].get(str(p))
+        if not entry:
+            continue
+        by_salt: dict[int, list[str]] = {}
+        for f in entry["files"]:
+            if f.get("rows"):
+                by_salt.setdefault(int(f.get("salt", 0)), []).append(
+                    os.path.join(table_root, f["path"])
+                )
+        items.append(
+            {
+                "convs": _json.dumps(sorted(convs)),
+                "slots": _json.dumps(list(by_salt.values())),
+            }
+        )
+    if not items:
+        return ray.data.from_arrow(pub.empty_table())
+
+    def fetch(batch: pa.Table) -> pa.Table:
+        outs = []
+        for convs_json, slots_json in zip(
+            batch.column("convs").to_pylist(), batch.column("slots").to_pylist()
+        ):
+            convs = pa.array(_json.loads(convs_json), pa.string())
+            for paths in _json.loads(slots_json):
+                runs = []
+                for pth in paths:
+                    t = pq.read_table(pth)
+                    t = t.filter(pc.is_in(t.column("conv_id"), value_set=convs))
+                    runs.append(normalize_batch(t, target))
+                if len(runs) > 1:
+                    merged = merge_with_snapshot(snapshot_as_events_multi(runs), None)
+                    merged = normalize_batch(merged, target)
+                else:
+                    merged = runs[0]
+                merged = merged.filter(
+                    pc.equal(merged.column("_deleted"), False)
+                )
+                outs.append(merged.select(want))
+        if not outs:
+            return pa.schema([target.field(c) for c in want]).empty_table()
+        return pa.concat_tables(outs)
+
+    return ray.data.from_items(items).map_batches(
+        fetch, batch_format="pyarrow", batch_size=1
+    )
+
+
 def read_transcripts_arrow(table_root: str) -> pa.Table:
     """Small-scale convenience: the full committed table, sorted by key."""
     t = read_transcripts(table_root).to_arrow_refs()

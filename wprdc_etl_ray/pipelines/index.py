@@ -186,15 +186,19 @@ def index_lookup(table_root: str, column: str, value: str) -> list[str]:
 
 
 def lookup_rows(table_root: str, column: str, value: str) -> pa.Table:
-    """Index-accelerated point read: bucket file → owning partitions of
-    the matching conversations only → filter to the value."""
-    from .cdc import read_conversation
+    """Index-accelerated point read: ONE bucket file resolves the
+    matching conversations, then ``read_conversations`` fetches them
+    with one parallel task per owning partition (each partition's files
+    read once however many hits it holds) — two bounded reads, never a
+    scan."""
+    import ray as _ray
+
+    from .cdc import read_conversations
 
     convs = index_lookup(table_root, column, value)
-    tables = []
-    for c in convs:
-        t = read_conversation(table_root, c)
-        tables.append(t.filter(pc.equal(t.column(column).cast(pa.string()), value)))
-    if not tables:
+    if not convs:
         return pa.table({})
-    return pa.concat_tables(tables, promote_options="permissive")
+    refs = read_conversations(table_root, convs).to_arrow_refs()
+    tables = [t for t in _ray.get(refs) if t.num_rows]
+    t = pa.concat_tables(tables, promote_options="permissive")
+    return t.filter(pc.equal(t.column(column).cast(pa.string()), value))
