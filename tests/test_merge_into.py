@@ -254,3 +254,39 @@ def test_merge_partial_update_cols(ray_session, tmp_path, log):
     new = after[(after.conv_id == hit["conv_id"]) & (after.turn_idx == 88888)].iloc[0]
     assert new["text"] == "new-row"
     assert new["tool"] is None or (isinstance(new["tool"], float))
+
+
+def test_delete_where_and_update_where(ray_session, tmp_path, log):
+    import pyarrow.compute as pc
+
+    from wprdc_etl_ray.pipelines.cdc import delete_where, update_where
+
+    root = base_table(tmp_path, log)
+    before = read_transcripts_arrow(root).to_pandas()
+    n_tool = before["tool"].notna().sum()
+    assert n_tool > 0
+
+    res = delete_where(root, lambda b: pc.is_valid(b.column("tool")))
+    assert not res.skipped
+    after = read_transcripts_arrow(root).to_pandas()
+    assert after["tool"].notna().sum() == 0
+    assert len(after) == len(before) - n_tool
+
+    res2 = update_where(
+        root,
+        lambda b: pc.equal(b.column("turn_idx"), 0),
+        lambda hit: pa.table({"text": pa.array(["T0"] * hit.num_rows)}),
+        set_cols=["text"],
+    )
+    assert not res2.skipped
+    final = read_transcripts_arrow(root).to_pandas()
+    zero = final[final.turn_idx == 0]
+    assert (zero["text"] == "T0").all()
+    # other columns of updated rows kept (partial update)
+    prev = after[after.turn_idx == 0].sort_values(["conv_id"]).reset_index(drop=True)
+    now = zero.sort_values(["conv_id"]).reset_index(drop=True)
+    assert now["role"].fillna("").tolist() == prev["role"].fillna("").tolist()
+    # non-matching rows untouched
+    rest_a = after[after.turn_idx != 0].sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    rest_b = final[final.turn_idx != 0].sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert rest_a["text"].fillna("").tolist() == rest_b["text"].fillna("").tolist()

@@ -1246,6 +1246,70 @@ def merge_into(
     )
 
 
+def delete_where(
+    table_root: str,
+    predicate,
+    config: CDCConfig | None = None,
+    job_id: str = "delete_where",
+) -> CommitResult:
+    """Bulk ``DELETE FROM … WHERE``: one streamed scan evaluates the
+    predicate (an Arrow-batch → boolean-mask callable) over the live
+    table, and the matching KEYS (never payload) feed a tombstoning
+    MERGE — untouched partitions carry forward, the usual atomic epoch.
+    The retention/TTL/GDPR eraser."""
+    import numpy as np
+
+    def to_keys(batch: pa.Table) -> pa.Table:
+        mask = predicate(batch)
+        if not isinstance(mask, pa.Array):
+            mask = pa.array(np.asarray(mask, bool))
+        hit = batch.filter(mask)
+        return pa.table(
+            {
+                "conv_id": hit.column("conv_id"),
+                "turn_idx": hit.column("turn_idx").cast(pa.int64()),
+                "_action": pa.array(["delete"] * hit.num_rows, pa.string()),
+            }
+        )
+
+    src = read_transcripts(table_root).map_batches(to_keys, batch_format="pyarrow")
+    return merge_into(table_root, src, config=config, job_id=job_id)
+
+
+def update_where(
+    table_root: str,
+    predicate,
+    set_fn,
+    set_cols: list[str],
+    config: CDCConfig | None = None,
+    job_id: str = "update_where",
+) -> CommitResult:
+    """Bulk ``UPDATE … SET cols WHERE``: matching rows stream through
+    ``set_fn`` (Arrow batch → batch with the new ``set_cols`` values)
+    and re-enter as partial-update MERGE upserts — unlisted columns
+    keep their prior values (``merge_into(update_cols=…)``)."""
+    def to_updates(batch: pa.Table) -> pa.Table:
+        mask = predicate(batch)
+        if not isinstance(mask, pa.Array):
+            import numpy as np
+
+            mask = pa.array(np.asarray(mask, bool))
+        hit = batch.filter(mask)
+        new = set_fn(hit)
+        cols = {
+            "conv_id": hit.column("conv_id"),
+            "turn_idx": hit.column("turn_idx").cast(pa.int64()),
+        }
+        for c in set_cols:
+            cols[c] = new.column(c)
+        return pa.table(cols)
+
+    src = read_transcripts(table_root).map_batches(to_updates, batch_format="pyarrow")
+    return merge_into(
+        table_root, src, config=config, job_id=job_id, update_cols=set_cols
+    )
+
+
 def snapshot_as_events_multi(tables: list[pa.Table]) -> pa.Table:
     """Union several snapshot runs (possibly different epochs/schemas)
     back into event form for a re-merge."""

@@ -188,6 +188,38 @@ def _cdc_mor_root(sf_dir: str) -> str:
     return root
 
 
+def q_delete_where(sf_dir: str):
+    """Bulk DELETE FROM … WHERE over a shallow CLONE of the two-epoch
+    table (hardlinked branch — the mutation never touches the shared
+    fixture): every tool-call turn is tombstoned through the MERGE
+    machinery, and the surviving table must equal the replay filtered
+    by the same predicate."""
+    from ..state.manifest import load_manifest
+    from .cdc import clone_table, delete_where, read_transcripts
+
+    base = _cdc_cf_root(sf_dir)
+    root = os.path.join(os.path.dirname(base), "table_del")
+    if load_manifest(root) is None:
+        clone_table(base, root)
+    if load_manifest(root)["epoch"] < 3:  # cf table commits at epoch 2
+        delete_where(root, lambda b: pc.is_valid(b.column("tool")))
+    return read_transcripts(root)
+
+
+def _sql_delete_where() -> str:
+    wal = cdc_wal_dir("/root/testdata/sf0.01")  # driver compares at sf0.01
+    glob_path = os.path.join(wal, "seg-*.parquet")
+    return f"""
+WITH ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+            ORDER BY ts DESC, "offset" DESC) AS rn
+  FROM read_parquet('{glob_path}', union_by_name=true))
+SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, role, text, tool,
+       tool_call_id, tool_args, ts
+FROM ranked WHERE rn = 1 AND op <> 'delete' AND tool IS NULL
+"""
+
+
 def q_tool_index(sf_dir: str):
     """CDF-maintained secondary index: the inverted (tool → conv_id,
     n_turns) map over the two-epoch table — built at first call,
@@ -3068,6 +3100,7 @@ def queries():
         "cdc_mor": q_cdc_mor,
         "cdc_merge": q_cdc_merge,
         "tool_index": q_tool_index,
+        "cdc_delete_where": q_delete_where,
         "cdc_changes": q_cdc_changes,
         "cdc_incremental_view": q_cdc_incremental_view,
         "conv_role_quality": q_conv_role_quality,
@@ -3158,6 +3191,7 @@ def oracle_sql():
         "cdc_mor": _cdc_oracle_sql(),
         "cdc_merge": _cdc_merge_sql(),
         "tool_index": _sql_tool_index(),
+        "cdc_delete_where": _sql_delete_where(),
         "cdc_changes": _cdc_changes_sql(),
         "cdc_incremental_view": _cdc_incremental_view_sql(),
         "conv_role_quality": _conv_role_quality_sql(),
