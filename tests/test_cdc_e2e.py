@@ -898,3 +898,31 @@ def test_read_conversations_batched(ray_session, tmp_path, log):
     assert one["text"].fillna("").tolist() == sub["text"].fillna("").tolist()
     # unknown ids: empty, no error
     assert read_conversations(root, ["nope-1", "nope-2"]).count() == 0
+
+
+def test_epoch_tags(ray_session, tmp_path, log):
+    """Named versions: tag an epoch, read by tag; unknown tags and
+    never-committed epochs raise."""
+    from wprdc_etl_ray.pipelines.cdc import read_transcripts
+    from wprdc_etl_ray.state.manifest import resolve_tag, tag_epoch
+
+    write_wal(str(tmp_path), log, segment_rows=2000)
+    segs = sorted(glob.glob(str(tmp_path / "wal" / "seg-*.parquet")))
+    w1 = str(tmp_path / "w1")
+    os.makedirs(w1)
+    for s in segs[: len(segs) // 2]:
+        os.link(s, os.path.join(w1, os.path.basename(s)))
+    root = str(tmp_path / "t")
+    run_ingest(w1, root, CDCConfig(num_partitions=4))
+    tag_epoch(root, "v1")
+    e1 = read_transcripts(root).to_pandas()
+    run_ingest(str(tmp_path / "wal"), root, CDCConfig(num_partitions=4))
+    assert resolve_tag(root, "v1") == 1
+    tagged = read_transcripts(root, tag="v1").to_pandas()
+    assert len(tagged) == len(e1)
+    cur = read_transcripts(root).to_pandas()
+    assert len(cur) > len(e1)
+    with pytest.raises(KeyError):
+        resolve_tag(root, "nope")
+    with pytest.raises(ValueError):
+        tag_epoch(root, "bad", epoch=99)

@@ -1326,7 +1326,10 @@ def snapshot_as_events_multi(tables: list[pa.Table]) -> pa.Table:
 
 
 def read_transcripts(
-    table_root: str, columns: list[str] | None = None, epoch: int | None = None
+    table_root: str,
+    columns: list[str] | None = None,
+    epoch: int | None = None,
+    tag: str | None = None,
 ) -> ray.data.Dataset:
     """Committed transcripts as a Dataset: manifest-resolved files, tombstones
     filtered, internal columns dropped, per-batch schema normalization so
@@ -1345,6 +1348,10 @@ def read_transcripts(
     handles at ingest."""
     import json as _json
 
+    if tag is not None:
+        from ..state.manifest import resolve_tag
+
+        epoch = resolve_tag(table_root, tag)
     manifest = load_manifest(table_root) if epoch is None else load_epoch_manifest(
         table_root, epoch
     )

@@ -162,3 +162,46 @@ def data_files(manifest: dict) -> list[str]:
         for f in e.get("files", [])
         if f.get("rows")
     ]
+
+
+def tag_epoch(root: str, name: str, epoch: int | None = None) -> dict:
+    """Name a committed epoch (git-tag / Delta version-alias analog):
+    tags live in ``manifest/tags.json`` and pin nothing by themselves —
+    pair with ``vacuum(keep_epochs=…)`` retention so tagged epochs'
+    files survive as long as you need them readable."""
+    import fcntl
+
+    cur = load_manifest(root)
+    if cur is None:
+        raise ValueError(f"no committed table at {root}")
+    e = int(cur["epoch"]) if epoch is None else int(epoch)
+    hist = os.path.join(root, MANIFEST_DIR, f"epoch-{e:06d}.json")
+    if e == 0 or not os.path.exists(hist):
+        raise ValueError(f"epoch {e} was never committed at {root}")
+    mdir = os.path.join(root, MANIFEST_DIR)
+    path = os.path.join(mdir, "tags.json")
+    with open(os.path.join(mdir, ".commit.lock"), "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        tags = {}
+        if os.path.exists(path):
+            with open(path) as f:
+                tags = json.load(f)
+        tags[name] = e
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(tags, f, indent=1)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+    return tags
+
+
+def resolve_tag(root: str, name: str) -> int:
+    path = os.path.join(root, MANIFEST_DIR, "tags.json")
+    if not os.path.exists(path):
+        raise KeyError(f"no tags at {root}")
+    with open(path) as f:
+        tags = json.load(f)
+    if name not in tags:
+        raise KeyError(f"unknown tag {name!r} (have {sorted(tags)})")
+    return int(tags[name])
