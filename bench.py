@@ -261,7 +261,13 @@ def run_tail() -> dict:
         lambda b: b, batch_format="pyarrow"
     ).materialize()
 
-    sess = TailSession(live_wal, root, CDCConfig(num_partitions=64), num_actors=16)
+    write_mode = os.environ.get("GRAFT_TAIL_WRITE_MODE", "cow")
+    sess = TailSession(
+        live_wal,
+        root,
+        CDCConfig(num_partitions=64, write_mode=write_mode),
+        num_actors=16,
+    )
     sess.ready()
     t0 = time.perf_counter()
     applied = 0
@@ -279,6 +285,7 @@ def run_tail() -> dict:
         "unit": "sec",
         "events": n_events,
         "waves": waves,
+        "write_mode": write_mode,
         "num_cpus": NUM_CPUS,
         "events_per_sec": round(n_events / wall, 1),
     }
