@@ -926,3 +926,43 @@ def test_epoch_tags(ray_session, tmp_path, log):
         resolve_tag(root, "nope")
     with pytest.raises(ValueError):
         tag_epoch(root, "bad", epoch=99)
+
+
+def test_restore_table_rewinds_and_replays(ray_session, tmp_path, log):
+    """RESTORE rewinds state AND watermark; a subsequent ingest replays
+    the WAL forward and converges to the full-replay truth."""
+    from wprdc_etl_ray.pipelines.cdc import read_transcripts, restore_table
+    from wprdc_etl_ray.state.manifest import tag_epoch
+
+    write_wal(str(tmp_path), log, segment_rows=1000)
+    segs = sorted(glob.glob(str(tmp_path / "wal" / "seg-*.parquet")))
+    w1 = str(tmp_path / "w1")
+    os.makedirs(w1)
+    for s in segs[: len(segs) // 2]:
+        os.link(s, os.path.join(w1, os.path.basename(s)))
+    root = str(tmp_path / "t")
+    run_ingest(w1, root, CDCConfig(num_partitions=4))
+    tag_epoch(root, "good")
+    e1 = read_transcripts(root).to_pandas()
+    wm1 = load_manifest(root)["global_watermark"]
+
+    run_ingest(str(tmp_path / "wal"), root, CDCConfig(num_partitions=4))  # "bad" epoch 2
+
+    res = restore_table(root, tag="good")
+    assert res.epoch == 3
+    assert res.global_watermark == wm1
+    restored = read_transcripts(root).to_pandas()
+    assert len(restored) == len(e1)
+
+    # replay forward: the undone events re-apply, converging to truth
+    run_ingest(str(tmp_path / "wal"), root, CDCConfig(num_partitions=4))
+    check_equal(root, log)
+
+    # restoring to a vacuumed-away epoch refuses with a clear error
+    from wprdc_etl_ray.errors import InvalidConfigError
+    from wprdc_etl_ray.pipelines.cdc import compact, vacuum
+
+    compact(root)
+    vacuum(root, keep_epochs=1)
+    with pytest.raises(InvalidConfigError):
+        restore_table(root, epoch=1)

@@ -15,6 +15,8 @@ Commands:
   repartition <table_root> --partitions B [--salt S]  hash-layout migration
   index    build|refresh|lookup <table_root> <column> [--value V]  secondary index
   maintain <table_root> [--max-runs N] [--keep-epochs K]  compact-if-needed + vacuum pass
+  tag      <table_root> <name> [--epoch E]  name a committed version
+  restore  <table_root> --epoch E | --tag NAME  rewind state + watermark
   changes  <table_root> --from E [...]    change-data-feed between epochs
   vacuum   <table_root> [--keep-epochs N] reclaim unreferenced data files
 
@@ -243,6 +245,19 @@ def cmd_clone(args):
                       "partitions": len(m["partitions"])}))
 
 
+def cmd_restore(args):
+    from .pipelines.cdc import restore_table
+
+    res = restore_table(args.table_root, epoch=args.epoch, tag=args.tag)
+    print(json.dumps({"epoch": res.epoch, "watermark": res.global_watermark}))
+
+
+def cmd_tag(args):
+    from .state.manifest import tag_epoch
+
+    print(json.dumps(tag_epoch(args.table_root, args.name, epoch=args.epoch)))
+
+
 def cmd_maintain(args):
     _ray()
     from .pipelines.cdc import maintain
@@ -390,6 +405,18 @@ def main(argv=None):
     sp.add_argument("dst_root")
     sp.add_argument("--epoch", type=int, default=None)
     sp.set_defaults(fn=cmd_clone)
+
+    sp = sub.add_parser("restore")
+    sp.add_argument("table_root")
+    sp.add_argument("--epoch", type=int, default=None)
+    sp.add_argument("--tag", default=None)
+    sp.set_defaults(fn=cmd_restore)
+
+    sp = sub.add_parser("tag")
+    sp.add_argument("table_root")
+    sp.add_argument("name")
+    sp.add_argument("--epoch", type=int, default=None)
+    sp.set_defaults(fn=cmd_tag)
 
     sp = sub.add_parser("maintain")
     sp.add_argument("table_root")

@@ -1750,6 +1750,66 @@ def repartition_table(
     )
 
 
+def restore_table(
+    table_root: str, epoch: int | None = None, tag: str | None = None
+) -> CommitResult:
+    """RESTORE (Delta ``RESTORE TABLE … VERSION AS OF`` analog): commit
+    a NEW epoch whose partitions and watermark are a past epoch's —
+    the undo for a bad ingest/merge. No data moves (the old files are
+    re-referenced; they must still exist, i.e. be within the vacuum
+    retention). The watermark REWINDS with the state, so a subsequent
+    ingest replays the WAL from the restore point and converges
+    deterministically — history after the restore point is undone, not
+    merely hidden. Lineage keeps every epoch: the restore itself is a
+    normal manifest flip with ``metrics.mode='restore'``."""
+    if (epoch is None) == (tag is None):
+        raise InvalidConfigError("restore_table needs exactly one of epoch/tag")
+    if tag is not None:
+        from ..state.manifest import resolve_tag
+
+        epoch = resolve_tag(table_root, tag)
+    cur = load_manifest(table_root)
+    if cur is None:
+        raise InvalidConfigError(f"no committed table at {table_root}")
+    target = load_epoch_manifest(table_root, int(epoch))
+    if target is None:
+        raise InvalidConfigError(f"epoch {epoch} was never committed")
+    missing = [
+        f["path"]
+        for e in target["partitions"].values()
+        for f in e["files"]
+        if not os.path.exists(os.path.join(table_root, f["path"]))
+    ]
+    if missing:
+        raise InvalidConfigError(
+            f"cannot restore to epoch {epoch}: {len(missing)} data files "
+            f"vacuumed away (first: {missing[0]}); raise vacuum keep_epochs"
+        )
+    schema = public_schema(target)
+    new_manifest = commit_manifest(
+        table_root,
+        cur,
+        table=target["table"],
+        num_partitions=int(target["num_partitions"]),
+        schema=schema,
+        new_watermark=int(target["global_watermark"]),
+        updated_partitions=dict(target["partitions"]),
+        replace_all=True,
+        metrics={
+            "mode": "restore",
+            "restored_epoch": int(epoch),
+            "salt": target.get("metrics", {}).get("salt", 1),
+        },
+    )
+    return CommitResult(
+        epoch=new_manifest["epoch"],
+        global_watermark=int(target["global_watermark"]),
+        events_read=0,
+        partitions_updated=len(target["partitions"]),
+        manifest=new_manifest,
+    )
+
+
 def clone_table(
     src_root: str, dst_root: str, epoch: int | None = None
 ) -> dict:
