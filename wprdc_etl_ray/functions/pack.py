@@ -434,3 +434,29 @@ def chunk_batch(batch: pd.DataFrame, max_tokens: int, stride: int) -> pd.DataFra
             "n_chunk_tokens": (we - ws).astype(np.int64),
         }
     )
+
+
+def seq_pack_per_key(
+    ds: ray.data.Dataset,
+    key_col: str,
+    order_col: str,
+    token_col: str,
+    budget: int,
+) -> ray.data.Dataset:
+    """Per-group sequence packing: ``bin = exclusive-prefix(tokens
+    within key, by order) // budget`` — packing PER SOURCE/DOMAIN, the
+    shard layout that keeps a training mixture's domains separable
+    (global packing is :func:`seq_pack`). One bucketed exchange on the
+    key; inside a bucket the cumsum is one sort + one grouped
+    ``cumsum`` (C-implemented), no per-key Python."""
+    from .relational import bucketed_group_map
+
+    def per_bucket(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values([key_col, order_col], kind="mergesort")
+        csum = g.groupby(key_col, sort=False)[token_col].cumsum()
+        excl = csum - g[token_col]
+        out = g[[key_col, order_col]].copy()
+        out["bin"] = (excl // budget).astype("int64")
+        return out
+
+    return bucketed_group_map(ds, [key_col], per_bucket)

@@ -1886,6 +1886,53 @@ SELECT doc_id, n_tokens, pre_tokens, pre_tokens // 2048 AS bin FROM s
 """
 
 
+def q_seq_pack_by_source(sf_dir: str):
+    """Per-domain sequence packing: exclusive running token count
+    WITHIN each source, floor-divided by the budget — the shard layout
+    that keeps mixture domains separable. Oracle = the partitioned
+    window sum."""
+    from ..functions.pack import seq_pack_per_key
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "source", "text"])
+    withsrc = ds.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "source": b.column("source"),
+                "n_tokens": pa.array(
+                    pd.Series(b.column("text").to_pandas()).fillna("").str.split().str.len().astype("int64")
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = seq_pack_per_key(withsrc, "source", "doc_id", "n_tokens", budget=2000)
+
+    def cast(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "source": batch["source"],
+                "doc_id": batch["doc_id"].astype("int64"),
+                "bin": batch["bin"].astype("int64"),
+            }
+        )
+
+    return out.map_batches(cast, batch_format="pandas")
+
+
+SQL_SEQ_PACK_BY_SOURCE = r"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_split_to_array(trim(coalesce(text, '')), '\s+')) AS BIGINT)
+           * CASE WHEN trim(coalesce(text,'')) = '' THEN 0 ELSE 1 END AS n_tokens
+  FROM documents)
+SELECT source, doc_id,
+       CAST((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) - n_tokens)
+            // 2000 AS BIGINT) AS bin
+FROM t
+"""
+
+
 def q_shuffle_rank(sf_dir: str):
     """Deterministic global shuffle position (training order): rank of
     each doc under the md5 hash of its id — a reproducible full-corpus
@@ -3133,6 +3180,7 @@ def queries():
         "hash_sample": q_hash_sample,
         "stratified_split": q_stratified_split,
         "seq_pack": q_seq_pack,
+        "seq_pack_by_source": q_seq_pack_by_source,
         "shuffle_rank": q_shuffle_rank,
         "cap_per_source": q_cap_per_source,
         "mixture_sample": q_mixture_sample,
@@ -3224,6 +3272,7 @@ def oracle_sql():
         "hash_sample": _sql_hash_sample(),
         "stratified_split": SQL_STRATIFIED_SPLIT,
         "seq_pack": SQL_SEQ_PACK,
+        "seq_pack_by_source": SQL_SEQ_PACK_BY_SOURCE,
         "shuffle_rank": SQL_SHUFFLE_RANK,
         "cap_per_source": SQL_CAP_PER_SOURCE,
         "mixture_sample": _sql_mixture_sample(),
