@@ -966,3 +966,41 @@ def test_restore_table_rewinds_and_replays(ray_session, tmp_path, log):
     vacuum(root, keep_epochs=1)
     with pytest.raises(InvalidConfigError):
         restore_table(root, epoch=1)
+
+
+def test_table_diff_branch_review(ray_session, tmp_path, log):
+    """Diff a diverged clone against its source: only changed slots are
+    read (hardlinked rel-paths prune across roots) and the feed reports
+    exactly the branch's mutations."""
+    import pyarrow.compute as pc_
+
+    from wprdc_etl_ray.errors import InvalidConfigError
+    from wprdc_etl_ray.pipelines.cdc import (
+        clone_table,
+        delete_where,
+        repartition_table,
+        table_diff,
+    )
+
+    write_wal(str(tmp_path), log, segment_rows=2000)
+    src = str(tmp_path / "src")
+    run_ingest(str(tmp_path / "wal"), src, CDCConfig(num_partitions=8))
+    br = str(tmp_path / "branch")
+    clone_table(src, br)
+    delete_where(br, lambda b: pc_.is_valid(b.column("tool")))
+
+    feed = table_diff(src, br).to_pandas()
+    before = read_transcripts_arrow(src).to_pandas()
+    want_deleted = before[before["tool"].notna()]
+    assert (feed["change_type"] == "delete").all()
+    assert len(feed) == len(want_deleted)
+    assert sorted(feed["conv_id"].tolist()) == sorted(want_deleted["conv_id"].tolist())
+
+    # identical tables: empty diff
+    same = table_diff(src, src).to_pandas()
+    assert len(same) == 0
+
+    # mismatched layouts refuse
+    repartition_table(br, new_partitions=16)
+    with pytest.raises(InvalidConfigError):
+        table_diff(src, br)

@@ -2066,6 +2066,132 @@ def follow_changes(
         _time.sleep(poll_interval)
 
 
+def table_diff(
+    root_a: str, root_b: str, pre_images: bool = False
+) -> ray.data.Dataset:
+    """Diff two TABLES (branch review: a clone vs its source after
+    divergence) — same row shape as :func:`table_changes`
+    (``change_type`` relative to ``root_a`` → ``root_b``: what happened
+    going from A to B).
+
+    Pruning works across roots because a shallow clone keeps every
+    shared file's RELATIVE path: slots whose run lists match byte-for-
+    byte are skipped, so diffing a lightly-diverged branch costs
+    O(changed slots), not O(table). Requires the same partitioning
+    layout (B and salt — anything else would compare different key
+    spaces); raises otherwise."""
+    import json as _json
+
+    import pandas as pd
+
+    ma, mb = load_manifest(root_a), load_manifest(root_b)
+    if ma is None or mb is None:
+        raise InvalidConfigError("both tables must be committed")
+    if int(ma["num_partitions"]) != int(mb["num_partitions"]) or int(
+        ma.get("metrics", {}).get("salt", 1)
+    ) != int(mb.get("metrics", {}).get("salt", 1)):
+        raise InvalidConfigError(
+            "table_diff requires identical (num_partitions, salt) layouts; "
+            "repartition one side first"
+        )
+    target = public_schema(mb)
+    snap_target = pa.schema(
+        list(target)
+        + [
+            pa.field(c, t)
+            for c, t in (("_offset", pa.int64()), ("_deleted", pa.bool_()))
+            if c not in target.names
+        ]
+    )
+    pub_cols = [f.name for f in target if f.name not in INTERNAL_COLS]
+    key_cols = list(KEY_COLUMNS)
+    payload = [c for c in pub_cols if c not in key_cols]
+
+    items = []
+    for part in sorted(
+        set(ma["partitions"]) | set(mb["partitions"]), key=int
+    ):
+        of: dict[int, list[str]] = {}
+        nf: dict[int, list[str]] = {}
+        for f in ma["partitions"].get(part, {}).get("files", []):
+            of.setdefault(int(f.get("salt", 0)), []).append(f["path"])
+        for f in mb["partitions"].get(part, {}).get("files", []):
+            nf.setdefault(int(f.get("salt", 0)), []).append(f["path"])
+        for slot in sorted(set(of) | set(nf)):
+            if sorted(of.get(slot, [])) != sorted(nf.get(slot, [])):
+                items.append(
+                    {
+                        "old": _json.dumps(of.get(slot, [])),
+                        "new": _json.dumps(nf.get(slot, [])),
+                    }
+                )
+    empty = pa.schema(
+        [target.field(c) for c in pub_cols] + [pa.field("change_type", pa.string())]
+    ).empty_table()
+    if not items:
+        return ray.data.from_arrow(empty)
+
+    def read_live(root: str, paths_json: str) -> pd.DataFrame:
+        paths = _json.loads(paths_json)
+        if not paths:
+            return (
+                pa.schema([target.field(c) for c in pub_cols])
+                .empty_table()
+                .to_pandas()
+            )
+        runs = [pq.read_table(os.path.join(root, p)) for p in paths]
+        t = (
+            merge_with_snapshot(snapshot_as_events_multi(runs), None)
+            if len(runs) > 1
+            else runs[0]
+        )
+        t = normalize_batch(t, snap_target)
+        t = t.filter(pc.equal(t.column("_deleted"), False))
+        return t.select(pub_cols).to_pandas()
+
+    import numpy as np
+
+    def diff(batch: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+
+        def emit(m, mask, side, label):
+            if not mask.any():
+                return
+            out = pd.DataFrame({k: m[k][mask] for k in key_cols})
+            for c in payload:
+                out[c] = m[c + side][mask]
+            out["change_type"] = label
+            outs.append(out)
+
+        for old_p, new_p in zip(batch["old"], batch["new"]):
+            o = read_live(root_a, old_p)
+            n = read_live(root_b, new_p)
+            m = o.merge(
+                n, on=key_cols, how="outer", suffixes=("__o", "__n"), indicator=True
+            )
+            ins = (m["_merge"] == "right_only").to_numpy()
+            dele = (m["_merge"] == "left_only").to_numpy()
+            changed = np.zeros(len(m), dtype=bool)
+            for c in payload:
+                a, b = m[c + "__o"], m[c + "__n"]
+                changed |= ((a != b) & ~(a.isna() & b.isna())).to_numpy()
+            upd = ~ins & ~dele & changed
+            emit(m, ins, "__n", "insert")
+            emit(m, dele, "__o", "delete")
+            if pre_images:
+                emit(m, upd, "__o", "update_preimage")
+                emit(m, upd, "__n", "update_postimage")
+            else:
+                emit(m, upd, "__n", "update")
+        if not outs:
+            return empty.to_pandas()
+        return pd.concat(outs, ignore_index=True)
+
+    return ray.data.from_items(items).map_batches(
+        diff, batch_format="pandas", batch_size=1
+    )
+
+
 def incremental_conv_stats(
     table_root: str, from_epoch: int, to_epoch: int | None = None
 ) -> ray.data.Dataset:
