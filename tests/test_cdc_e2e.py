@@ -1004,3 +1004,35 @@ def test_table_diff_branch_review(ray_session, tmp_path, log):
     repartition_table(br, new_partitions=16)
     with pytest.raises(InvalidConfigError):
         table_diff(src, br)
+
+
+def test_merge_branch_round_trip(ray_session, tmp_path, log):
+    """clone → mutate the branch (deletes + updates) → merge_branch
+    back: the target converges to the branch's state."""
+    import pyarrow.compute as pc_
+
+    from wprdc_etl_ray.pipelines.cdc import (
+        clone_table,
+        delete_where,
+        merge_branch,
+        update_where,
+    )
+
+    write_wal(str(tmp_path), log, segment_rows=2000)
+    src = str(tmp_path / "src")
+    run_ingest(str(tmp_path / "wal"), src, CDCConfig(num_partitions=8))
+    br = str(tmp_path / "branch")
+    clone_table(src, br)
+    delete_where(br, lambda b: pc_.is_valid(b.column("tool")))
+    update_where(
+        br,
+        lambda b: pc_.equal(b.column("turn_idx"), 0),
+        lambda hit: pa.table({"text": pa.array(["BRANCHED"] * hit.num_rows)}),
+        set_cols=["text"],
+    )
+    want = read_transcripts_arrow(br)
+
+    res = merge_branch(src, br)
+    assert not res.skipped
+    got = read_transcripts_arrow(src)
+    assert got.select(want.schema.names).cast(want.schema).equals(want)

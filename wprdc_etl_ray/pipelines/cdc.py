@@ -2192,6 +2192,31 @@ def table_diff(
     )
 
 
+def merge_branch(target_root: str, branch_root: str) -> CommitResult:
+    """Fast-forward a diverged clone's changes back into its source —
+    the PR-merge of the clone → mutate → review (``table_diff``) →
+    merge workflow: diff rows become MERGE actions (delete → delete,
+    insert/update → upsert), applied in one atomic epoch. Conflict
+    semantics are MERGE's: the branch wins unconditionally on keys it
+    touched; keys only the target advanced keep the target's state
+    (they never appear in the diff)."""
+
+    def to_actions(batch) -> "pa.Table":
+        import pandas as pd
+
+        df: pd.DataFrame = batch
+        df = df.copy()
+        df["_action"] = (df.pop("change_type") == "delete").map(
+            {True: "delete", False: "upsert"}
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    src = table_diff(target_root, branch_root).map_batches(
+        to_actions, batch_format="pandas"
+    )
+    return merge_into(target_root, src, job_id=f"merge_branch:{branch_root}")
+
+
 def incremental_conv_stats(
     table_root: str, from_epoch: int, to_epoch: int | None = None
 ) -> ray.data.Dataset:
