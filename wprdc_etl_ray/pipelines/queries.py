@@ -220,6 +220,53 @@ FROM ranked WHERE rn = 1 AND op <> 'delete' AND tool IS NULL
 """
 
 
+def q_restore(sf_dir: str):
+    """RESTORE verified against the WAL: a two-epoch table rolled back
+    to epoch 1 must equal the replay of events up to epoch 1's
+    watermark — state AND watermark rewind together. (Built as its own
+    table: restore targets the table's OWN history — a shallow clone
+    deliberately does not carry pre-birth epochs.)"""
+    from ..state.manifest import load_manifest
+    from .cdc import CDCConfig, read_transcripts, restore_table, run_ingest
+
+    base = os.path.dirname(cdc_wal_dir(sf_dir))
+    _cdc_cf_root(sf_dir)  # ensures the half-WAL symlink dir exists
+    half = os.path.join(base, "wal_half")
+    wal = os.path.join(base, "wal")
+    root = os.path.join(base, "table_restore")
+    m = load_manifest(root)
+    epoch = m["epoch"] if m else 0
+    if epoch < 1:
+        run_ingest(half, root, CDCConfig(num_partitions=32))
+    if epoch < 2:
+        run_ingest(wal, root, CDCConfig(num_partitions=32))
+    if epoch < 3:
+        restore_table(root, epoch=1)
+    return read_transcripts(root)
+
+
+def _sql_restore() -> str:
+    from ..state.manifest import load_epoch_manifest
+
+    q_restore("/root/testdata/sf0.01")  # materialize; driver compares at sf0.01
+    root = os.path.join(os.path.dirname(cdc_wal_dir("/root/testdata/sf0.01")), "table_restore")
+    w1 = load_epoch_manifest(root, 1)["global_watermark"]
+    wal = cdc_wal_dir("/root/testdata/sf0.01")
+    glob_path = os.path.join(wal, "seg-*.parquet")
+    return f"""
+WITH ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+            ORDER BY ts DESC, "offset" DESC) AS rn
+  FROM read_parquet('{glob_path}', union_by_name=true)
+  WHERE "offset" <= {w1})
+SELECT conv_id, CAST(turn_idx AS INTEGER) AS turn_idx, role, text, tool, ts
+FROM ranked WHERE rn = 1 AND op <> 'delete'
+"""
+# the restored table's schema is epoch 1's (pre-evolution v1: no tool
+# metadata, int32 turn_idx) — schema rolls back WITH the state, so the
+# oracle selects only v1 columns at v1 types
+
+
 def q_tool_index(sf_dir: str):
     """CDF-maintained secondary index: the inverted (tool → conv_id,
     n_turns) map over the two-epoch table — built at first call,
@@ -3148,6 +3195,7 @@ def queries():
         "cdc_merge": q_cdc_merge,
         "tool_index": q_tool_index,
         "cdc_delete_where": q_delete_where,
+        "cdc_restore": q_restore,
         "cdc_changes": q_cdc_changes,
         "cdc_incremental_view": q_cdc_incremental_view,
         "conv_role_quality": q_conv_role_quality,
@@ -3240,6 +3288,7 @@ def oracle_sql():
         "cdc_merge": _cdc_merge_sql(),
         "tool_index": _sql_tool_index(),
         "cdc_delete_where": _sql_delete_where(),
+        "cdc_restore": _sql_restore(),
         "cdc_changes": _cdc_changes_sql(),
         "cdc_incremental_view": _cdc_incremental_view_sql(),
         "conv_role_quality": _conv_role_quality_sql(),
