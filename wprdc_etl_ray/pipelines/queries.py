@@ -267,6 +267,25 @@ FROM ranked WHERE rn = 1 AND op <> 'delete'
 # oracle selects only v1 columns at v1 types
 
 
+def q_branch_merge(sf_dir: str):
+    """The full branch workflow, oracle-checked: a fresh clone of the
+    two-epoch table fast-forwards the delete-branch's divergence via
+    table_diff → merge_branch; the result must equal the branch (and
+    hence the replay filtered by the branch's predicate)."""
+    from ..state.manifest import load_manifest
+    from .cdc import clone_table, merge_branch, read_transcripts
+
+    base = _cdc_cf_root(sf_dir)
+    q_delete_where(sf_dir)  # materialize the delete-branch fixture
+    branch_root = os.path.join(os.path.dirname(base), "table_del")
+    root = os.path.join(os.path.dirname(base), "table_bm")
+    if load_manifest(root) is None:
+        clone_table(base, root)
+    if load_manifest(root)["epoch"] < 3:  # clone at 2; merge commits 3
+        merge_branch(root, branch_root)
+    return read_transcripts(root)
+
+
 def q_tool_index(sf_dir: str):
     """CDF-maintained secondary index: the inverted (tool → conv_id,
     n_turns) map over the two-epoch table — built at first call,
@@ -3196,6 +3215,7 @@ def queries():
         "tool_index": q_tool_index,
         "cdc_delete_where": q_delete_where,
         "cdc_restore": q_restore,
+        "cdc_branch_merge": q_branch_merge,
         "cdc_changes": q_cdc_changes,
         "cdc_incremental_view": q_cdc_incremental_view,
         "conv_role_quality": q_conv_role_quality,
@@ -3289,6 +3309,7 @@ def oracle_sql():
         "tool_index": _sql_tool_index(),
         "cdc_delete_where": _sql_delete_where(),
         "cdc_restore": _sql_restore(),
+        "cdc_branch_merge": _sql_delete_where(),  # merged == the branch
         "cdc_changes": _cdc_changes_sql(),
         "cdc_incremental_view": _cdc_incremental_view_sql(),
         "conv_role_quality": _conv_role_quality_sql(),
