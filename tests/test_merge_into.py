@@ -290,3 +290,13 @@ def test_delete_where_and_update_where(ray_session, tmp_path, log):
     rest_a = after[after.turn_idx != 0].sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
     rest_b = final[final.turn_idx != 0].sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
     assert rest_a["text"].fillna("").tolist() == rest_b["text"].fillna("").tolist()
+
+
+def test_merge_source_missing_keys_raises(ray_session, tmp_path, log):
+    from wprdc_etl_ray.errors import InvalidConfigError
+
+    root = base_table(tmp_path, log)
+    src = rd.from_arrow(pa.table({"conv_id": pa.array(["x"]), "text": pa.array(["y"])}))
+    with pytest.raises(InvalidConfigError) as ei:
+        merge_into(root, src)
+    assert "key column" in str(ei.value)

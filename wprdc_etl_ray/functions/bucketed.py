@@ -73,7 +73,14 @@ def bucketed_write(
 def _layout(path: str) -> dict:
     import json
 
-    with open(os.path.join(path, "_BUCKETS.json")) as f:
+    marker = os.path.join(path, "_BUCKETS.json")
+    if not os.path.exists(marker):
+        raise ValueError(
+            f"{path} has no completed bucketed layout (_BUCKETS.json is "
+            "written LAST by bucketed_write — a missing marker means the "
+            "write never finished; re-run it, resumption skips done buckets)"
+        )
+    with open(marker) as f:
         return json.load(f)
 
 

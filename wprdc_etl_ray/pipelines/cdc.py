@@ -1025,7 +1025,14 @@ def merge_into(
     target = public_schema(manifest)
     from ..schema import dataset_schema
 
-    src_fields = [f for f in dataset_schema(source) if f.name != "_action"]
+    src_schema = dataset_schema(source)
+    missing = [k for k in KEY_COLUMNS if k not in src_schema.names]
+    if missing:
+        raise InvalidConfigError(
+            f"MERGE source lacks key column(s) {missing}; every row must "
+            f"carry {list(KEY_COLUMNS)}"
+        )
+    src_fields = [f for f in src_schema if f.name != "_action"]
     unified_pub = unify_schemas(
         [pa.schema([f for f in target if f.name not in INTERNAL_COLS]),
          pa.schema(src_fields)]
