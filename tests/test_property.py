@@ -565,3 +565,38 @@ def test_merge_into_matches_reference_simulator(tmp_path_factory, actions):
     assert got["conv_id"].tolist() == sim["conv_id"].tolist()
     assert got["turn_idx"].astype(int).tolist() == sim["turn_idx"].astype(int).tolist()
     assert got["text"].fillna("").tolist() == sim["text"].fillna("").tolist()
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["p", "q"]),
+            st.sampled_from(["x", "y"]),
+            st.integers(-30, 30),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_cube_levels_consistent(rows):
+    """Every CUBE subset equals the corresponding pandas groupby."""
+    import ray.data as rd
+
+    from wprdc_etl_ray.functions.relational import cube_agg
+
+    df = pd.DataFrame(
+        {"a": [r[0] for r in rows], "b": [r[1] for r in rows], "v": [r[2] for r in rows]}
+    )
+    out = cube_agg(rd.from_pandas(df), ["a", "b"], [("v", "sum", "s")]).to_pandas()
+    # lvl bitmask: leftmost key most significant (GROUPING_ID convention)
+    want_ab = df.groupby(["a", "b"])["v"].sum()
+    got_ab = out[out.lvl == 0].set_index(["a", "b"])["s"].astype(int)
+    assert got_ab.sort_index().to_dict() == want_ab.sort_index().to_dict()
+    want_b = df.groupby("b")["v"].sum()  # a rolled up → lvl 2
+    got_b = out[out.lvl == 2].set_index("b")["s"].astype(int)
+    assert got_b.sort_index().to_dict() == want_b.sort_index().to_dict()
+    want_a = df.groupby("a")["v"].sum()  # b rolled up → lvl 1
+    got_a = out[out.lvl == 1].set_index("a")["s"].astype(int)
+    assert got_a.sort_index().to_dict() == want_a.sort_index().to_dict()
+    assert int(out[out.lvl == 3]["s"].iloc[0]) == int(df["v"].sum())
