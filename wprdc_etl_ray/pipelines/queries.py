@@ -151,6 +151,42 @@ FROM ranked WHERE rn = 1 AND op <> 'delete'
 """
 
 
+def q_cdc_tail(sf_dir: str):
+    """The STATEFUL path under the driver's hash gate: the flagship WAL
+    delivered in four waves to a live TailSession (merger actors hold
+    state between polls; each commit is the same atomic flip), read
+    back. Oracle = the full-WAL replay — equality proves tail mode is
+    byte-equivalent to batch ingest at the driver's scale too."""
+    from ..state.manifest import load_manifest
+    from .cdc import CDCConfig, list_segments, read_transcripts
+    from .tail import TailSession
+
+    wal = cdc_wal_dir(sf_dir)
+    base = os.path.dirname(wal)
+    root = os.path.join(base, "table_tail")
+    m = load_manifest(root)
+    if not m or m["epoch"] < 4:
+        segs = list_segments(wal)
+        live = os.path.join(base, "wal_tail_live")
+        import shutil as _shutil
+
+        _shutil.rmtree(root, ignore_errors=True)
+        _shutil.rmtree(live, ignore_errors=True)
+        os.makedirs(live)
+        sess = TailSession(
+            live, root, CDCConfig(num_partitions=32), num_actors=8
+        )
+        waves = 4
+        per = (len(segs) + waves - 1) // waves
+        for w in range(waves):
+            for s in segs[w * per : (w + 1) * per]:
+                os.symlink(s, os.path.join(live, os.path.basename(s)))
+            sess.poll()
+            sess.commit()
+        sess.shutdown()
+    return read_transcripts(root)
+
+
 def q_cdc_mor(sf_dir: str):
     """Merge-on-read ingest: the flagship WAL applied in THREE epochs
     with write_mode='mor' — epochs append per-key delta runs instead of
@@ -3211,6 +3247,7 @@ def queries():
         "cdc_flagship": q_cdc_flagship,
         "cdc_turn_counts": q_cdc_turn_counts,
         "cdc_mor": q_cdc_mor,
+        "cdc_tail": q_cdc_tail,
         "cdc_merge": q_cdc_merge,
         "tool_index": q_tool_index,
         "cdc_delete_where": q_delete_where,
@@ -3305,6 +3342,7 @@ def oracle_sql():
         "cdc_flagship": _cdc_oracle_sql(),
         "cdc_turn_counts": _cdc_turn_counts_sql(),
         "cdc_mor": _cdc_oracle_sql(),
+        "cdc_tail": _cdc_oracle_sql(),
         "cdc_merge": _cdc_merge_sql(),
         "tool_index": _sql_tool_index(),
         "cdc_delete_where": _sql_delete_where(),
