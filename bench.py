@@ -343,6 +343,7 @@ def run_scaling() -> dict:
         f"events_per_sec_{lo}": round(outs[lo]["events"] / t_lo, 1),
         f"events_per_sec_{hi}": round(outs[hi]["events"] / t_hi, 1),
         "scaling_efficiency": round(eff, 3),
+        "host_memcopy_gbps": _host_memcopy_gbps(),
     }
 
 
@@ -388,6 +389,7 @@ def run_tail_scaling() -> dict:
         f"events_per_sec_{lo}": round(outs[lo]["events"] / t_lo, 1),
         f"events_per_sec_{hi}": round(outs[hi]["events"] / t_hi, 1),
         "scaling_efficiency": round(eff, 3),
+        "host_memcopy_gbps": _host_memcopy_gbps(),
     }
 
 
