@@ -329,3 +329,36 @@ def test_maintain_service_pass(ray_session, tmp_path, log):
     # second pass: nothing to compact
     res2 = maintain(root, max_runs_per_slot=2, keep_epochs=1)
     assert res2["compacted"] is False
+
+
+def test_refresh_mode_resets_mor_runs(ray_session, tmp_path, log):
+    """mode='refresh' on a MOR table drops all runs and rebuilds from
+    scratch — full-refresh semantics are storage-strategy-independent."""
+    dirs = split_wal(tmp_path, log, 3)
+    root = str(tmp_path / "t")
+    ingest_epochs(dirs, root, write_mode="mor")
+    assert max(runs_per_slot(load_manifest(root))) > 1
+    run_ingest(
+        dirs[-1], root, CDCConfig(num_partitions=8, mode="refresh", write_mode="mor")
+    )
+    m = load_manifest(root)
+    assert max(runs_per_slot(m)) == 1  # refresh rebuilt every slot
+    check_equal(root, log)
+
+
+def test_vacuum_protects_restored_epoch(ray_session, tmp_path, log):
+    """After RESTORE, the re-referenced old files are live again — an
+    aggressive vacuum must keep them (current manifest wins)."""
+    from wprdc_etl_ray.pipelines.cdc import restore_table, vacuum
+
+    dirs = split_wal(tmp_path, log, 2)
+    root = str(tmp_path / "t")
+    ingest_epochs(dirs, root, write_mode="cow")
+    e1 = None
+    from wprdc_etl_ray.pipelines.cdc import read_transcripts
+
+    e1 = read_transcripts(root, epoch=1).to_pandas()
+    restore_table(root, epoch=1)
+    vacuum(root, keep_epochs=1)
+    after = read_transcripts(root).to_pandas()
+    assert len(after) == len(e1)
