@@ -1245,3 +1245,38 @@ def cube_agg(
         wide = cur.map_batches(widen(level_keys, mask), batch_format="pyarrow")
         out = wide if out is None else out.union(wide)
     return out
+
+
+def ntile_per_key(
+    ds: ray.data.Dataset,
+    key_col: str,
+    order_col: str,
+    n: int,
+    out_col: str = "tile",
+) -> ray.data.Dataset:
+    """SQL ``NTILE(n) OVER (PARTITION BY key ORDER BY order)`` with the
+    exact boundary rule (first ``cnt % n`` tiles get the extra row).
+    ``order_col`` must be unique within a key — NTILE under ties is
+    engine-nondeterministic, so callers order by a unique column (id)
+    exactly as the SQL oracle does. One bucketed exchange; inside a
+    bucket one sort + vectorized rank arithmetic."""
+    import numpy as np
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, order_col], kind="mergesort").reset_index(drop=True)
+        cnt = g.groupby(key_col, sort=False)[order_col].transform("size").to_numpy()
+        rank = g.groupby(key_col, sort=False).cumcount().to_numpy()
+        base = cnt // n
+        rem = cnt % n
+        big = rem * (base + 1)  # rows covered by the larger tiles
+        in_big = rank < big
+        tile = np.where(
+            in_big,
+            rank // np.maximum(base + 1, 1),
+            rem + (rank - big) // np.maximum(base, 1),
+        ).astype("int64") + 1
+        out = g[[key_col, order_col]].copy()
+        out[out_col] = np.minimum(tile, n)
+        return out
+
+    return bucketed_group_map(ds, [key_col], per_bucket)

@@ -2356,6 +2356,35 @@ UNION ALL SELECT 3, count(*) FROM p
 """
 
 
+def q_event_ntile(sf_dir: str):
+    """NTILE(4) of each user's events by event_id — the quartile-bucket
+    window staple with exact boundary semantics. Oracle = native NTILE
+    over a unique ordering column (ties would be nondeterministic)."""
+    from ..functions.relational import ntile_per_key
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_id"])
+    out = ntile_per_key(ds, "user_id", "event_id", n=4)
+
+    def cast(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": batch["user_id"].astype("int64"),
+                "event_id": batch["event_id"].astype("int64"),
+                "tile": batch["tile"].astype("int64"),
+            }
+        )
+
+    return out.map_batches(cast, batch_format="pandas")
+
+
+SQL_EVENT_NTILE = """
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(event_id AS BIGINT) AS event_id,
+       CAST(NTILE(4) OVER (PARTITION BY user_id ORDER BY event_id) AS BIGINT) AS tile
+FROM events
+"""
+
+
 def q_rolling_user_value(sf_dir: str):
     """Per-user rolling 5-event value sum (cents) ordered by (ts,
     event_id) — the ROWS-window function as one bucketed exchange +
@@ -3292,6 +3321,7 @@ def queries():
         "clean_text": q_clean_text,
         "price_quantiles": q_price_quantiles,
         "rolling_user_value": q_rolling_user_value,
+        "event_ntile": q_event_ntile,
         "event_funnel": q_event_funnel,
         "retention_cohorts": q_retention_cohorts,
         "heavy_hitters": q_heavy_hitters,
@@ -3387,6 +3417,7 @@ def oracle_sql():
         "clean_text": _sql_clean_text(),
         "price_quantiles": SQL_PRICE_QUANTILES,
         "rolling_user_value": SQL_ROLLING_USER_VALUE,
+        "event_ntile": SQL_EVENT_NTILE,
         "event_funnel": SQL_EVENT_FUNNEL,
         "retention_cohorts": SQL_RETENTION_COHORTS,
         "heavy_hitters": SQL_HEAVY_HITTERS,
