@@ -1280,3 +1280,23 @@ def ntile_per_key(
         return out
 
     return bucketed_group_map(ds, [key_col], per_bucket)
+
+
+def lag_per_key(
+    ds: ray.data.Dataset,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    out_col: str = "lag_value",
+) -> ray.data.Dataset:
+    """``LAG(value) OVER (PARTITION BY key ORDER BY order)`` — previous
+    row's value within the key, null on each key's first row. Same
+    bucketed-exchange + in-bucket sort + C shift shape as the other
+    per-key windows; ``order_col`` unique within a key for determinism."""
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, order_col], kind="mergesort").reset_index(drop=True)
+        out = g[[key_col, order_col, value_col]].copy()
+        out[out_col] = g.groupby(key_col, sort=False)[value_col].shift(1)
+        return out
+
+    return bucketed_group_map(ds, [key_col], per_bucket)

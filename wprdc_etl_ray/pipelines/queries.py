@@ -2385,6 +2385,43 @@ FROM events
 """
 
 
+def q_event_gaps(sf_dir: str):
+    """Inter-event gap per user: micros since the user's previous event
+    (LAG window) — the dwell/latency primitive. Integer-exact: both
+    engines subtract epoch-microsecond timestamps."""
+    from ..functions.relational import lag_per_key
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+    out = lag_per_key(ds, "user_id", "event_id", "ts", out_col="prev_ts")
+
+    def gap(batch: pd.DataFrame) -> pd.DataFrame:
+        ts = batch["ts"].astype("datetime64[us]").astype("int64")
+        prev = batch["prev_ts"].astype("datetime64[us]").astype("int64")
+        d = ts - prev
+        d[batch["prev_ts"].isna()] = pd.NA
+        return pd.DataFrame(
+            {
+                "user_id": batch["user_id"].astype("int64"),
+                "event_id": batch["event_id"].astype("int64"),
+                # float64 with NaN for first events — matching the
+                # oracle's pandas null representation; the values are
+                # exact (micros < 2^53)
+                "gap_micros": d.astype("float64"),
+            }
+        )
+
+    return out.map_batches(gap, batch_format="pandas")
+
+
+SQL_EVENT_GAPS = """
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(event_id AS BIGINT) AS event_id,
+       CAST(epoch_us(ts) - epoch_us(LAG(ts) OVER (
+            PARTITION BY user_id ORDER BY event_id)) AS BIGINT) AS gap_micros
+FROM events
+"""
+
+
 def q_rolling_user_value(sf_dir: str):
     """Per-user rolling 5-event value sum (cents) ordered by (ts,
     event_id) — the ROWS-window function as one bucketed exchange +
@@ -3322,6 +3359,7 @@ def queries():
         "price_quantiles": q_price_quantiles,
         "rolling_user_value": q_rolling_user_value,
         "event_ntile": q_event_ntile,
+        "event_gaps": q_event_gaps,
         "event_funnel": q_event_funnel,
         "retention_cohorts": q_retention_cohorts,
         "heavy_hitters": q_heavy_hitters,
@@ -3418,6 +3456,7 @@ def oracle_sql():
         "price_quantiles": SQL_PRICE_QUANTILES,
         "rolling_user_value": SQL_ROLLING_USER_VALUE,
         "event_ntile": SQL_EVENT_NTILE,
+        "event_gaps": SQL_EVENT_GAPS,
         "event_funnel": SQL_EVENT_FUNNEL,
         "retention_cohorts": SQL_RETENTION_COHORTS,
         "heavy_hitters": SQL_HEAVY_HITTERS,
