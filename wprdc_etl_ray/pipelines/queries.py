@@ -187,6 +187,57 @@ def q_cdc_tail(sf_dir: str):
     return read_transcripts(root)
 
 
+def q_conv_text_export(sf_dir: str):
+    """The CDC→training handoff: each conversation of the MATERIALIZED
+    flagship table assembled into one role-prefixed training document
+    (string_agg ORDER BY turn_idx) — bucketed exchange on conv_id,
+    in-bucket sort + vectorized per-key join, no global sort. Oracle =
+    string_agg over the replayed live state."""
+    from ..functions.relational import bucketed_group_map
+    from .cdc import read_transcripts
+
+    wal = cdc_wal_dir(sf_dir)
+    root = os.path.join(os.path.dirname(wal), "table")
+    from .cdc import CDCConfig, run_ingest
+
+    run_ingest(wal, root, CDCConfig(num_partitions=32))  # no-op when committed
+    ds = read_transcripts(root, columns=["conv_id", "turn_idx", "role", "text"])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        line = g["role"].fillna("") + ": " + g["text"].fillna("")
+        out = (
+            pd.DataFrame({"conv_id": g["conv_id"], "line": line})
+            .groupby("conv_id", sort=False)["line"]
+            .agg("\n".join)
+            .reset_index()
+            .rename(columns={"line": "doc"})
+        )
+        out["n_chars"] = out["doc"].str.len().astype("int64")
+        return out
+
+    return bucketed_group_map(ds, ["conv_id"], per_bucket)
+
+
+def _sql_conv_text_export() -> str:
+    wal = cdc_wal_dir("/root/testdata/sf0.01")  # driver compares at sf0.01
+    glob_path = os.path.join(wal, "seg-*.parquet")
+    return f"""
+WITH ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+            ORDER BY ts DESC, "offset" DESC) AS rn
+  FROM read_parquet('{glob_path}', union_by_name=true)),
+live AS (SELECT conv_id, turn_idx, role, text
+         FROM ranked WHERE rn = 1 AND op <> 'delete')
+SELECT conv_id,
+       string_agg(coalesce(role, '') || ': ' || coalesce(text, ''),
+                  chr(10) ORDER BY turn_idx) AS doc,
+       CAST(length(string_agg(coalesce(role, '') || ': ' || coalesce(text, ''),
+                  chr(10) ORDER BY turn_idx)) AS BIGINT) AS n_chars
+FROM live GROUP BY conv_id
+"""
+
+
 def q_cdc_mor(sf_dir: str):
     """Merge-on-read ingest: the flagship WAL applied in THREE epochs
     with write_mode='mor' — epochs append per-key delta runs instead of
@@ -3314,6 +3365,7 @@ def queries():
         "cdc_turn_counts": q_cdc_turn_counts,
         "cdc_mor": q_cdc_mor,
         "cdc_tail": q_cdc_tail,
+        "conv_text_export": q_conv_text_export,
         "cdc_merge": q_cdc_merge,
         "tool_index": q_tool_index,
         "cdc_delete_where": q_delete_where,
@@ -3411,6 +3463,7 @@ def oracle_sql():
         "cdc_turn_counts": _cdc_turn_counts_sql(),
         "cdc_mor": _cdc_oracle_sql(),
         "cdc_tail": _cdc_oracle_sql(),
+        "conv_text_export": _sql_conv_text_export(),
         "cdc_merge": _cdc_merge_sql(),
         "tool_index": _sql_tool_index(),
         "cdc_delete_where": _sql_delete_where(),
