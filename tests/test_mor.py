@@ -362,3 +362,27 @@ def test_vacuum_protects_restored_epoch(ray_session, tmp_path, log):
     vacuum(root, keep_epochs=1)
     after = read_transcripts(root).to_pandas()
     assert len(after) == len(e1)
+
+
+def test_builder_write_mode(ray_session, tmp_path, log):
+    from wprdc_etl_ray.errors import InvalidConfigError
+    from wprdc_etl_ray.pipelines.cdc import CDCPipeline
+
+    dirs = split_wal(tmp_path, log, 2)
+    root = str(tmp_path / "t")
+    for d in dirs:
+        (
+            CDCPipeline("transcripts")
+            .source(d)
+            .sink(root)
+            .partitions(8)
+            .write_mode("mor", mor_compact_runs=4)
+            .run()
+        )
+    m = load_manifest(root)
+    assert any(f.get("delta") for e in m["partitions"].values() for f in e["files"])
+    check_equal(root, log)
+    import pytest as _pytest
+
+    with _pytest.raises(InvalidConfigError):
+        CDCPipeline("t").write_mode("bogus")

@@ -2415,6 +2415,16 @@ class CDCPipeline:
         self.config.mode = "upsert" if method == "upsert" else "refresh"
         return self
 
+    def write_mode(self, write_mode: str, mor_compact_runs: int | None = None) -> "CDCPipeline":
+        """Storage strategy: 'cow' (rewrite touched slots fully merged)
+        or 'mor' (append delta runs; see CDCConfig.write_mode)."""
+        if write_mode not in ("cow", "mor"):
+            raise InvalidConfigError(f"write_mode must be cow|mor, got {write_mode!r}")
+        self.config.write_mode = write_mode
+        if mor_compact_runs is not None:
+            self.config.mor_compact_runs = mor_compact_runs
+        return self
+
     def run(self) -> CommitResult:
         if not self._wal_dir or not self._table_root:
             raise InvalidConfigError(
