@@ -373,6 +373,47 @@ def q_branch_merge(sf_dir: str):
     return read_transcripts(root)
 
 
+def q_update_where(sf_dir: str):
+    """Bulk UPDATE … SET text WHERE tool IS NOT NULL over a clone
+    branch: matched rows get redacted text through the partial-update
+    MERGE (other columns keep prior values). Oracle = CASE over the
+    replay."""
+    import pyarrow.compute as _pc
+
+    from ..state.manifest import load_manifest
+    from .cdc import clone_table, read_transcripts, update_where
+
+    base = _cdc_cf_root(sf_dir)
+    root = os.path.join(os.path.dirname(base), "table_upd")
+    if load_manifest(root) is None:
+        clone_table(base, root)
+    if load_manifest(root)["epoch"] < 3:  # clone at 2; update commits 3
+        update_where(
+            root,
+            lambda b: _pc.is_valid(b.column("tool")),
+            lambda hit: pa.table(
+                {"text": pa.array(["[REDACTED]"] * hit.num_rows, pa.string())}
+            ),
+            set_cols=["text"],
+        )
+    return read_transcripts(root)
+
+
+def _sql_update_where() -> str:
+    wal = cdc_wal_dir("/root/testdata/sf0.01")  # driver compares at sf0.01
+    glob_path = os.path.join(wal, "seg-*.parquet")
+    return f"""
+WITH ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+            ORDER BY ts DESC, "offset" DESC) AS rn
+  FROM read_parquet('{glob_path}', union_by_name=true))
+SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, role,
+       CASE WHEN tool IS NOT NULL THEN '[REDACTED]' ELSE text END AS text,
+       tool, tool_call_id, tool_args, ts
+FROM ranked WHERE rn = 1 AND op <> 'delete'
+"""
+
+
 def q_tool_index(sf_dir: str):
     """CDF-maintained secondary index: the inverted (tool → conv_id,
     n_turns) map over the two-epoch table — built at first call,
@@ -3369,6 +3410,7 @@ def queries():
         "cdc_merge": q_cdc_merge,
         "tool_index": q_tool_index,
         "cdc_delete_where": q_delete_where,
+        "cdc_update_where": q_update_where,
         "cdc_restore": q_restore,
         "cdc_branch_merge": q_branch_merge,
         "cdc_changes": q_cdc_changes,
@@ -3467,6 +3509,7 @@ def oracle_sql():
         "cdc_merge": _cdc_merge_sql(),
         "tool_index": _sql_tool_index(),
         "cdc_delete_where": _sql_delete_where(),
+        "cdc_update_where": _sql_update_where(),
         "cdc_restore": _sql_restore(),
         "cdc_branch_merge": _sql_delete_where(),  # merged == the branch
         "cdc_changes": _cdc_changes_sql(),
