@@ -238,6 +238,42 @@ FROM live GROUP BY conv_id
 """
 
 
+def q_cdc_tail_mor(sf_dir: str):
+    """The fourth cell of the (batch|tail) × (cow|mor) matrix under the
+    driver's hash gate: a MOR tail session (actors hold only pending
+    winners, commits append delta runs) over the flagship WAL in four
+    waves. Oracle = the full replay, same as the other three cells."""
+    from ..state.manifest import load_manifest
+    from .cdc import CDCConfig, list_segments, read_transcripts
+    from .tail import TailSession
+
+    wal = cdc_wal_dir(sf_dir)
+    base = os.path.dirname(wal)
+    root = os.path.join(base, "table_tail_mor")
+    m = load_manifest(root)
+    if not m or m["epoch"] < 4:
+        segs = list_segments(wal)
+        live = os.path.join(base, "wal_tailmor_live")
+        import shutil as _shutil
+
+        _shutil.rmtree(root, ignore_errors=True)
+        _shutil.rmtree(live, ignore_errors=True)
+        os.makedirs(live)
+        sess = TailSession(
+            live, root,
+            CDCConfig(num_partitions=32, write_mode="mor"), num_actors=8,
+        )
+        waves = 4
+        per = (len(segs) + waves - 1) // waves
+        for w in range(waves):
+            for s in segs[w * per : (w + 1) * per]:
+                os.symlink(s, os.path.join(live, os.path.basename(s)))
+            sess.poll()
+            sess.commit()
+        sess.shutdown()
+    return read_transcripts(root)
+
+
 def q_cdc_mor(sf_dir: str):
     """Merge-on-read ingest: the flagship WAL applied in THREE epochs
     with write_mode='mor' — epochs append per-key delta runs instead of
@@ -3406,6 +3442,7 @@ def queries():
         "cdc_turn_counts": q_cdc_turn_counts,
         "cdc_mor": q_cdc_mor,
         "cdc_tail": q_cdc_tail,
+        "cdc_tail_mor": q_cdc_tail_mor,
         "conv_text_export": q_conv_text_export,
         "cdc_merge": q_cdc_merge,
         "tool_index": q_tool_index,
@@ -3505,6 +3542,7 @@ def oracle_sql():
         "cdc_turn_counts": _cdc_turn_counts_sql(),
         "cdc_mor": _cdc_oracle_sql(),
         "cdc_tail": _cdc_oracle_sql(),
+        "cdc_tail_mor": _cdc_oracle_sql(),
         "conv_text_export": _sql_conv_text_export(),
         "cdc_merge": _cdc_merge_sql(),
         "tool_index": _sql_tool_index(),
