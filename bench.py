@@ -149,7 +149,7 @@ def run_bench() -> dict:
         # cdc_ingest); write-amplification evidence is the
         # deterministic bytes probe in BASELINE.md, this entry tracks
         # the wall-time of the delta path.
-        half_dir = os.path.join(BENCH_TMP, f"wal-half-{NUM_CPUS}")
+        half_dir = os.path.join(BENCH_TMP, f"wal-half-{n_events}-{NUM_CPUS}")
         if not os.path.isdir(half_dir):
             os.makedirs(half_dir)
             segs = sorted(_glob.glob(os.path.join(wal, "seg-*.parquet")))
