@@ -84,8 +84,13 @@ def main():
 
     import ray
 
+    # DRIVER PARITY: the correctness driver runs at num_cpus=32, and
+    # partition-count-dependent bugs (r03's corpus_freq_join: empty join
+    # partitions appear only at 16 partitions) are invisible at 8. Gate
+    # at 32 by default; CHECK_CPUS=8 reproduces the old low-CPU config.
     if not ray.is_initialized():
-        ray.init(address="local", num_cpus=8, include_dashboard=False, logging_level="ERROR")
+        cpus = int(os.environ.get("CHECK_CPUS", "32"))
+        ray.init(address="local", num_cpus=cpus, include_dashboard=False, logging_level="ERROR")
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False

@@ -1489,3 +1489,64 @@ def test_pagerank_exact_integer_power_iteration(ray_session):
         r = t + (85 * s) // 100
     assert got.sort_values("vec_id")["rank_micro"].tolist() == r.tolist()
     assert got.set_index("vec_id").loc[7, "rank_micro"] == t
+
+
+def test_hash_join_survives_schemaless_empty_blocks(ray_session):
+    """r03 regression (corpus_freq_join): Ray's groupby().aggregate()
+    emits zero-SCHEMA empty blocks; when the join partition count
+    exceeds the distinct-key count, some partitions receive only those
+    empty slices and acero crashes ("No match ... FieldRef"). hash_join
+    must normalize such inputs. Key domain of 2 through a 16-way
+    repartition guarantees empty aggregate output blocks at any CPU
+    count."""
+    import ray
+
+    from wprdc_etl_ray.functions.relational import hash_join
+
+    t = pa.table({"k": ["a", "b"] * 50, "v": list(range(100))})
+    agg = rd.from_arrow(t).repartition(16).groupby("k").sum("v")
+    # prove the hazard is present in the raw aggregate output
+    empties = [
+        r for r in agg.materialize().to_arrow_refs() if ray.get(r).num_rows == 0
+    ]
+    assert empties and all(len(ray.get(r).schema) == 0 for r in empties)
+
+    left = rd.from_arrow(pa.table({"k": ["a", "b", "c"] * 20, "x": list(range(60))}))
+    out = hash_join(left, agg, on="k").to_pandas()
+    assert len(out) == 40
+    assert set(out["sum(v)"].unique()) == {sum(range(0, 100, 2)), sum(range(1, 100, 2))}
+
+    # the left_outer spine pattern (corpus_freq_join's second join)
+    spine = hash_join(left, agg, on="k", join_type="left_outer").to_pandas()
+    assert len(spine) == 60
+    assert spine["sum(v)"].isna().sum() == 20
+
+
+def test_drop_empty_blocks_and_plan_hazard_detection(ray_session):
+    import ray
+
+    from wprdc_etl_ray.functions.relational import (
+        _may_emit_schemaless_empties,
+        drop_empty_blocks,
+    )
+
+    t = pa.table({"k": ["a"] * 10, "v": list(range(10))})
+    agg = rd.from_arrow(t).repartition(8).groupby("k").sum("v")
+    assert _may_emit_schemaless_empties(agg)
+
+    clean = drop_empty_blocks(agg)
+    blocks = [ray.get(r) for r in clean.to_arrow_refs()]
+    assert all(b.num_rows > 0 for b in blocks)
+    assert clean.count() == 1
+
+    # map-only chain over a fresh READ is provably safe -> no
+    # materialization is forced on the streaming big side (FromArrow /
+    # InputData provenance is unknowable and stays hazardous — cheap,
+    # since those are already materialized)
+    safe = rd.read_parquet("/root/testdata/sf0.001/region.parquet").map_batches(
+        lambda b: b, batch_format="pyarrow"
+    )
+    assert not _may_emit_schemaless_empties(safe)
+    # pre-materialized provenance is unknowable -> hazardous (cheap:
+    # the no-drop path returns the materialized dataset unchanged)
+    assert _may_emit_schemaless_empties(agg.materialize())

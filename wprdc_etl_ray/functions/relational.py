@@ -89,6 +89,83 @@ def semi_join(
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+# Ray 2.49 can emit zero-SCHEMA empty blocks from the native
+# groupby().aggregate() hash path, the sort path backing map_groups, and
+# count-based repartition (which forwards empty inputs and creates
+# schema-less empties when rows < partitions). Zero-schema empties are
+# invisible to map_batches (the batcher never yields a 0-row batch, so
+# they can't be repaired in-stream) and crash acero inside Dataset.join
+# when a join partition receives ONLY empty slices ("No match ... for
+# key field reference" — CORRECTNESS_r03's corpus_freq_join failure,
+# reproduced at num_cpus=32 / 16 partitions). Plans built ONLY from
+# these row-preserving-or-filtering map ops over fresh reads provably
+# carry no empties, so the common big-side input skips normalization
+# and keeps streaming; anything else (aggregates, sorts, repartitions,
+# pre-materialized InputData/From* whose provenance is unknowable)
+# counts as hazardous.
+_EMPTY_SAFE_OPS = frozenset(
+    {"MapBatches", "MapRows", "Filter", "FlatMap", "Project", "Limit", "Union"}
+)
+
+
+def _may_emit_schemaless_empties(ds: ray.data.Dataset) -> bool:
+    """Walk the logical plan; True unless every operator is a known-safe
+    map op or a read. Unknown/unreadable plans count as hazardous."""
+    try:
+        stack = [ds._logical_plan.dag]
+    except Exception:
+        return True
+    seen: set[int] = set()
+    while stack:
+        op = stack.pop()
+        if id(op) in seen:
+            continue
+        seen.add(id(op))
+        name = type(op).__name__
+        if name not in _EMPTY_SAFE_OPS and not name.startswith("Read"):
+            return True
+        stack.extend(op.input_dependencies)
+    return False
+
+
+def drop_empty_blocks(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Materialize and rebuild the dataset from its non-empty blocks only.
+
+    Block refs are filtered by METADATA row counts (no driver fetch —
+    `from_arrow_refs` recomputes metadata in one tiny remote task per
+    kept block, and it accepts pandas blocks despite the name). Used to
+    sanitize aggregation outputs before `Dataset.join`; aggregated sides
+    are small by construction, so the extra materialization is cheap
+    relative to the join's own all-to-all exchange."""
+    mat = ds.materialize()
+    keep, dropped = [], 0
+    for bundle in mat.iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            if meta.num_rows:
+                keep.append(ref)
+            else:
+                dropped += 1
+    if not dropped:
+        return mat
+    if not keep:
+        # Entirely-empty input: nothing to join against. Hand back the
+        # materialized dataset unchanged — the caller sees the same
+        # (rare) empty-side behavior Dataset.join itself defines.
+        return mat
+    return ray.data.from_arrow_refs(keep)
+
+
+def _strip_schema_metadata(batch: pa.Table) -> pa.Table:
+    """Drop Arrow schema metadata before a Ray hash shuffle. Blocks that
+    originated as pandas DataFrames carry b'pandas' schema metadata, and
+    a pa.Schema WITH metadata is unhashable ("unhashable type: 'dict'"),
+    so every slice concat inside HashShuffleAggregator logs 'Failed to
+    hash the schemas (for deduplication)' and skips unify's early-exit.
+    replace_schema_metadata is zero-copy, and this map stage fuses into
+    the upstream map op — no extra pass over streaming inputs."""
+    return batch.replace_schema_metadata(None) if batch.schema.metadata else batch
+
+
 def hash_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,
@@ -96,6 +173,7 @@ def hash_join(
     right_on: str | tuple[str, ...] | None = None,
     join_type: str = "inner",
     num_partitions: int = 16,
+    normalize: bool | str = "auto",
 ) -> ray.data.Dataset:
     """Partitioned hash join of two large Datasets (``Dataset.join`` —
     hash-partitioned on the key, Ray 2.49).
@@ -104,7 +182,24 @@ def hash_join(
     spawns one aggregator ACTOR per partition, and requesting more
     actors than schedulable slots DEADLOCKS a small cluster (observed:
     64 partitions on 8 CPUs never finishes). On a big cluster the
-    requested partition count passes through unchanged."""
+    requested partition count passes through unchanged.
+
+    ``normalize`` hardens the inputs against Ray's zero-schema empty
+    blocks (see _SCHEMALESS_EMPTY_PRODUCERS): "auto" (default) inspects
+    each side's logical plan and drops empty blocks only from sides
+    that could carry them; True forces both sides; False skips (only
+    when the caller guarantees exchange-produced inputs, e.g.
+    bucketed_group_map output, which never emits empties)."""
+    if normalize == "auto":
+        if _may_emit_schemaless_empties(left):
+            left = drop_empty_blocks(left)
+        if _may_emit_schemaless_empties(right):
+            right = drop_empty_blocks(right)
+    elif normalize:
+        left = drop_empty_blocks(left)
+        right = drop_empty_blocks(right)
+    left = left.map_batches(_strip_schema_metadata, batch_format="pyarrow")
+    right = right.map_batches(_strip_schema_metadata, batch_format="pyarrow")
     cpus = int(ray.cluster_resources().get("CPU", num_partitions) or num_partitions)
     num_partitions = max(1, min(num_partitions, cpus))
     on_t = (on,) if isinstance(on, str) else tuple(on)

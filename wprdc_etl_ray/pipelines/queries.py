@@ -1269,7 +1269,11 @@ def q_latest_event_per_user(sf_dir: str):
     """Latest-event-wins per user — the CDC arg-max kernel over the
     driver's events table (per-batch partial arg-max, bucket shuffle,
     per-bucket final arg-max)."""
-    ds = read_table(sf_dir, "events")
+    # column-pruned read: without columns= the wide props JSON string
+    # rides the whole arg-max exchange only to be dropped at the end
+    ds = read_table(
+        sf_dir, "events", columns=["user_id", "event_id", "event_type", "value", "ts"]
+    )
     out = latest_per_key(ds, ["user_id"], ["ts", "event_id"], num_buckets=8)
     return out.select_columns(["user_id", "event_id", "event_type", "value", "ts"])
 
