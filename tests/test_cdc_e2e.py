@@ -821,6 +821,24 @@ def test_secondary_index_incremental_refresh(ray_session, tmp_path, log):
     # refresh with no new epoch is a no-op
     assert refresh_index(ra, "tool")["refreshed"] is False
 
+    # scale shape: refresh writes only DELTA-touched buckets; any bucket
+    # the feed didn't touch is hardlinked forward (same inode), proving
+    # no whole-index rewrite happened on the incremental path
+    from wprdc_etl_ray.pipelines.cdc import table_changes
+    from wprdc_etl_ray.pipelines.index import N_BUCKETS, _bucket_of, _index_dir
+
+    feed = table_changes(ra, from_epoch=1, to_epoch=2, pre_images=True).to_pandas()
+    touched = set(
+        int(b)
+        for b in _bucket_of(feed["tool"].dropna().astype(str).to_numpy(object), N_BUCKETS)
+    )
+    files = sorted(glob.glob(os.path.join(_index_dir(ra, "tool"), "bucket-*.parquet")))
+    assert files
+    for p in files:
+        b = int(os.path.basename(p).split("-")[1])
+        if b not in touched:
+            assert os.stat(p).st_nlink > 1, f"untouched bucket {b} was rewritten"
+
 
 def test_cdf_consumers_invariant_across_repartition(ray_session, tmp_path, log):
     """A repartition epoch surfaces key MOVES as cancelling

@@ -1550,3 +1550,27 @@ def test_drop_empty_blocks_and_plan_hazard_detection(ray_session):
     # pre-materialized provenance is unknowable -> hazardous (cheap:
     # the no-drop path returns the materialized dataset unchanged)
     assert _may_emit_schemaless_empties(agg.materialize())
+
+
+def test_pagerank_join_mode_equals_broadcast_mode(ray_session):
+    """mode='join' (distributed rank Dataset, per-iteration hash joins)
+    must be bit-identical to mode='broadcast' (the micro-unit algebra is
+    exact integer math, so the two shapes cannot legitimately differ)."""
+    from wprdc_etl_ray.functions.graph import pagerank
+
+    rng = np.random.default_rng(7)
+    a = rng.integers(0, 40, 120)
+    b = rng.integers(0, 40, 120)
+    keep = a != b
+    pairs = pd.DataFrame({"vec_a": a[keep], "vec_b": b[keep]})
+    ids = np.arange(48)  # 40..47 isolated -> hold the teleport term
+
+    bc = pagerank(rd.from_pandas(pairs), ids, n_iter=3).to_pandas()
+    jn = (
+        pagerank(rd.from_pandas(pairs), ids, n_iter=3, mode="join")
+        .to_pandas()
+        .sort_values("vec_id", ignore_index=True)
+    )
+    bc = bc.sort_values("vec_id", ignore_index=True)
+    assert jn["vec_id"].tolist() == bc["vec_id"].tolist()
+    assert jn["rank_micro"].tolist() == bc["rank_micro"].tolist()

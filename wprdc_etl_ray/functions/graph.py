@@ -247,7 +247,8 @@ def pagerank(
     a_col: str = "vec_a",
     b_col: str = "vec_b",
     id_out: str = "vec_id",
-) -> "pa.Table":
+    mode: str = "broadcast",
+):
     """PageRank over an undirected pair list (e.g. the near-dup graph) in
     EXACT integer micro-units — floor-division arithmetic that numpy and
     SQL reproduce bit-for-bit, so ranks are oracle-checkable.
@@ -257,14 +258,21 @@ def pagerank(
     t + (damping_pct · Σ incoming) // 100, with teleport
     t = (100−damping_pct)·scale//100 // n. Isolated nodes hold t.
 
-    Scale shape: the EDGE list stays a Dataset — each iteration is one
-    ``map_batches`` pass emitting per-batch (dst, partial-sum) rows
-    (bincount over the batch, O(nodes-in-batch) out) plus a combiner
-    groupby; the rank/degree vectors are the broadcast small side
-    (O(nodes) ints, the kmeans-centroid pattern writ larger). When the
-    node set itself outgrows a broadcast, substitute a ``hash_join`` of
-    the edge Dataset against a rank Dataset per iteration — same
-    algebra, all pieces in-repo."""
+    Two scale shapes (same algebra, bit-identical results):
+
+    - ``mode="broadcast"`` (default, returns a pa.Table): the edge list
+      stays a Dataset — each iteration is one ``map_batches`` pass
+      emitting per-batch (dst, partial-sum) rows plus a combiner
+      groupby; the rank/degree vectors are the broadcast small side
+      (O(nodes) ints, the kmeans-centroid pattern writ larger). Right
+      when nodes ≪ edges (the near-dup-graph case).
+    - ``mode="join"`` (returns a Dataset): the (node, deg, rank) state
+      is itself a Dataset; each iteration is one partitioned
+      ``hash_join`` edges ⋈ state, a per-batch partial sum by dst, a
+      bucketed exchange for the totals, and one left join back onto the
+      node spine. Nothing O(nodes) touches the driver or any single
+      task — the _cc_join_path pattern applied to rank propagation,
+      for graphs whose node set is itself at scale."""
     import numpy as np
 
     from .relational import grouped_agg
@@ -287,6 +295,11 @@ def pagerank(
         )
 
     edges = pairs.map_batches(sym, batch_format="pyarrow").materialize()
+
+    if mode == "join":
+        return _pagerank_join(
+            edges, ids, n_iter, scale, damping_pct, id_out, t
+        )
 
     deg_rows = grouped_agg(edges, ["src"], [("dst", "count", "d")]).take_all()
     deg = np.zeros(n, np.int64)
@@ -323,3 +336,95 @@ def pagerank(
     return pa.table(
         {id_out: pa.array(ids, pa.int64()), "rank_micro": pa.array(rank, pa.int64())}
     )
+
+
+def _pagerank_join(
+    edges: ray.data.Dataset,
+    ids: "np.ndarray",
+    n_iter: int,
+    scale: int,
+    damping_pct: int,
+    id_out: str,
+    t: int,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Fully distributed PageRank iteration: the (node, deg, rank) state
+    is a Dataset; per iteration one edges ⋈ state hash join, a per-batch
+    partial dst-sum (combiner), one bucketed exchange for the totals,
+    and one left join back onto the spine. Only iteration control lives
+    on the driver; per-task memory is O(bucket), never O(nodes).
+
+    State is materialized once per iteration — without it, Ray's lazy
+    re-execution re-runs every prior round's joins each time the next
+    round consumes the state (the ordered_prefix_sum lesson)."""
+    from .relational import bucketed_group_map, grouped_agg, hash_join
+
+    n = len(ids)
+    r0 = scale // n
+    spine = ray.data.from_arrow(pa.table({"node": pa.array(ids, pa.int64())}))
+    deg = grouped_agg(edges, ["src"], [("dst", "count", "d")])
+
+    def init(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "node": b["node"].astype("int64"),
+                "deg": b["d"].fillna(0).astype("int64"),
+                "rank": np.full(len(b), r0, np.int64),
+            }
+        )
+
+    state = hash_join(
+        spine, deg, on="node", right_on="src", join_type="left_outer"
+    ).map_batches(init, batch_format="pandas").materialize()
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        c = b["rank"].to_numpy(np.int64) // np.maximum(b["deg"].to_numpy(np.int64), 1)
+        return (
+            pd.DataFrame({"v": b["dst"].to_numpy(np.int64), "s": c})
+            .groupby("v", as_index=False)["s"]
+            .sum()
+        )
+
+    def resum(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("v", as_index=False)["s"].sum()
+
+    def update(b: pd.DataFrame) -> pd.DataFrame:
+        s = b["s"].fillna(0).to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "node": b["node"].astype("int64"),
+                "deg": b["deg"].astype("int64"),
+                "rank": (t + (damping_pct * s) // 100).astype(np.int64),
+            }
+        )
+
+    for _ in range(n_iter):
+        j = hash_join(
+            edges, state, on="src", right_on="node", num_partitions=num_partitions
+        )
+        sums = bucketed_group_map(
+            j.map_batches(partial, batch_format="pandas"),
+            ["v"],
+            resum,
+            num_buckets=num_partitions,
+            pre_reduce=resum,
+        )
+        state = (
+            hash_join(
+                state,
+                sums,
+                on="node",
+                right_on="v",
+                join_type="left_outer",
+                num_partitions=num_partitions,
+            )
+            .map_batches(update, batch_format="pandas")
+            .materialize()
+        )
+
+    def rename(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {id_out: b["node"].astype("int64"), "rank_micro": b["rank"].astype("int64")}
+        )
+
+    return state.map_batches(rename, batch_format="pandas")

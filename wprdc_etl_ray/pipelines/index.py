@@ -20,6 +20,17 @@ access path. Epoch-stamped bucket files publish atomically per
 refresh; the index manifest records the epoch the index reflects, and
 a crashed refresh leaves the previous index intact.
 
+Scale shape (r03 verdict item 3): build and refresh both route through
+the direct hash exchange — each index bucket is folded and WRITTEN by
+the task that owns it, so no stage ever holds more than one bucket in
+memory and the driver never sees an index-sized frame. Build pays one
+exchange of per-batch-combined (value, conv_id, n) partials; refresh
+exchanges only the delta (O(change rate)) and each touched bucket's
+task reads its own previous-epoch file; untouched buckets are
+hardlinked forward to the new epoch. Lookups read the exact epoch file
+named by meta.json, so a crashed refresh's stray files are never
+visible.
+
 Reference analog: CKAN datastore auto-indexes its key fields
 (wprdc-etl delegates to Postgres); this is the explicit, incremental
 version for a lake layout.
@@ -30,8 +41,10 @@ from __future__ import annotations
 import glob
 import json
 import os
+import shutil
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
@@ -43,6 +56,8 @@ from ..state.manifest import load_manifest
 from .cdc import read_transcripts, table_changes
 
 N_BUCKETS = 16
+
+_PAIR_SCHEMA = ["value", "conv_id", "n_turns"]
 
 
 def _index_dir(table_root: str, column: str) -> str:
@@ -56,6 +71,10 @@ def _bucket_of(values: np.ndarray, n: int) -> np.ndarray:
     return (h % np.uint64(n)).astype(np.int64)
 
 
+def _bucket_path(idx_dir: str, bucket: int, epoch: int) -> str:
+    return os.path.join(idx_dir, f"bucket-{bucket:03d}-e{epoch:06d}.parquet")
+
+
 def _load_meta(idx_dir: str) -> dict | None:
     p = os.path.join(idx_dir, "meta.json")
     if not os.path.exists(p):
@@ -64,123 +83,217 @@ def _load_meta(idx_dir: str) -> dict | None:
         return json.load(f)
 
 
-def _write_buckets(idx_dir: str, pairs: "pa.Table", epoch: int) -> None:
-    """One file per touched bucket, epoch in the name; meta.json flips
-    last (atomic rename) so readers always see a complete epoch."""
-    vals = pairs.column("value").to_numpy(zero_copy_only=False)
-    bucket = _bucket_of(vals, N_BUCKETS)
-    t = pairs.append_column("bucket", pa.array(bucket, pa.int64()))
-    os.makedirs(idx_dir, exist_ok=True)
-    for b in range(N_BUCKETS):
-        sub = t.filter(pc.equal(t.column("bucket"), b)).drop_columns(["bucket"])
-        pq.write_table(
-            sub.sort_by([("value", "ascending"), ("conv_id", "ascending")]),
-            os.path.join(idx_dir, f"bucket-{b:03d}-e{epoch:06d}.parquet"),
-        )
+def _atomic_write(table: pa.Table, path: str) -> None:
+    """Write-then-rename: retried bucket tasks (same epoch, same fold)
+    race benignly — last rename wins with identical content."""
+    tmp = f"{path}.{os.getpid()}.tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+
+
+def _finalize_epoch(idx_dir: str, epoch: int, n_buckets: int = N_BUCKETS) -> None:
+    """meta.json flips last (atomic rename) so readers always see a
+    complete epoch; superseded epoch files are dropped after the flip."""
     tmp = os.path.join(idx_dir, ".meta.tmp")
     with open(tmp, "w") as f:
-        json.dump({"epoch": epoch, "n_buckets": N_BUCKETS}, f)
+        json.dump({"epoch": epoch, "n_buckets": n_buckets}, f)
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, os.path.join(idx_dir, "meta.json"))
-    # drop superseded epoch files (the new meta no longer references them)
     for p in glob.glob(os.path.join(idx_dir, "bucket-*.parquet")):
         if not p.endswith(f"-e{epoch:06d}.parquet"):
             os.remove(p)
 
 
+def _pairs_table(df: pd.DataFrame) -> pa.Table:
+    out = df.sort_values(["value", "conv_id"], ignore_index=True)
+    return pa.table(
+        {
+            "value": pa.array(out["value"].astype(object), pa.string()),
+            "conv_id": pa.array(out["conv_id"].astype(object), pa.string()),
+            "n_turns": pa.array(out["n_turns"].to_numpy(np.int64), pa.int64()),
+        }
+    )
+
+
+_EXCHANGE_COLS = ["value", "conv_id", "n_turns", "bucket"]
+
+
+def _combine_partials(df: pd.DataFrame) -> pd.DataFrame:
+    """Same-schema idempotent combiner for the exchange actors: fold
+    duplicate (value, conv_id) partials so receiver memory stays
+    O(distinct pairs per bucket). Column ORDER is preserved so actor
+    buffer concats stay schema-stable."""
+    g = df.groupby(["bucket", "value", "conv_id"], as_index=False)["n_turns"].sum()
+    return g[_EXCHANGE_COLS]
+
+
+def _make_bucket_writer(idx_dir: str, epoch: int, old_epoch: int | None):
+    """Per-exchange-bucket kernel: final-fold the (value, conv_id)
+    counts, merge against the previous epoch's file when refreshing,
+    prune at ≤ 0, write this bucket's new epoch file, and return ONE
+    tiny stat row per index bucket. Task memory is O(one bucket)."""
+
+    def write_buckets(df: pd.DataFrame) -> pd.DataFrame:
+        stats = []
+        for b, g in df.groupby("bucket", sort=False):
+            b = int(b)
+            folded = g.groupby(["value", "conv_id"], as_index=False)["n_turns"].sum()
+            if old_epoch is not None:
+                old_path = _bucket_path(idx_dir, b, old_epoch)
+                if os.path.exists(old_path):
+                    old = pq.read_table(old_path).to_pandas()
+                    folded = old.merge(
+                        folded,
+                        on=["value", "conv_id"],
+                        how="outer",
+                        suffixes=("_old", "_d"),
+                    )
+                    folded["n_turns"] = folded["n_turns_old"].fillna(0) + folded[
+                        "n_turns_d"
+                    ].fillna(0)
+                folded = folded[folded["n_turns"] > 0][_PAIR_SCHEMA]
+                folded["n_turns"] = folded["n_turns"].astype("int64")
+            _atomic_write(_pairs_table(folded), _bucket_path(idx_dir, b, epoch))
+            stats.append({"bucket": b, "pairs": len(folded)})
+        return pd.DataFrame(stats, columns=["bucket", "pairs"])
+
+    return write_buckets
+
+
 def build_index(table_root: str, column: str) -> dict:
-    """Full build: distinct (value, conv_id, n_turns) from the live
-    table — one narrow scan + one combiner groupby."""
-    from ..functions.relational import grouped_agg
+    """Full build: one narrow scan, per-batch partial (value, conv_id)
+    counts, ONE hash exchange by index bucket; the owning task writes
+    its bucket file directly. Nothing index-sized crosses the driver."""
+    from ..functions.relational import bucketed_group_map
 
     manifest = load_manifest(table_root)
     if manifest is None:
         raise InvalidConfigError(f"no committed table at {table_root}")
     epoch = int(manifest["epoch"])
+    idx_dir = _index_dir(table_root, column)
+    os.makedirs(idx_dir, exist_ok=True)
     ds = read_transcripts(table_root, columns=["conv_id", column])
 
     def narrow(batch: pa.Table) -> pa.Table:
         batch = batch.filter(pc.is_valid(batch.column(column)))
-        return pa.table(
+        t = pa.table(
             {
                 "value": batch.column(column).cast(pa.string()),
-                "conv_id": batch.column("conv_id"),
+                "conv_id": batch.column("conv_id").cast(pa.string()),
             }
         )
+        # per-batch combiner: only distinct pairs enter the exchange
+        g = t.group_by(["value", "conv_id"]).aggregate([([], "count_all")])
+        g = g.rename_columns(["value", "conv_id", "n_turns"])
+        g = g.set_column(2, "n_turns", g.column("n_turns").cast(pa.int64()))
+        b = _bucket_of(
+            g.column("value").to_numpy(zero_copy_only=False), N_BUCKETS
+        )
+        return g.append_column("bucket", pa.array(b, pa.int64()))
 
-    pairs_ds = grouped_agg(
-        ds.map_batches(narrow, batch_format="pyarrow"),
-        ["value", "conv_id"],
-        [("conv_id", "count", "n_turns")],
-    )
-    # index size = distinct (value, conv) pairs — driver-small by the
-    # same argument as any group result here; at web scale route the
-    # bucket writes through the resumable partitioned sink instead
-    pairs = pa.Table.from_pandas(pairs_ds.to_pandas(), preserve_index=False)
-    _write_buckets(_index_dir(table_root, column), pairs, epoch)
-    return {"column": column, "epoch": epoch, "pairs": pairs.num_rows}
+    pre = ds.map_batches(narrow, batch_format="pyarrow")
+
+    stats = bucketed_group_map(
+        pre,
+        ["bucket"],
+        _make_bucket_writer(idx_dir, epoch, old_epoch=None),
+        num_buckets=N_BUCKETS,
+        pre_reduce=_combine_partials,
+    ).to_pandas()
+    _finalize_epoch(idx_dir, epoch)
+    return {
+        "column": column,
+        "epoch": epoch,
+        "pairs": int(stats["pairs"].sum()) if len(stats) else 0,
+    }
 
 
 def refresh_index(table_root: str, column: str) -> dict:
-    """Incremental refresh: fold the pre/post-image change feed since
-    the index's epoch into the pair counts; prune pairs at ≤ 0.
-    Cost O(change rate + index size), never a table rescan."""
+    """Incremental refresh: the pre/post-image change feed since the
+    index's epoch is narrowed to signed (value, conv_id, ±1) deltas and
+    exchanged by index bucket; each touched bucket's task folds its own
+    previous-epoch file, prunes pairs at ≤ 0 and writes the new epoch
+    file. Untouched buckets hardlink forward. Cost O(change rate + the
+    touched buckets), never a table rescan or a driver-side index frame."""
+    from ..functions.relational import bucketed_group_map
+
     idx_dir = _index_dir(table_root, column)
     meta = _load_meta(idx_dir)
     if meta is None:
         return build_index(table_root, column)
     manifest = load_manifest(table_root)
     cur = int(manifest["epoch"])
-    if cur <= meta["epoch"]:
-        return {"column": column, "epoch": meta["epoch"], "refreshed": False}
+    old_epoch = int(meta["epoch"])
+    if cur <= old_epoch:
+        return {"column": column, "epoch": old_epoch, "refreshed": False}
 
-    feed = table_changes(
-        table_root, from_epoch=meta["epoch"], to_epoch=cur, pre_images=True
-    ).to_pandas()
-    import pandas as pd
+    feed = table_changes(table_root, from_epoch=old_epoch, to_epoch=cur, pre_images=True)
+    sign_map = {
+        "insert": 1,
+        "update_postimage": 1,
+        "delete": -1,
+        "update_preimage": -1,
+    }
 
-    sign = feed["change_type"].map(
-        {"insert": 1, "update_postimage": 1, "delete": -1, "update_preimage": -1}
-    )
-    df = pd.DataFrame(
-        {"value": feed[column], "conv_id": feed["conv_id"], "d": sign}
-    ).dropna(subset=["value"])
-    delta = (
-        df.groupby(["value", "conv_id"], as_index=False)["d"].sum()
-        if len(df)
-        else pd.DataFrame(columns=["value", "conv_id", "d"])
-    )
+    def narrow_delta(batch: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "value": batch[column],
+                "conv_id": batch["conv_id"].astype(str),
+                "n_turns": batch["change_type"].map(sign_map).astype("int64"),
+            }
+        ).dropna(subset=["value"])
+        df["value"] = df["value"].astype(str)
+        g = df.groupby(["value", "conv_id"], as_index=False)["n_turns"].sum()
+        g["bucket"] = _bucket_of(g["value"].to_numpy(object), N_BUCKETS)
+        return g[_EXCHANGE_COLS]
 
-    olds = [
-        pq.read_table(p)
-        for p in sorted(glob.glob(os.path.join(idx_dir, "bucket-*.parquet")))
-    ]
-    old = (
-        pa.concat_tables(olds).to_pandas()
-        if olds
-        else pd.DataFrame(columns=["value", "conv_id", "n_turns"])
-    )
-    merged = old.merge(delta, on=["value", "conv_id"], how="outer")
-    merged["n_turns"] = merged["n_turns"].fillna(0) + merged["d"].fillna(0)
-    merged = merged[merged["n_turns"] > 0][["value", "conv_id", "n_turns"]]
-    merged["n_turns"] = merged["n_turns"].astype("int64")
-    pairs = pa.Table.from_pandas(merged, preserve_index=False)
-    _write_buckets(idx_dir, pairs, cur)
-    return {"column": column, "epoch": cur, "pairs": pairs.num_rows, "refreshed": True}
+    # materialize the narrowed delta (O(change rate)): its row count
+    # gates the empty-feed short-circuit for free via block metadata
+    delta = feed.map_batches(narrow_delta, batch_format="pandas").materialize()
+    touched: set[int] = set()
+    total = 0
+    if delta.count():
+        stats = bucketed_group_map(
+            delta,
+            ["bucket"],
+            _make_bucket_writer(idx_dir, cur, old_epoch=old_epoch),
+            num_buckets=N_BUCKETS,
+            pre_reduce=_combine_partials,
+        ).to_pandas()
+        touched = set(int(b) for b in stats["bucket"]) if len(stats) else set()
+        total = int(stats["pairs"].sum()) if len(stats) else 0
+
+    # carry untouched buckets into the new epoch (hardlink, copy fallback)
+    for b in range(N_BUCKETS):
+        if b in touched:
+            continue
+        old_path = _bucket_path(idx_dir, b, old_epoch)
+        if os.path.exists(old_path):
+            new_path = _bucket_path(idx_dir, b, cur)
+            try:
+                os.link(old_path, new_path)
+            except OSError:
+                shutil.copyfile(old_path, new_path)
+            total += pq.read_metadata(new_path).num_rows
+    _finalize_epoch(idx_dir, cur)
+    return {"column": column, "epoch": cur, "pairs": total, "refreshed": True}
 
 
 def index_lookup(table_root: str, column: str, value: str) -> list[str]:
-    """conv_ids whose live rows carry ``value`` — reads ONE bucket file."""
+    """conv_ids whose live rows carry ``value`` — reads ONE bucket file
+    (the exact epoch meta.json names; stray files from a crashed
+    refresh are invisible)."""
     idx_dir = _index_dir(table_root, column)
     meta = _load_meta(idx_dir)
     if meta is None:
         raise InvalidConfigError(f"no index on {column!r}; build_index first")
     b = int(_bucket_of(np.array([value]), meta["n_buckets"])[0])
-    files = glob.glob(os.path.join(idx_dir, f"bucket-{b:03d}-e*.parquet"))
-    if not files:
+    path = _bucket_path(idx_dir, b, int(meta["epoch"]))
+    if not os.path.exists(path):
         return []
-    t = pq.read_table(files[0], columns=["value", "conv_id"])
+    t = pq.read_table(path, columns=["value", "conv_id"])
     t = t.filter(pc.equal(t.column("value"), value))
     return sorted(t.column("conv_id").to_pylist())
 
