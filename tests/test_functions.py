@@ -1574,3 +1574,115 @@ def test_pagerank_join_mode_equals_broadcast_mode(ray_session):
     bc = bc.sort_values("vec_id", ignore_index=True)
     assert jn["vec_id"].tolist() == bc["vec_id"].tolist()
     assert jn["rank_micro"].tolist() == bc["rank_micro"].tolist()
+
+
+def test_rank_per_key_methods(ray_session):
+    """row_number/rank/dense against pandas ground truth, incl. ties."""
+    from wprdc_etl_ray.functions.relational import rank_per_key
+
+    df = pd.DataFrame(
+        {"k": ["a", "a", "a", "b", "b", "b", "b"], "o": [3, 1, 1, 5, 5, 5, 2]}
+    )
+    # row_number requires a unique order col
+    dfu = pd.DataFrame({"k": ["a", "a", "b", "b", "b"], "o": [3, 1, 9, 2, 5]})
+    got = (
+        rank_per_key(rd.from_pandas(dfu), "k", "o")
+        .to_pandas()
+        .sort_values(["k", "o"], ignore_index=True)
+    )
+    assert got["rn"].tolist() == [1, 2, 1, 2, 3]
+
+    for method, pd_method in (("rank", "min"), ("dense", "dense")):
+        got = (
+            rank_per_key(rd.from_pandas(df), "k", "o", method=method)
+            .to_pandas()
+            .sort_values(["k", "o"], ignore_index=True)
+        )
+        want = df.sort_values(["k", "o"], ignore_index=True)
+        want_r = want.groupby("k")["o"].rank(method=pd_method).astype("int64")
+        assert got["rn"].tolist() == want_r.tolist()
+
+    with pytest.raises(ValueError):
+        rank_per_key(rd.from_pandas(df), "k", "o", method="percent")
+
+
+def test_count_distinct_per_key_exact_across_batches(ray_session):
+    """Duplicates of the same (key,value) pair spread across many blocks
+    must count once — the two-phase distinct is globally exact."""
+    from wprdc_etl_ray.functions.relational import count_distinct_per_key
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame(
+        {"k": rng.integers(0, 7, 5000), "v": rng.integers(0, 23, 5000)}
+    )
+    ds = rd.from_pandas(df).repartition(16)
+    got = (
+        count_distinct_per_key(ds, "k", "v")
+        .to_pandas()
+        .sort_values("k", ignore_index=True)
+    )
+    want = df.groupby("k")["v"].nunique()
+    assert got["n_distinct"].astype(int).tolist() == want.tolist()
+
+
+def test_quantiles_per_key_disc_convention(ray_session):
+    """Per-key quantile at sorted index ceil(q*n)-1 (DuckDB
+    quantile_disc) — probed directly on a crafted key."""
+    from wprdc_etl_ray.functions.relational import quantiles_per_key
+
+    df = pd.DataFrame(
+        {"k": ["x"] * 10 + ["y"] * 3, "v": list(range(10, 110, 10)) + [7, 5, 3]}
+    )
+    got = (
+        quantiles_per_key(rd.from_pandas(df), "k", "v", [0.25, 0.5, 0.9])
+        .to_pandas()
+        .sort_values("k", ignore_index=True)
+    )
+    # x: n=10 -> idx ceil(2.5)-1=2 -> 30; ceil(5)-1=4 -> 50; ceil(9)-1=8 -> 90
+    assert got.loc[0, ["q25", "q50", "q90"]].tolist() == [30, 50, 90]
+    # y sorted [3,5,7]: n=3 -> idx 0, 1, 2
+    assert got.loc[1, ["q25", "q50", "q90"]].tolist() == [3, 5, 7]
+
+
+def test_grouping_sets_matches_pandas(ray_session):
+    """Each requested set == an independent pandas aggregate; lvl is the
+    GROUPING_ID bitmask (leftmost key = MSB); unrequested sets absent."""
+    from wprdc_etl_ray.functions.relational import grouping_sets_agg
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame(
+        {
+            "a": rng.choice(["p", "q"], 400),
+            "b": rng.choice(["u", "v", "w"], 400),
+            "x": rng.integers(0, 100, 400),
+        }
+    )
+    out = grouping_sets_agg(
+        rd.from_pandas(df),
+        ["a", "b"],
+        [["a", "b"], ["b"], []],
+        [("", "count", "n"), ("x", "sum", "sx")],
+    ).to_pandas()
+
+    fine = out[out["lvl"] == 0]
+    want = df.groupby(["a", "b"]).agg(n=("x", "size"), sx=("x", "sum")).reset_index()
+    assert (
+        fine.sort_values(["a", "b"], ignore_index=True)[["n", "sx"]].astype(int).values
+        == want[["n", "sx"]].values
+    ).all()
+
+    byb = out[out["lvl"] == 2]  # 'a' rolled -> MSB set
+    assert byb["a"].isna().all()
+    wantb = df.groupby("b").agg(n=("x", "size"), sx=("x", "sum")).reset_index()
+    assert (
+        byb.sort_values("b", ignore_index=True)[["n", "sx"]].astype(int).values
+        == wantb[["n", "sx"]].values
+    ).all()
+
+    tot = out[out["lvl"] == 3]
+    assert len(tot) == 1 and int(tot["n"].iloc[0]) == 400
+    assert int(tot["sx"].iloc[0]) == int(df["x"].sum())
+    assert set(out["lvl"].unique()) == {0, 2, 3}  # (b) set only, no (a)
+
+    with pytest.raises(ValueError):
+        grouping_sets_agg(rd.from_pandas(df), ["a"], [["zzz"]], [("x", "sum", "sx")])

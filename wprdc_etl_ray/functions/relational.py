@@ -1395,3 +1395,181 @@ def lag_per_key(
         return out
 
     return bucketed_group_map(ds, [key_col], per_bucket)
+
+
+def rank_per_key(
+    ds: ray.data.Dataset,
+    key_col: str,
+    order_col: str,
+    out_col: str = "rn",
+    method: str = "row_number",
+) -> ray.data.Dataset:
+    """``ROW_NUMBER()`` / ``RANK()`` / ``DENSE_RANK()`` OVER
+    (PARTITION BY key ORDER BY order). ``method="row_number"`` needs
+    ``order_col`` unique within a key (ties are engine-nondeterministic,
+    same contract as ntile_per_key); ``"rank"`` and ``"dense"`` are
+    tie-stable. One bucketed exchange, one in-bucket sort + C kernel."""
+    if method not in ("row_number", "rank", "dense"):
+        raise ValueError(f"unknown rank method {method!r}")
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, order_col], kind="mergesort").reset_index(drop=True)
+        out = g[[key_col, order_col]].copy()
+        if method == "row_number":
+            out[out_col] = g.groupby(key_col, sort=False).cumcount().to_numpy() + 1
+        else:
+            out[out_col] = (
+                g.groupby(key_col, sort=False)[order_col]
+                .rank(method="min" if method == "rank" else "dense")
+                .astype("int64")
+                .to_numpy()
+            )
+        return out
+
+    return bucketed_group_map(ds, [key_col], per_bucket)
+
+
+def count_distinct_per_key(
+    ds: ray.data.Dataset,
+    key_col: str,
+    value_col: str,
+    out_col: str = "n_distinct",
+) -> ray.data.Dataset:
+    """Exact ``COUNT(DISTINCT value) GROUP BY key`` — the two-phase
+    shape that survives 100 TB: each batch first reduces to its DISTINCT
+    (key, value) pairs (Arrow group_by combiner — the exchange carries
+    pair cardinality, not the row stream), pairs co-locate on ONE hash
+    exchange keyed by (key, value) with a drop_duplicates pre-reduce
+    (receiver memory = O(distinct pairs per bucket)), each bucket emits
+    per-key partial counts, and a final tiny grouped sum folds the
+    partials. No global sort, no per-key state anywhere."""
+
+    def distinct_pairs(batch: pa.Table) -> pa.Table:
+        return (
+            batch.select([key_col, value_col])
+            .group_by([key_col, value_col])
+            .aggregate([])
+        )
+
+    pre = ds.map_batches(distinct_pairs, batch_format="pyarrow")
+
+    def pre_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates([key_col, value_col])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates([key_col, value_col])
+        out = d.groupby(key_col, as_index=False).size()
+        return out.rename(columns={"size": out_col})
+
+    partials = bucketed_group_map(
+        pre, [key_col, value_col], per_bucket, pre_reduce=pre_reduce
+    )
+    return grouped_agg(partials, [key_col], [(out_col, "sum", out_col)])
+
+
+def quantiles_per_key(
+    ds: ray.data.Dataset,
+    key_col: str,
+    value_col: str,
+    qs: list[float],
+    out_cols: list[str] | None = None,
+) -> ray.data.Dataset:
+    """Exact per-key discrete quantiles (``quantile_disc``: the value at
+    sorted index ``ceil(q·n) − 1``) — one row per key, one column per
+    requested q. One bucketed exchange co-locates each key, then a
+    single in-bucket sort + vectorized offset probe (no per-key Python).
+    The global-scan variant is ``pack.exact_quantiles``; this is its
+    PARTITION BY form."""
+    if out_cols is None:
+        out_cols = [f"q{int(round(q * 100)):02d}" for q in qs]
+    if len(out_cols) != len(qs):
+        raise ValueError("out_cols must match qs")
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.sort_values([key_col, value_col], kind="mergesort").reset_index(drop=True)
+        sizes = s.groupby(key_col, sort=False).size()
+        n = sizes.to_numpy()
+        starts = np.concatenate([[0], np.cumsum(n)[:-1]])
+        vals = s[value_col].to_numpy()
+        out = {key_col: sizes.index.to_numpy()}
+        for q, name in zip(qs, out_cols):
+            idx = starts + np.maximum(np.ceil(q * n).astype(np.int64) - 1, 0)
+            out[name] = vals[idx]
+        return pd.DataFrame(out)
+
+    return bucketed_group_map(ds, [key_col], per_bucket)
+
+
+def grouping_sets_agg(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    sets: list[list[str]],
+    specs: list[tuple[str, str, str]],
+) -> ray.data.Dataset:
+    """GROUP BY GROUPING SETS(sets) — the generic form ROLLUP and CUBE
+    specialize. Every set must be a subset of ``keys``; non-grouped key
+    columns come back NULL and ``lvl`` mirrors SQL ``GROUPING_ID`` over
+    ``keys`` (leftmost key most significant).
+
+    Scale shape (same as rollup_agg/cube_agg): the input is aggregated
+    ONCE at the finest level (all of ``keys``; partial pre-agg combiner
+    + one shuffle) and MATERIALIZED — each requested set re-aggregates
+    that small result (distinct key tuples, not input rows). Only
+    sum/count/min/max compose; derive averages from sum+count."""
+    for _, op, _ in specs:
+        if op not in ("sum", "count", "min", "max"):
+            raise ValueError(f"grouping sets cannot compose op {op!r}")
+    for s in sets:
+        extra = [k for k in s if k not in keys]
+        if extra:
+            raise ValueError(f"set {s} has keys outside {keys}: {extra}")
+    finest = grouped_agg(ds, keys, specs).materialize()
+    composed = [
+        (alias, "sum" if op in ("sum", "count") else op, alias)
+        for _, op, alias in specs
+    ]
+    aliases = [alias for _, _, alias in specs]
+    from ..schema import dataset_schema
+
+    fschema = dataset_schema(finest)
+
+    def widen(level_keys: list[str], lvl: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            cols: dict = {}
+            for k in keys:
+                if k in level_keys:
+                    cols[k] = batch.column(k)
+                else:
+                    cols[k] = pa.nulls(batch.num_rows, fschema.field(k).type)
+            for a in aliases:
+                cols[a] = batch.column(a)
+            cols["lvl"] = pa.array([lvl] * batch.num_rows, pa.int64())
+            return pa.table(cols)
+
+        return fn
+
+    out = None
+    for s in sets:
+        level_keys = [k for k in keys if k in s]  # canonical key order
+        lvl = sum(
+            1 << (len(keys) - 1 - j) for j, k in enumerate(keys) if k not in s
+        )
+        if level_keys == keys:
+            cur = finest
+        elif level_keys:
+            cur = grouped_agg(finest, level_keys, composed)
+        else:
+            from ray.data.aggregate import Max as _Max
+            from ray.data.aggregate import Min as _Min
+            from ray.data.aggregate import Sum as _Sum
+
+            import ray.data as _rd
+
+            aggs = [
+                {"sum": _Sum, "min": _Min, "max": _Max}[op](src, alias_name=alias)
+                for src, op, alias in composed
+            ]
+            cur = _rd.from_items([finest.aggregate(*aggs)])
+        wide = cur.map_batches(widen(level_keys, lvl), batch_format="pyarrow")
+        out = wide if out is None else out.union(wide)
+    return out

@@ -3437,6 +3437,179 @@ LIMIT 5
 """
 
 
+def q_event_rank(sf_dir: str):
+    """ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) — the
+    per-key rank window via one bucketed exchange (rank_per_key also
+    provides RANK/DENSE_RANK; those are tie-stable and pytest-covered)."""
+    from ..functions.relational import rank_per_key
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_id"])
+    out = rank_per_key(ds, "user_id", "event_id", out_col="rn")
+
+    def cast(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": batch["user_id"].astype("int64"),
+                "event_id": batch["event_id"].astype("int64"),
+                "rn": batch["rn"].astype("int64"),
+            }
+        )
+
+    return out.map_batches(cast, batch_format="pandas")
+
+
+SQL_EVENT_RANK = """
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(event_id AS BIGINT) AS event_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS BIGINT) AS rn
+FROM events
+"""
+
+
+def q_user_type_diversity(sf_dir: str):
+    """COUNT(DISTINCT event_type) per user — the exact two-phase
+    distinct count (per-batch distinct pairs → pair-keyed exchange →
+    per-key partial counts → tiny sum)."""
+    from ..functions.relational import count_distinct_per_key
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_type"])
+    out = count_distinct_per_key(ds, "user_id", "event_type", out_col="n_types")
+
+    def cast(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": batch["user_id"].astype("int64"),
+                "n_types": batch["n_types"].astype("int64"),
+            }
+        )
+
+    return out.map_batches(cast, batch_format="pandas")
+
+
+SQL_USER_TYPE_DIVERSITY = """
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+FROM events GROUP BY user_id
+"""
+
+
+def q_value_quantiles_by_type(sf_dir: str):
+    """Exact per-event-type value quartiles (cents) — quantiles_per_key,
+    the PARTITION BY form of the global exact_quantiles scan. Same
+    discrete convention as DuckDB quantile_disc (index ceil(q·n)−1)."""
+    from ..functions.relational import quantiles_per_key
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+    ds = ds.map_batches(_to_cents_cols(["value"]), batch_format="pyarrow")
+    out = quantiles_per_key(
+        ds, "event_type", "value", [0.25, 0.5, 0.75], out_cols=["q25", "q50", "q75"]
+    )
+
+    def cast(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": batch["event_type"].astype(str),
+                "q25": batch["q25"].astype("int64"),
+                "q50": batch["q50"].astype("int64"),
+                "q75": batch["q75"].astype("int64"),
+            }
+        )
+
+    return out.map_batches(cast, batch_format="pandas")
+
+
+SQL_VALUE_QUANTILES_BY_TYPE = """
+SELECT event_type,
+       CAST(quantile_disc(CAST(FLOOR(value * 100 + 0.5) AS BIGINT), 0.25) AS BIGINT) AS q25,
+       CAST(quantile_disc(CAST(FLOOR(value * 100 + 0.5) AS BIGINT), 0.50) AS BIGINT) AS q50,
+       CAST(quantile_disc(CAST(FLOOR(value * 100 + 0.5) AS BIGINT), 0.75) AS BIGINT) AS q75
+FROM events GROUP BY event_type
+"""
+
+
+def q_priority_sets(sf_dir: str):
+    """GROUP BY GROUPING SETS((priority, status), (status), ()) — the
+    generic OLAP form rollup/cube specialize; finest level aggregated
+    once, each requested set derived from the materialized result."""
+    from ..functions.relational import grouping_sets_agg
+
+    ds = read_table(
+        sf_dir, "orders", columns=["o_orderpriority", "o_orderstatus", "o_totalprice"]
+    )
+    ds = ds.map_batches(_to_cents_cols(["o_totalprice"]), batch_format="pyarrow")
+    out = grouping_sets_agg(
+        ds,
+        ["o_orderpriority", "o_orderstatus"],
+        [["o_orderpriority", "o_orderstatus"], ["o_orderstatus"], []],
+        [("", "count", "n"), ("o_totalprice", "sum", "sum_cents")],
+    )
+    return out.map_batches(_as_int64(["n", "sum_cents"]), batch_format="pyarrow")
+
+
+SQL_PRIORITY_SETS = """
+SELECT o_orderpriority, o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
+       CAST(GROUPING_ID(o_orderpriority, o_orderstatus) AS BIGINT) AS lvl
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderstatus), ())
+"""
+
+
+def q_part_coverage(sf_dir: str):
+    """FULL OUTER join of two partially-overlapping aggregates: small
+    parts (p_size ≤ 10) against heavy lineitem demand (quantity ≥ 40)
+    per part — unmatched rows survive from BOTH sides (the join type
+    the engine had not yet exercised through its empty-block-hardened
+    Dataset.join)."""
+    from ..functions.relational import grouped_agg, hash_join
+
+    parts = read_table(sf_dir, "part", columns=["p_partkey", "p_size"])
+    parts = filter_batches(parts, lambda t: pc.less_equal(t.column("p_size"), 10))
+    li = read_table(
+        sf_dir, "lineitem", columns=["l_partkey", "l_quantity", "l_extendedprice"]
+    )
+    li = filter_batches(li, lambda t: pc.greater_equal(t.column("l_quantity"), 40))
+    li = li.map_batches(_to_cents_cols(["l_extendedprice"]), batch_format="pyarrow")
+    demand = grouped_agg(
+        li, ["l_partkey"], [("", "count", "n_li"), ("l_extendedprice", "sum", "rev_cents")]
+    )
+    j = hash_join(
+        parts, demand, on="p_partkey", right_on="l_partkey", join_type="full_outer"
+    )
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        key = batch["p_partkey"]
+        if "l_partkey" in batch.columns:
+            key = key.fillna(batch["l_partkey"])
+        return pd.DataFrame(
+            {
+                "partkey": key.astype("int64"),
+                # nullable sides stay float64-with-NaN (the DuckDB→pandas
+                # null representation; values exact below 2^53)
+                "p_size": batch["p_size"].astype("float64"),
+                "n_li": batch["n_li"].astype("float64"),
+                "rev_cents": batch["rev_cents"].astype("float64"),
+            }
+        )
+
+    return j.map_batches(finish, batch_format="pandas")
+
+
+SQL_PART_COVERAGE = """
+WITH p AS (SELECT p_partkey, p_size FROM part WHERE p_size <= 10),
+d AS (
+  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_li,
+         CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
+  FROM lineitem WHERE l_quantity >= 40 GROUP BY l_partkey)
+SELECT CAST(COALESCE(p.p_partkey, d.l_partkey) AS BIGINT) AS partkey,
+       CAST(p.p_size AS DOUBLE) AS p_size,
+       CAST(d.n_li AS DOUBLE) AS n_li,
+       CAST(d.rev_cents AS DOUBLE) AS rev_cents
+FROM p FULL OUTER JOIN d ON p.p_partkey = d.l_partkey
+"""
+
+
 # --- registry ----------------------------------------------------------------
 
 
@@ -3537,6 +3710,11 @@ def queries():
         "cosine_lsh_pairs": q_cosine_lsh_pairs,
         "ivf_topk": q_ivf_topk,
         "ivf_topk_batch": q_ivf_topk_batch,
+        "event_rank": q_event_rank,
+        "user_type_diversity": q_user_type_diversity,
+        "value_quantiles_by_type": q_value_quantiles_by_type,
+        "priority_sets": q_priority_sets,
+        "part_coverage": q_part_coverage,
     }
 
 
@@ -3620,6 +3798,11 @@ def oracle_sql():
         "multimodal_pipeline": SQL_MULTIMODAL_PIPELINE,
         "knn_all": SQL_KNN_ALL,
         "cosine_topk": SQL_COSINE_TOPK,
+        "event_rank": SQL_EVENT_RANK,
+        "user_type_diversity": SQL_USER_TYPE_DIVERSITY,
+        "value_quantiles_by_type": SQL_VALUE_QUANTILES_BY_TYPE,
+        "priority_sets": SQL_PRIORITY_SETS,
+        "part_coverage": SQL_PART_COVERAGE,
         "lang_id": _sql_lang_id(),
         "simhash": _sql_simhash(),
         "simhash_pairs": _sql_simhash_pairs(),
