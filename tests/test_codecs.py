@@ -1,0 +1,225 @@
+"""Pure-stdlib codecs (functions/codecs.py) + the real-mode multimodal
+decode stages they unlock."""
+
+import io
+import struct
+import wave
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from wprdc_etl_ray.functions.codecs import (
+    CodecError,
+    decode_png,
+    decode_wav,
+    encode_png,
+    png_dimensions,
+)
+
+
+def test_png_roundtrip_gray_rgb_rgba():
+    rng = np.random.default_rng(5)
+    for shape in ((13, 17), (9, 21, 3), (7, 11, 4)):
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        data = encode_png(img)
+        out = decode_png(data)
+        assert out.shape == img.shape
+        assert (out == img).all()
+        w, h = png_dimensions(data)
+        assert (h, w) == img.shape[:2]
+
+
+def _png_with_filters(img: np.ndarray, filters: list[int]) -> bytes:
+    """Hand-build a PNG whose row r uses filter type filters[r] —
+    forward-filtering computed by an independent reference loop."""
+    h, w, ch = img.shape
+    assert len(filters) == h
+    recon = img.reshape(h, w * ch).astype(np.int64)
+    stride = w * ch
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+        if pa_ <= pb and pa_ <= pc_:
+            return a
+        return b if pb <= pc_ else c
+
+    raw = bytearray()
+    for y in range(h):
+        f = filters[y]
+        raw.append(f)
+        for i in range(stride):
+            x = recon[y, i]
+            left = recon[y, i - ch] if i >= ch else 0
+            up = recon[y - 1, i] if y > 0 else 0
+            ul = recon[y - 1, i - ch] if (y > 0 and i >= ch) else 0
+            if f == 0:
+                v = x
+            elif f == 1:
+                v = x - left
+            elif f == 2:
+                v = x - up
+            elif f == 3:
+                v = x - (left + up) // 2
+            else:
+                v = x - paeth(left, up, ul)
+            raw.append(v % 256)
+
+    def chunk(ctype, payload):
+        crc = zlib.crc32(ctype + payload) & 0xFFFFFFFF
+        return struct.pack(">I", len(payload)) + ctype + payload + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_all_five_filter_types():
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (10, 6, 3), dtype=np.uint8)
+    data = _png_with_filters(img, [0, 1, 2, 3, 4, 4, 3, 2, 1, 0])
+    out = decode_png(data)
+    assert (out == img).all()
+
+
+def test_png_palette():
+    plte = bytes(range(48))  # 16 palette entries
+    idx = np.array([[0, 1], [15, 7]], np.uint8)
+    raw = b"\x00" + bytes(idx[0]) + b"\x00" + bytes(idx[1])
+
+    def chunk(ctype, payload):
+        crc = zlib.crc32(ctype + payload) & 0xFFFFFFFF
+        return struct.pack(">I", len(payload)) + ctype + payload + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"PLTE", plte)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    out = decode_png(data)
+    want = np.frombuffer(plte, np.uint8).reshape(16, 3)[idx]
+    assert (out == want).all()
+
+
+def test_png_rejects_garbage():
+    with pytest.raises(CodecError):
+        decode_png(b"not a png at all")
+
+
+def _make_wav(samples: np.ndarray, rate: int, width: int) -> bytes:
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(samples.shape[1])
+        w.setsampwidth(width)
+        w.setframerate(rate)
+        w.writeframes(samples.astype(f"<i{width}" if width > 1 else "u1").tobytes())
+    return buf.getvalue()
+
+
+def test_wav_roundtrip_16bit_stereo():
+    rng = np.random.default_rng(2)
+    samples = rng.integers(-30000, 30000, (500, 2))
+    data = _make_wav(samples, 16000, 2)
+    out, rate = decode_wav(data)
+    assert rate == 16000
+    assert out.shape == (500, 2)
+    assert (out == samples).all()
+
+
+def test_image_decode_real_mode_reads_png_dims(ray_session):
+    from wprdc_etl_ray.functions.multimodal import ImageDecodeStub
+
+    rng = np.random.default_rng(4)
+    rows = []
+    for i, (h, w) in enumerate([(12, 34), (56, 7), (240, 320)]):
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        rows.append({"doc_id": i, "payload": encode_png(img), "want_w": w, "want_h": h})
+    t = pa.table(
+        {
+            "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+            "payload": pa.array([r["payload"] for r in rows], pa.binary()),
+        }
+    )
+    out = (
+        rd.from_arrow(t)
+        .map_batches(
+            ImageDecodeStub,
+            fn_constructor_kwargs={"mode": "real"},
+            batch_format="pyarrow",
+            concurrency=1,
+            batch_size=8,
+        )
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert out["width"].tolist() == [r["want_w"] for r in rows]
+    assert out["height"].tolist() == [r["want_h"] for r in rows]
+
+
+def test_decode_real_content_address_is_encoding_invariant(ray_session):
+    """Two different ENCODINGS of the same pixels (filter-0 vs mixed
+    filters) must share one content address in real mode — pixel-level
+    dedup is the invariant fake mode (encoded-byte md5) cannot give."""
+    from wprdc_etl_ray.functions.multimodal import DecodeStub
+
+    rng = np.random.default_rng(6)
+    img = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+    enc_a = encode_png(img)
+    enc_b = _png_with_filters(img, [4, 3, 2, 1, 0, 1, 2, 4])
+    assert enc_a != enc_b
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "payload": pa.array([enc_a, enc_b], pa.binary()),
+        }
+    )
+    out = (
+        rd.from_arrow(t)
+        .map_batches(
+            DecodeStub,
+            fn_constructor_kwargs={"mode": "real"},
+            batch_format="pyarrow",
+            concurrency=1,
+        )
+        .to_pandas()
+    )
+    assert out["content_md5"].nunique() == 1
+    assert (out["n_bytes"] == 8 * 8 * 3).all()
+
+
+def test_audio_features_real_mode(ray_session):
+    from wprdc_etl_ray.functions.multimodal import audio_features
+
+    rng = np.random.default_rng(8)
+    s0 = rng.integers(-2000, 2000, (300, 1))
+    s1 = np.full((100, 2), 1000, np.int64)  # rms exactly 1000.0
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "payload": pa.array(
+                [_make_wav(s0, 8000, 2), _make_wav(s1, 44100, 2)], pa.binary()
+            ),
+        }
+    )
+    out = (
+        audio_features(rd.from_arrow(t), mode="real", concurrency=1)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert out["sample_rate"].tolist() == [8000, 44100]
+    assert out["n_samples"].tolist() == [300, 100]
+    assert out.loc[1, "rms_milli"] == 1_000_000
+    want_rms = int(np.sqrt(np.mean(s0[:, 0].astype(np.float64) ** 2)) * 1000)
+    assert out.loc[0, "rms_milli"] == want_rms

@@ -1,14 +1,17 @@
 """Multimodal column plumbing: opaque ``binary`` payloads + typed
 metadata, processed by actor-pool ``map_batches`` stages.
 
-The container has no image/audio codecs, so the DECODE step is a
-clearly-marked stub (deterministic fake features / NotImplementedError
-for real codecs) — but the Ray-side plumbing is real and tested:
-binary columns stay in ``batch_format="pyarrow"`` end-to-end (pandas
+The container has no PIL/ffmpeg, so ``mode='fake'`` (the oracle-checked
+default) emits deterministic byte-derived features — but ``mode='real'``
+is now WIRED for the formats the engine can decode with pure
+stdlib+numpy (functions/codecs.py): PNG (full scanline decoder, all
+five filter types) and PCM WAV (stdlib ``wave``). Real mode on an
+undecodable payload raises ``CodecError`` naming the row, exactly as a
+libpng-backed stage would. The Ray-side plumbing is shared: binary
+columns stay in ``batch_format="pyarrow"`` end-to-end (pandas
 object-dtype round-trips are the documented pitfall for large binary),
-batch sizes are small because payload rows are wide, and the actor
-signature (decode state in ``__init__``) is exactly what a real
-decoder would use.
+batch sizes are small because payload rows are wide, and decode state
+lives in actor ``__init__``.
 """
 
 from __future__ import annotations
@@ -31,11 +34,13 @@ def attach_payload(batch: pa.Table, source_col: str = "text") -> pa.Table:
 class DecodeStub:
     """Actor-pool decode stage.
 
-    Real decoders (PIL/libsndfile/ffmpeg) are NOT in this container;
     ``mode='fake'`` emits deterministic pseudo-features (byte length +
-    md5 content address — the content-addressing step every multimodal
-    pipeline needs), ``mode='real'`` raises NotImplementedError to mark
-    exactly where the codec plugs in."""
+    md5 content address of the ENCODED bytes — the content-addressing
+    step every multimodal pipeline needs). ``mode='real'`` decodes each
+    payload as PNG (functions/codecs.py, stdlib zlib + numpy — no PIL)
+    and content-addresses the DECODED pixel buffer: two different
+    encodings of the same image share one address, which is the dedup
+    invariant real multimodal pipelines need."""
 
     def __init__(self, mode: str = "fake"):
         self.mode = mode
@@ -44,9 +49,28 @@ class DecodeStub:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.mode == "real":
-            raise NotImplementedError(
-                "real codec decode (PIL/ffmpeg) not available in this environment; "
-                "plug the decoder here — the surrounding plumbing is complete"
+            from .codecs import decode_png
+
+            payload = batch.column("payload")
+            arr = (
+                payload.combine_chunks()
+                if isinstance(payload, pa.ChunkedArray)
+                else payload
+            )
+            if arr.null_count:
+                arr = arr.fill_null(b"")
+            n_bytes, digests = [], []
+            for v in arr:
+                px = decode_png(v.as_py())
+                buf = px.tobytes()
+                n_bytes.append(len(buf))
+                digests.append(hashlib.md5(buf).hexdigest())
+            return pa.table(
+                {
+                    "doc_id": batch.column("doc_id"),
+                    "n_bytes": pa.array(n_bytes, pa.int64()),
+                    "content_md5": pa.array(digests, pa.string()),
+                }
             )
         payload = batch.column("payload")
         n_bytes = pc.binary_length(payload).cast(pa.int64())
@@ -98,8 +122,11 @@ class ImageDecodeStub:
     metadata. ``mode='fake'`` derives deterministic dimensions from the
     payload (width = 16 + first_byte % 240, height = 16 + n_bytes % 240)
     — a pure function of the bytes, so the driver oracle can reproduce
-    it in SQL; ``mode='real'`` raises where PIL plugs in. The payload
-    column stays Arrow binary end to end."""
+    it in SQL; ``mode='real'`` reads REAL dimensions from the PNG IHDR
+    (codecs.png_dimensions — O(33 bytes) per payload, no inflate).
+    Output schema is identical in both modes, so the downstream
+    resize/frame-sample stages run unchanged. The payload column stays
+    Arrow binary end to end."""
 
     def __init__(self, mode: str = "fake"):
         if mode not in ("fake", "real"):
@@ -108,7 +135,27 @@ class ImageDecodeStub:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.mode == "real":
-            raise NotImplementedError("plug PIL.Image.open here")
+            import numpy as np
+
+            from .codecs import png_dimensions
+
+            payload = batch.column("payload")
+            arr = (
+                payload.combine_chunks()
+                if isinstance(payload, pa.ChunkedArray)
+                else payload
+            )
+            if arr.null_count:
+                arr = arr.fill_null(b"")
+            dims = [png_dimensions(v.as_py()) for v in arr]
+            return pa.table(
+                {
+                    "doc_id": batch.column("doc_id"),
+                    "payload": arr,
+                    "width": pa.array([w for w, _ in dims], pa.int64()),
+                    "height": pa.array([h for _, h in dims], pa.int64()),
+                }
+            )
         import numpy as np
 
         payload = batch.column("payload")
@@ -200,3 +247,67 @@ def multimodal_pipeline(
         return out.append_column("sampled_frames", frames.column("sampled_frames"))
 
     return decoded.map_batches(combine, batch_format="pyarrow", batch_size=batch_size)
+
+
+class AudioDecodeStub:
+    """Audio-decode stage (actor pool): payload bytes → (sample_rate,
+    n_samples, rms_milli). ``mode='real'`` decodes PCM WAV via the
+    stdlib ``wave`` parser (codecs.decode_wav) and computes integer-
+    milli RMS over the first channel; ``mode='fake'`` derives the same
+    three columns deterministically from the bytes (rate = 8000 +
+    (first_byte % 5)·2000, n_samples = n_bytes // 2, rms from a byte
+    checksum) so pipelines are testable without audio fixtures."""
+
+    def __init__(self, mode: str = "fake"):
+        if mode not in ("fake", "real"):
+            raise ValueError(mode)
+        self.mode = mode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        payload = batch.column("payload")
+        arr = (
+            payload.combine_chunks() if isinstance(payload, pa.ChunkedArray) else payload
+        )
+        if arr.null_count:
+            arr = arr.fill_null(b"")
+        rates, counts, rms = [], [], []
+        for v in arr:
+            data = v.as_py()
+            if self.mode == "real":
+                from .codecs import decode_wav
+
+                samples, rate = decode_wav(data)
+                x = samples[:, 0].astype(np.float64)
+                r = float(np.sqrt(np.mean(x * x))) if len(x) else 0.0
+                rates.append(rate)
+                counts.append(samples.shape[0])
+                rms.append(int(r * 1000))
+            else:
+                first = data[0] if data else 0
+                rates.append(8000 + (first % 5) * 2000)
+                counts.append(len(data) // 2)
+                rms.append(sum(data[:64]) % 32768)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "sample_rate": pa.array(rates, pa.int64()),
+                "n_samples": pa.array(counts, pa.int64()),
+                "rms_milli": pa.array(rms, pa.int64()),
+            }
+        )
+
+
+def audio_features(
+    ds: ray.data.Dataset, mode: str = "fake", concurrency: int = 4, batch_size: int = 256
+) -> ray.data.Dataset:
+    """payload → audio metadata via the actor-pool decode stage (small
+    batches — audio payloads are wide rows)."""
+    return ds.map_batches(
+        AudioDecodeStub,
+        fn_constructor_kwargs={"mode": mode},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=batch_size,
+    )
