@@ -149,7 +149,11 @@ def test_multimodal_stub_and_real_mode(ray_session):
     import hashlib
 
     assert rows[0]["content_md5"] == hashlib.md5(b"abc").hexdigest()
-    with pytest.raises(NotImplementedError):
+    # real mode is a real PNG decoder now (tests/test_codecs.py): a
+    # non-PNG payload fails with the codec's error, not a stub marker
+    from wprdc_etl_ray.functions.codecs import CodecError
+
+    with pytest.raises(CodecError):
         DecodeStub(mode="real")(pa.table({"doc_id": [0], "payload": [b"x"]}))
 
 
@@ -619,7 +623,9 @@ def test_multimodal_pipeline_chain(ray_session):
         assert rows[i]["sampled_frames"] == min(4, 1 + len(b) // 16)
     import pytest as _pytest
 
-    with _pytest.raises(NotImplementedError):
+    from wprdc_etl_ray.functions.codecs import CodecError
+
+    with _pytest.raises(CodecError):  # real mode = real PNG decode now
         ImageDecodeStub(mode="real")(
             pa.table({"doc_id": [0], "payload": [b"x"]})
         )
@@ -1686,3 +1692,96 @@ def test_grouping_sets_matches_pandas(ray_session):
 
     with pytest.raises(ValueError):
         grouping_sets_agg(rd.from_pandas(df), ["a"], [["zzz"]], [("x", "sum", "sx")])
+
+
+def test_bloom_prefiltered_join_exact_and_selective(ray_session):
+    """bloom_prefilter='right' must return exactly the plain inner
+    join (the join resolves bloom FPs), and the prefilter must actually
+    drop non-matching big-side rows before the exchange."""
+    from wprdc_etl_ray.functions.relational import (
+        bloom_semi_filter,
+        build_key_bloom,
+        hash_join,
+    )
+
+    rng = np.random.default_rng(13)
+    big = pd.DataFrame(
+        {"k": rng.integers(0, 10_000, 20_000), "x": rng.integers(0, 100, 20_000)}
+    )
+    small = pd.DataFrame({"k": np.arange(0, 10_000, 100), "y": np.arange(100)})
+
+    plain = (
+        hash_join(rd.from_pandas(big), rd.from_pandas(small), on="k")
+        .to_pandas()
+        .sort_values(["k", "x"], ignore_index=True)
+    )
+    bloomed = (
+        hash_join(
+            rd.from_pandas(big),
+            rd.from_pandas(small),
+            on="k",
+            bloom_prefilter="right",
+        )
+        .to_pandas()
+        .sort_values(["k", "x"], ignore_index=True)
+    )
+    assert plain.equals(bloomed)
+
+    # selectivity: ~1% of keys match; the bloom keeps matches + ~1e-3 FPs
+    bf = build_key_bloom(rd.from_pandas(small), ["k"])
+    kept = bloom_semi_filter(rd.from_pandas(big), bf, ["k"]).count()
+    true_matches = int(big["k"].isin(small["k"]).sum())
+    assert kept >= true_matches  # superset, never drops a match
+    assert kept < len(big) * 0.05  # and actually selective
+
+    with pytest.raises(ValueError):
+        hash_join(
+            rd.from_pandas(big),
+            rd.from_pandas(small),
+            on="k",
+            join_type="left_outer",
+            bloom_prefilter="right",
+        )
+
+
+def test_set_ops_distinct_semantics(ray_session):
+    """INTERSECT/EXCEPT with duplicate rows across many blocks; results
+    are DISTINCT tuples (SQL semantics), multi-column keys supported."""
+    from wprdc_etl_ray.functions.relational import except_distinct, intersect_distinct
+
+    a = pd.DataFrame({"k": [1, 1, 2, 3, 4, 4], "g": ["x", "x", "y", "x", "y", "y"]})
+    b = pd.DataFrame({"k": [2, 4, 5], "g": ["y", "y", "x"]})
+    da, db = rd.from_pandas(a).repartition(4), rd.from_pandas(b).repartition(2)
+
+    inter = (
+        intersect_distinct(da, db, ["k", "g"])
+        .to_pandas()
+        .sort_values(["k", "g"], ignore_index=True)
+    )
+    assert list(map(tuple, inter.values)) == [(2, "y"), (4, "y")]
+
+    exc = (
+        except_distinct(da, db, ["k", "g"])
+        .to_pandas()
+        .sort_values(["k", "g"], ignore_index=True)
+    )
+    assert list(map(tuple, exc.values)) == [(1, "x"), (3, "x")]
+
+
+def test_explode_list_empty_and_null_lists(ray_session):
+    from wprdc_etl_ray.functions.relational import explode_list
+
+    t = pa.table(
+        {
+            "id": pa.array([10, 20, 30, 40], pa.int64()),
+            "xs": pa.array([[1.5, 2.5], [], None, [7.0]], pa.list_(pa.float64())),
+        }
+    )
+    out = (
+        explode_list(rd.from_arrow(t), ["id"], "xs")
+        .to_pandas()
+        .sort_values(["id", "pos"], ignore_index=True)
+    )
+    assert out["id"].tolist() == [10, 10, 40]
+    assert out["pos"].tolist() == [1, 2, 1]
+    assert out["val"].tolist() == [1.5, 2.5, 7.0]

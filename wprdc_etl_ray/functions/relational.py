@@ -155,6 +155,55 @@ def drop_empty_blocks(ds: ray.data.Dataset) -> ray.data.Dataset:
     return ray.data.from_arrow_refs(keep)
 
 
+def _key_hashes(batch: pa.Table, cols: list[str]) -> np.ndarray:
+    """Combined uint64 hash of a (multi-)column key — the add_bucket_multi
+    mix, exposed for bloom builds/probes so both sides hash identically."""
+    h = np.zeros(batch.num_rows, dtype=np.uint64)
+    for c in cols:
+        h = h * np.uint64(0x100000001B3) ^ _column_hash(batch.column(c))
+    return h
+
+
+def build_key_bloom(ds: ray.data.Dataset, cols: list[str], bits_per_key: int = 16):
+    """Bloom filter over one side's DISTINCT join-key hashes.
+
+    The build side is narrowed to per-batch unique 8-byte hashes before
+    anything reaches the driver (O(distinct keys) · 8 B — the build side
+    of a bloom join is the SMALL side by definition, same contract as
+    broadcast_join but what ships afterwards is O(bits), not the keys).
+    """
+    from .hashing import BloomFilter
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        h = np.unique(_key_hashes(batch, cols))
+        return pa.table({"h": pa.array(h.view(np.int64), pa.int64())})
+
+    hdf = (
+        ds.select_columns(cols)
+        .map_batches(per_batch, batch_format="pyarrow")
+        .to_pandas()
+    )
+    hs = np.unique(hdf["h"].to_numpy(np.int64).view(np.uint64))
+    bf = BloomFilter(max(1, len(hs)), bits_per_key=bits_per_key)
+    bf.add(hs)
+    return bf
+
+
+def bloom_semi_filter(
+    ds: ray.data.Dataset, bloom, cols: list[str]
+) -> ray.data.Dataset:
+    """Keep only rows whose key MIGHT exist in the bloom (superset —
+    FPs pass through; callers that need exactness resolve them
+    downstream, e.g. the join itself)."""
+    ref = ray.put(bloom)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        bf = ray.get(ref)
+        return batch.filter(pa.array(bf.contains(_key_hashes(batch, cols))))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def _strip_schema_metadata(batch: pa.Table) -> pa.Table:
     """Drop Arrow schema metadata before a Ray hash shuffle. Blocks that
     originated as pandas DataFrames carry b'pandas' schema metadata, and
@@ -174,9 +223,18 @@ def hash_join(
     join_type: str = "inner",
     num_partitions: int = 16,
     normalize: bool | str = "auto",
+    bloom_prefilter: str | None = None,
 ) -> ray.data.Dataset:
     """Partitioned hash join of two large Datasets (``Dataset.join`` —
     hash-partitioned on the key, Ray 2.49).
+
+    ``bloom_prefilter="right"`` builds a Bloom filter over the RIGHT
+    side's distinct key hashes and drops left rows that cannot match
+    BEFORE the all-to-all exchange ("left" is symmetric) — the classic
+    bloom join: when the probe side is selective, most of the big side
+    never leaves its node, and the join itself resolves the bloom's
+    false positives, so the result is exactly the plain join's. INNER
+    joins only (outer joins must keep unmatched rows).
 
     ``num_partitions`` is clamped to the cluster's CPU count: the join
     spawns one aggregator ACTOR per partition, and requesting more
@@ -190,6 +248,21 @@ def hash_join(
     that could carry them; True forces both sides; False skips (only
     when the caller guarantees exchange-produced inputs, e.g.
     bucketed_group_map output, which never emits empties)."""
+    on_cols = [on] if isinstance(on, str) else list(on)
+    r_cols = (
+        on_cols
+        if right_on is None
+        else ([right_on] if isinstance(right_on, str) else list(right_on))
+    )
+    if bloom_prefilter is not None:
+        if join_type != "inner":
+            raise ValueError("bloom_prefilter requires an inner join")
+        if bloom_prefilter == "right":
+            left = bloom_semi_filter(left, build_key_bloom(right, r_cols), on_cols)
+        elif bloom_prefilter == "left":
+            right = bloom_semi_filter(right, build_key_bloom(left, on_cols), r_cols)
+        else:
+            raise ValueError(f"bloom_prefilter must be 'left'/'right', got {bloom_prefilter!r}")
     if normalize == "auto":
         if _may_emit_schemaless_empties(left):
             left = drop_empty_blocks(left)
@@ -1395,6 +1468,98 @@ def lag_per_key(
         return out
 
     return bucketed_group_map(ds, [key_col], per_bucket)
+
+
+def _set_op(
+    a: ray.data.Dataset,
+    b: ray.data.Dataset,
+    cols: list[str],
+    keep: str,
+    num_buckets: int = 16,
+) -> ray.data.Dataset:
+    """Shared engine for INTERSECT/EXCEPT (DISTINCT semantics): each
+    side reduces per batch to its distinct key tuples (Arrow group_by
+    combiner) tagged with a side marker, ONE hash exchange co-locates
+    equal tuples, and the bucket kernel keeps side-0 tuples by side-1
+    membership. The exchange carries distinct-tuple cardinality, never
+    either row stream."""
+
+    def tag(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            t = batch.select(cols).group_by(cols).aggregate([])
+            return t.append_column(
+                "_side", pa.array(np.full(t.num_rows, side, np.int8))
+            )
+
+        return fn
+
+    both = a.map_batches(tag(0), batch_format="pyarrow").union(
+        b.map_batches(tag(1), batch_format="pyarrow")
+    )
+
+    def pre_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(cols + ["_side"])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(cols + ["_side"])
+        ina = d[d["_side"] == 0][cols]
+        inb = d[d["_side"] == 1][cols]
+        if keep == "intersect":
+            return ina.merge(inb, on=cols, how="inner")
+        m = ina.merge(inb, on=cols, how="left", indicator=True)
+        return m[m["_merge"] == "left_only"][cols]
+
+    return bucketed_group_map(both, cols, per_bucket, num_buckets=num_buckets)
+
+
+def intersect_distinct(
+    a: ray.data.Dataset, b: ray.data.Dataset, cols: list[str], num_buckets: int = 16
+) -> ray.data.Dataset:
+    """SQL ``INTERSECT`` (distinct tuples present in BOTH inputs)."""
+    return _set_op(a, b, cols, "intersect", num_buckets)
+
+
+def except_distinct(
+    a: ray.data.Dataset, b: ray.data.Dataset, cols: list[str], num_buckets: int = 16
+) -> ray.data.Dataset:
+    """SQL ``EXCEPT`` (distinct tuples of ``a`` absent from ``b``)."""
+    return _set_op(a, b, cols, "except", num_buckets)
+
+
+def explode_list(
+    ds: ray.data.Dataset,
+    id_cols: list[str],
+    list_col: str,
+    value_name: str = "val",
+    pos_col: str = "pos",
+    pos_base: int = 1,
+) -> ray.data.Dataset:
+    """UNNEST WITH ORDINALITY: one output row per list element, id
+    columns repeated, 1-based position (``pos_base``). Pure batch-local
+    Arrow kernels (list_value_length / list_flatten + numpy repeat) —
+    zero shuffle, zero Python per row; null/empty lists emit nothing."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        col = batch.column(list_col)
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        lens = (
+            pc.list_value_length(arr)
+            .fill_null(0)
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        flat = pc.list_flatten(arr)
+        total = int(lens.sum())
+        ends = np.cumsum(lens)
+        starts = ends - lens
+        pos = np.arange(total, dtype=np.int64) - np.repeat(starts, lens) + pos_base
+        take = pa.array(np.repeat(np.arange(len(arr), dtype=np.int64), lens))
+        cols = {c: batch.column(c).take(take) for c in id_cols}
+        cols[value_name] = flat
+        cols[pos_col] = pa.array(pos, pa.int64())
+        return pa.table(cols)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
 
 
 def rank_per_key(

@@ -3610,6 +3610,93 @@ FROM p FULL OUTER JOIN d ON p.p_partkey = d.l_partkey
 """
 
 
+def _priority_custkeys(sf_dir: str, priority: str):
+    ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
+    return filter_batches(
+        ds, lambda t: pc.equal(t.column("o_orderpriority"), priority)
+    ).select_columns(["o_custkey"])
+
+
+def q_urgent_only_customers(sf_dir: str):
+    """SQL EXCEPT: customers with URGENT orders but no LOW orders — the
+    distributed set-difference (per-batch distinct combiner, one tuple
+    exchange, bucket-local membership)."""
+    from ..functions.relational import except_distinct
+
+    out = except_distinct(
+        _priority_custkeys(sf_dir, "1-URGENT"),
+        _priority_custkeys(sf_dir, "5-LOW"),
+        ["o_custkey"],
+    )
+
+    def cast(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"o_custkey": batch["o_custkey"].astype("int64")})
+
+    return out.map_batches(cast, batch_format="pandas")
+
+
+SQL_URGENT_ONLY = """
+SELECT CAST(o_custkey AS BIGINT) AS o_custkey FROM (
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+  EXCEPT
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '5-LOW')
+"""
+
+
+def q_urgent_and_low_customers(sf_dir: str):
+    """SQL INTERSECT over the same split."""
+    from ..functions.relational import intersect_distinct
+
+    out = intersect_distinct(
+        _priority_custkeys(sf_dir, "1-URGENT"),
+        _priority_custkeys(sf_dir, "5-LOW"),
+        ["o_custkey"],
+    )
+
+    def cast(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"o_custkey": batch["o_custkey"].astype("int64")})
+
+    return out.map_batches(cast, batch_format="pandas")
+
+
+SQL_URGENT_AND_LOW = """
+SELECT CAST(o_custkey AS BIGINT) AS o_custkey FROM (
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+  INTERSECT
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '5-LOW')
+"""
+
+
+def q_embedding_unnest(sf_dir: str):
+    """UNNEST WITH ORDINALITY over the embedding list column — the
+    list→rows reshape (batch-local Arrow list_flatten, zero shuffle).
+    Values are the parquet doubles untouched, so the hash compare is
+    exact."""
+    from ..functions.relational import explode_list
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = explode_list(ds, ["vec_id"], "embedding", value_name="val", pos_col="pos")
+
+    def cast(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "vec_id": batch["vec_id"].astype("int64"),
+                "val": batch["val"].astype("float64"),
+                "pos": batch["pos"].astype("int64"),
+            }
+        )
+
+    return out.map_batches(cast, batch_format="pandas")
+
+
+SQL_EMBEDDING_UNNEST = """
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(unnest(embedding) AS DOUBLE) AS val,
+       CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos
+FROM embeddings
+"""
+
+
 # --- registry ----------------------------------------------------------------
 
 
@@ -3715,6 +3802,9 @@ def queries():
         "value_quantiles_by_type": q_value_quantiles_by_type,
         "priority_sets": q_priority_sets,
         "part_coverage": q_part_coverage,
+        "urgent_only_customers": q_urgent_only_customers,
+        "urgent_and_low_customers": q_urgent_and_low_customers,
+        "embedding_unnest": q_embedding_unnest,
     }
 
 
@@ -3803,6 +3893,9 @@ def oracle_sql():
         "value_quantiles_by_type": SQL_VALUE_QUANTILES_BY_TYPE,
         "priority_sets": SQL_PRIORITY_SETS,
         "part_coverage": SQL_PART_COVERAGE,
+        "urgent_only_customers": SQL_URGENT_ONLY,
+        "urgent_and_low_customers": SQL_URGENT_AND_LOW,
+        "embedding_unnest": SQL_EMBEDDING_UNNEST,
         "lang_id": _sql_lang_id(),
         "simhash": _sql_simhash(),
         "simhash_pairs": _sql_simhash_pairs(),
