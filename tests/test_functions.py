@@ -1785,3 +1785,64 @@ def test_explode_list_empty_and_null_lists(ray_session):
     assert out["id"].tolist() == [10, 10, 40]
     assert out["pos"].tolist() == [1, 2, 1]
     assert out["val"].tolist() == [1.5, 2.5, 7.0]
+
+
+def test_kmv_exact_below_k_and_accurate_above(ray_session):
+    from wprdc_etl_ray.functions.sketch import approx_count_distinct
+
+    # exact below k
+    small = pd.DataFrame({"v": np.arange(500) % 37})
+    est = approx_count_distinct(rd.from_pandas(small).repartition(4), ["v"], k=256)
+    assert est == 37
+
+    # ~3% at k=1024 over 50k distinct spread across blocks
+    big = pd.DataFrame({"v": np.arange(200_000) % 50_000})
+    est = approx_count_distinct(rd.from_pandas(big).repartition(16), ["v"], k=1024)
+    assert abs(est - 50_000) / 50_000 < 0.10
+
+
+def test_kmv_per_key_merges_across_blocks(ray_session):
+    """Distributed per-key KMV == a single-machine KMV over the same
+    hashes (mergeability), and exact for keys below k."""
+    from wprdc_etl_ray.functions.sketch import approx_count_distinct_per_key
+
+    rng = np.random.default_rng(17)
+    df = pd.DataFrame(
+        {
+            "k": np.repeat(["a", "b", "c"], 4000),
+            "v": np.concatenate(
+                [
+                    rng.integers(0, 50, 4000),      # 'a': 50 distinct < k
+                    rng.integers(0, 2_000, 4000),   # 'b': ~2000 distinct > k=256
+                    np.arange(4000),                # 'c': all distinct
+                ]
+            ),
+        }
+    )
+    out = (
+        approx_count_distinct_per_key(
+            rd.from_pandas(df).repartition(8), "k", ["v"], k=256
+        )
+        .to_pandas()
+        .set_index("k")["approx_distinct"]
+    )
+    want = df.groupby("k")["v"].nunique()
+    assert out["a"] == want["a"]  # exact below k
+    for key in ("b", "c"):
+        assert abs(out[key] - want[key]) / want[key] < 0.25
+
+
+def test_lead_per_key_mirrors_lag(ray_session):
+    from wprdc_etl_ray.functions.relational import lead_per_key
+
+    df = pd.DataFrame(
+        {"k": ["a", "a", "a", "b", "b"], "o": [1, 2, 3, 1, 2], "v": [10, 20, 30, 7, 8]}
+    )
+    out = (
+        lead_per_key(rd.from_pandas(df), "k", "o", "v")
+        .to_pandas()
+        .sort_values(["k", "o"], ignore_index=True)
+    )
+    got = out["lead_value"].tolist()
+    assert got[0] == 20 and got[1] == 30 and pd.isna(got[2])
+    assert got[3] == 8 and pd.isna(got[4])

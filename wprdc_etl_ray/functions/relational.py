@@ -1470,6 +1470,25 @@ def lag_per_key(
     return bucketed_group_map(ds, [key_col], per_bucket)
 
 
+def lead_per_key(
+    ds: ray.data.Dataset,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    out_col: str = "lead_value",
+) -> ray.data.Dataset:
+    """``LEAD(value) OVER (PARTITION BY key ORDER BY order)`` — the
+    forward mirror of :func:`lag_per_key` (null on each key's last row)."""
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, order_col], kind="mergesort").reset_index(drop=True)
+        out = g[[key_col, order_col, value_col]].copy()
+        out[out_col] = g.groupby(key_col, sort=False)[value_col].shift(-1)
+        return out
+
+    return bucketed_group_map(ds, [key_col], per_bucket)
+
+
 def _set_op(
     a: ray.data.Dataset,
     b: ray.data.Dataset,

@@ -1,0 +1,108 @@
+"""Mergeable sketches for cardinality at scale.
+
+KMV (k-minimum-values) approximate distinct count: keep the k smallest
+64-bit key hashes; with h_(k) the k-th smallest as a fraction of the
+hash space, distinct ≈ (k−1) / h_(k). Properties that matter here:
+
+- DETERMINISTIC: the hash is the engine's fixed key mix — no RNG, so
+  results are reproducible and testable (unlike sampled estimators).
+- EXACT below k: fewer than k distinct hashes ⇒ the sketch holds all
+  of them and reports the exact count.
+- MERGEABLE: union of sketches = k smallest of the concatenation —
+  per-batch partials merge associatively through any exchange, so the
+  distributed estimate equals the single-machine one bit-for-bit.
+- O(k) memory per (key ×) sketch regardless of input size — the
+  100-TB answer when `count_distinct_per_key`'s exact exchange (pair
+  cardinality) is itself too large.
+
+Standard error ≈ 1/√(k−2): k=1024 → ~3%.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from .relational import _key_hashes, bucketed_group_map, grouped_agg
+
+
+def _kmv_merge(hashes: np.ndarray, k: int) -> np.ndarray:
+    """k smallest DISTINCT uint64 hashes (sorted)."""
+    u = np.unique(hashes)  # sorted
+    return u[:k]
+
+
+def _kmv_estimate(mins: np.ndarray, k: int) -> int:
+    if len(mins) < k:
+        return int(len(mins))  # saw fewer than k distinct: exact
+    kth = float(mins[k - 1]) + 1.0
+    return int(round((k - 1) * (2.0**64) / kth))
+
+
+def approx_count_distinct(
+    ds: ray.data.Dataset, cols: list[str], k: int = 1024
+) -> int:
+    """Approximate global COUNT(DISTINCT cols...) in one streaming pass:
+    per-batch KMV partials (k · 8 B each), driver-side merge of the
+    partial min-arrays (O(k · batches) transient, O(k) resident)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = _kmv_merge(_key_hashes(batch, cols), k)
+        return pa.table({"h": pa.array(m.view(np.int64), pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    mins = _kmv_merge(parts["h"].to_numpy(np.int64).view(np.uint64), k)
+    return _kmv_estimate(mins, k)
+
+
+def approx_count_distinct_per_key(
+    ds: ray.data.Dataset,
+    key_col: str,
+    value_cols: list[str],
+    k: int = 256,
+    out_col: str = "approx_distinct",
+    num_buckets: int = 16,
+) -> ray.data.Dataset:
+    """Per-key KMV: each batch reduces to (key, k-min hash) rows, one
+    hash exchange co-locates a key's partials (pre-reduce keeps every
+    buffered key at ≤ k rows), the bucket kernel merges and estimates.
+    Per-key state is O(k) — a billion keys cost k·8 B each across the
+    cluster, never anything per-row."""
+
+    SIGN = np.uint64(1 << 63)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        t = pa.Table.from_pandas(batch, preserve_index=False)
+        h = _key_hashes(t, value_cols)
+        # store hashes sign-bit-flipped so int64 column order == uint64
+        # hash order (pandas has no uint64-safe sort through groupby)
+        df = pd.DataFrame(
+            {key_col: batch[key_col].to_numpy(), "_h": (h ^ SIGN).view(np.int64)}
+        )
+        df = df.drop_duplicates()
+        # keep k smallest per key (sort once, head per group)
+        df = df.sort_values([key_col, "_h"], kind="mergesort")
+        return df.groupby(key_col, sort=False).head(k)
+
+    pre = ds.map_batches(partial, batch_format="pandas")
+
+    def pre_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates().sort_values([key_col, "_h"], kind="mergesort")
+        return g.groupby(key_col, sort=False).head(k)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates().sort_values([key_col, "_h"], kind="mergesort")
+        g = g.groupby(key_col, sort=False).head(k)
+        out = []
+        for key, grp in g.groupby(key_col, sort=False):
+            flipped = np.sort(grp["_h"].to_numpy(np.int64))
+            mins = flipped.view(np.uint64) ^ SIGN  # back to hash domain
+            out.append({key_col: key, out_col: _kmv_estimate(mins, k)})
+        return pd.DataFrame(out, columns=[key_col, out_col])
+
+    return bucketed_group_map(
+        pre, [key_col], per_bucket, num_buckets=num_buckets, pre_reduce=pre_reduce
+    )
