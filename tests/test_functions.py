@@ -1846,3 +1846,20 @@ def test_lead_per_key_mirrors_lag(ray_session):
     got = out["lead_value"].tolist()
     assert got[0] == 20 and got[1] == 30 and pd.isna(got[2])
     assert got[3] == 8 and pd.isna(got[4])
+
+
+def test_first_per_key_is_argmin_mirror(ray_session):
+    from wprdc_etl_ray.functions.relational import first_per_key, latest_per_key
+
+    df = pd.DataFrame(
+        {
+            "k": ["a", "a", "a", "b", "b"],
+            "o": [3, 1, 2, 9, 4],
+            "v": [30, 10, 20, 90, 40],
+        }
+    )
+    ds = rd.from_pandas(df).repartition(3)
+    first = first_per_key(ds, ["k"], ["o"]).to_pandas().sort_values("k", ignore_index=True)
+    last = latest_per_key(ds, ["k"], ["o"]).to_pandas().sort_values("k", ignore_index=True)
+    assert first["v"].tolist() == [10, 40]
+    assert last["v"].tolist() == [30, 90]

@@ -826,16 +826,16 @@ def grouped_agg(
 
 
 def argmax_per_key(
-    table: pa.Table, key_cols: list[str], order_cols: list[str]
+    table: pa.Table, key_cols: list[str], order_cols: list[str], keep: str = "last"
 ) -> pa.Table:
-    """Keep the (order_cols)-max row per key — vectorized sort + boundary
-    mask, the same kernel shape as the CDC LWW merge (stages/merge.py)."""
+    """Keep the (order_cols)-max row per key (``keep="last"``) or -min
+    row (``keep="first"``) — vectorized sort + boundary mask, the same
+    kernel shape as the CDC LWW merge (stages/merge.py)."""
     sort_keys = [(c, "ascending") for c in key_cols + order_cols]
     t = table.sort_by(sort_keys).combine_chunks()
     n = t.num_rows
     if n == 0:
         return t
-    last = np.ones(n, dtype=bool)
     for c in key_cols:
         col = t.column(c)
         if pa.types.is_integer(col.type):
@@ -852,8 +852,12 @@ def argmax_per_key(
             boundary = neq
         else:
             boundary = boundary | neq
-    last[:-1] = boundary
-    return t.filter(pa.array(last))
+    mask = np.ones(n, dtype=bool)
+    if keep == "last":
+        mask[:-1] = boundary
+    else:  # first row of each key run
+        mask[1:] = boundary
+    return t.filter(pa.array(mask))
 
 
 def latest_per_key(
@@ -880,6 +884,29 @@ def latest_per_key(
     # sort needed; the arg-max kernel sorts its narrow keys itself).
     # The kernel is its own combiner (idempotent, schema-preserving) —
     # passing it as pre_reduce bounds receiver memory to O(live keys).
+    return bucketed_group_map(
+        pre, [key_cols[0]], per_bucket, num_buckets=num_buckets, pre_reduce=per_bucket
+    )
+
+
+def first_per_key(
+    ds: ray.data.Dataset,
+    key_cols: list[str],
+    order_cols: list[str],
+    num_buckets: int = 16,
+) -> ray.data.Dataset:
+    """Earliest-row-per-key — :func:`latest_per_key` with the arg-MIN
+    kernel (same pre-reduce, same exchange)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return argmax_per_key(batch, key_cols, order_cols, keep="first")
+
+    pre = ds.map_batches(partial, batch_format="pyarrow")
+
+    def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        t = pa.Table.from_pandas(pdf, preserve_index=False)
+        return argmax_per_key(t, key_cols, order_cols, keep="first").to_pandas()
+
     return bucketed_group_map(
         pre, [key_cols[0]], per_bucket, num_buckets=num_buckets, pre_reduce=per_bucket
     )

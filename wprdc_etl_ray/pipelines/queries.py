@@ -3697,6 +3697,112 @@ FROM embeddings
 """
 
 
+def q_value_ohlc_daily(sf_dir: str):
+    """OHLC bars: per (event_type, day) the opening value (at the
+    earliest (ts, event_id)), high, low, close (latest) and count —
+    first/latest-per-key arg-min/max kernels + one combiner aggregate,
+    joined on the tiny per-bar keys. The time-series summarization every
+    event-stream warehouse job needs."""
+    from ..functions.relational import (
+        first_per_key,
+        grouped_agg,
+        hash_join,
+        latest_per_key,
+    )
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "ts", "event_id", "value"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(t.column("ts"), unit="day")
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "day": day,
+                "ts": t.column("ts"),
+                "event_id": t.column("event_id"),
+                "value": t.column("value"),
+            }
+        )
+
+    keyed = ds.map_batches(bucket, batch_format="pyarrow").map_batches(
+        _to_cents_cols(["value"]), batch_format="pyarrow"
+    )
+
+    hilo = grouped_agg(
+        keyed,
+        ["event_type", "day"],
+        [("value", "min", "low"), ("value", "max", "high"), ("", "count", "n")],
+    )
+
+    def day_us(b: pd.DataFrame) -> pd.DataFrame:
+        # join keys must agree on timestamp unit across all three inputs
+        b = b.copy()
+        b["day"] = b["day"].astype("datetime64[us]")
+        return b
+
+    hilo = hilo.map_batches(day_us, batch_format="pandas")
+    opens = first_per_key(keyed, ["event_type", "day"], ["ts", "event_id"])
+    closes = latest_per_key(keyed, ["event_type", "day"], ["ts", "event_id"])
+
+    def narrow(name: str):
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "event_type": b["event_type"],
+                    "day": b["day"].astype("datetime64[us]"),
+                    name: b["value"].astype("int64"),
+                }
+            )
+
+        return fn
+
+    j = hash_join(
+        hilo,
+        opens.map_batches(narrow("open"), batch_format="pandas"),
+        on=("event_type", "day"),
+    )
+    j = hash_join(
+        j,
+        closes.map_batches(narrow("close"), batch_format="pandas"),
+        on=("event_type", "day"),
+    )
+
+    def cast(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": b["event_type"].astype(str),
+                "day": b["day"].astype("datetime64[us]"),
+                "open": b["open"].astype("int64"),
+                "high": b["high"].astype("int64"),
+                "low": b["low"].astype("int64"),
+                "close": b["close"].astype("int64"),
+                "n": b["n"].astype("int64"),
+            }
+        )
+
+    return j.map_batches(cast, batch_format="pandas")
+
+
+SQL_VALUE_OHLC = """
+WITH c AS (
+  SELECT event_type, date_trunc('day', ts) AS day, ts, event_id,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events),
+r AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY event_type, day ORDER BY ts, event_id) AS rn_a,
+         ROW_NUMBER() OVER (PARTITION BY event_type, day ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM c)
+SELECT event_type, day,
+       CAST(MAX(CASE WHEN rn_a = 1 THEN cents END) AS BIGINT) AS open,
+       CAST(MAX(cents) AS BIGINT) AS high,
+       CAST(MIN(cents) AS BIGINT) AS low,
+       CAST(MAX(CASE WHEN rn_d = 1 THEN cents END) AS BIGINT) AS close,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM r GROUP BY event_type, day
+"""
+
+
 # --- registry ----------------------------------------------------------------
 
 
@@ -3805,6 +3911,7 @@ def queries():
         "urgent_only_customers": q_urgent_only_customers,
         "urgent_and_low_customers": q_urgent_and_low_customers,
         "embedding_unnest": q_embedding_unnest,
+        "value_ohlc_daily": q_value_ohlc_daily,
     }
 
 
@@ -3896,6 +4003,7 @@ def oracle_sql():
         "urgent_only_customers": SQL_URGENT_ONLY,
         "urgent_and_low_customers": SQL_URGENT_AND_LOW,
         "embedding_unnest": SQL_EMBEDDING_UNNEST,
+        "value_ohlc_daily": SQL_VALUE_OHLC,
         "lang_id": _sql_lang_id(),
         "simhash": _sql_simhash(),
         "simhash_pairs": _sql_simhash_pairs(),
