@@ -350,6 +350,12 @@ def add_bucket_multi(
     never round-trip through pandas object/tensor encodings)."""
 
     def fn(batch: pa.Table) -> pa.Table:
+        if batch.schema.metadata:
+            # pandas-origin blocks carry b'pandas' schema metadata, which
+            # makes pa.Schema unhashable and defeats Ray's schema-dedup
+            # in every downstream concat (see _strip_schema_metadata) —
+            # shed it here, upstream of ALL exchange traffic
+            batch = batch.replace_schema_metadata(None)
         h = np.zeros(batch.num_rows, dtype=np.uint64)
         for c in columns:
             h = h * np.uint64(0x100000001B3) ^ _column_hash(batch.column(c))
@@ -793,6 +799,8 @@ def grouped_agg(
             raise ValueError(f"unsupported op {op}")
 
     def partial(batch: pa.Table) -> pa.Table:
+        if batch.schema.metadata:
+            batch = batch.replace_schema_metadata(None)  # see add_bucket_multi
         g = batch.group_by(keys).aggregate(arrow_aggs)
         # rename partial columns to aliases (position-stable: pyarrow
         # appends aggregate columns after the key columns in spec order)
