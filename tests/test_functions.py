@@ -1863,3 +1863,39 @@ def test_first_per_key_is_argmin_mirror(ray_session):
     last = latest_per_key(ds, ["k"], ["o"]).to_pandas().sort_values("k", ignore_index=True)
     assert first["v"].tolist() == [10, 40]
     assert last["v"].tolist() == [30, 90]
+
+
+def test_cluster_layout_prunes_and_stays_exact(ray_session, tmp_path):
+    """Range clustering: the plan touches only zone-overlapping files;
+    the read equals a plain filter (boundary residual included)."""
+    from wprdc_etl_ray.functions.layout import cluster_plan, cluster_read, cluster_write
+
+    rng = np.random.default_rng(21)
+    df = pd.DataFrame(
+        {"id": np.arange(4000), "v": rng.integers(0, 10_000, 4000).astype("int64")}
+    )
+    root = str(tmp_path / "clustered")
+    res = cluster_write(rd.from_pandas(df).repartition(8), root, "v", num_files=4)
+    assert res["rows"] == 4000 and res["files"] == 4
+
+    # narrow interval: strictly fewer files than the full set
+    lo, hi = 2000, 3000
+    plan = cluster_plan(root, lo, hi)
+    assert 0 < len(plan) < 4
+
+    got = (
+        cluster_read(root, lo, hi)
+        .to_pandas()
+        .sort_values("id", ignore_index=True)[["id", "v"]]
+    )
+    want = (
+        df[(df.v >= lo) & (df.v <= hi)]
+        .sort_values("id", ignore_index=True)
+        .reset_index(drop=True)
+    )
+    assert got["id"].tolist() == want["id"].tolist()
+    assert got["v"].tolist() == want["v"].tolist()
+
+    # open-ended and empty intervals
+    assert cluster_read(root, lo=9_999_999).count() == 0
+    assert cluster_read(root, hi=None, lo=None).count() == 4000

@@ -3803,6 +3803,39 @@ FROM r GROUP BY event_type, day
 """
 
 
+def q_clustered_value_scan(sf_dir: str):
+    """Zone-map data skipping: events re-clustered by value (cents) into
+    range files once per sf (cached under /tmp), then a BETWEEN scan
+    reads only the overlapping files (pytest asserts the pruning; the
+    oracle checks exactness incl. the boundary residual filter)."""
+    import os
+
+    from ..functions.layout import cluster_read, cluster_write
+
+    sfname = os.path.basename(os.path.normpath(sf_dir))
+    root = f"/tmp/graft_cluster/{sfname}/events_value"
+    if not os.path.exists(os.path.join(root, "_CLUSTER.json")):
+        ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "value"])
+        ds = ds.map_batches(_to_cents_cols(["value"]), batch_format="pyarrow")
+        cluster_write(ds, root, "value", num_files=8)
+
+    scan = cluster_read(root, lo=2000, hi=5000)
+    out = grouped_agg(
+        scan, ["user_id"], [("", "count", "n"), ("value", "sum", "sum_cents")]
+    )
+    return out.map_batches(_as_int64(["user_id", "n", "sum_cents"]), batch_format="pyarrow")
+
+
+SQL_CLUSTERED_SCAN = """
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events
+WHERE CAST(FLOOR(value * 100 + 0.5) AS BIGINT) BETWEEN 2000 AND 5000
+GROUP BY user_id
+"""
+
+
 # --- registry ----------------------------------------------------------------
 
 
@@ -3912,6 +3945,7 @@ def queries():
         "urgent_and_low_customers": q_urgent_and_low_customers,
         "embedding_unnest": q_embedding_unnest,
         "value_ohlc_daily": q_value_ohlc_daily,
+        "clustered_value_scan": q_clustered_value_scan,
     }
 
 
@@ -4004,6 +4038,7 @@ def oracle_sql():
         "urgent_and_low_customers": SQL_URGENT_AND_LOW,
         "embedding_unnest": SQL_EMBEDDING_UNNEST,
         "value_ohlc_daily": SQL_VALUE_OHLC,
+        "clustered_value_scan": SQL_CLUSTERED_SCAN,
         "lang_id": _sql_lang_id(),
         "simhash": _sql_simhash(),
         "simhash_pairs": _sql_simhash_pairs(),
