@@ -1899,3 +1899,34 @@ def test_cluster_layout_prunes_and_stays_exact(ray_session, tmp_path):
     # open-ended and empty intervals
     assert cluster_read(root, lo=9_999_999).count() == 0
     assert cluster_read(root, hi=None, lo=None).count() == 4000
+
+
+def test_linreg_per_key_matches_numpy_exact(ray_session):
+    """Distributed integer OLS == numpy closed form (floored micro),
+    incl. negative slopes and a zero-variance key (nulls)."""
+    from wprdc_etl_ray.functions.stats import linreg_per_key
+
+    rng = np.random.default_rng(23)
+    x = rng.integers(0, 24, 3000)
+    rows = []
+    for k, slope, icept in (("up", 35, 100), ("down", -50, 9000)):
+        noise = rng.integers(-40, 41, 3000)
+        rows.append(pd.DataFrame({"k": k, "x": x, "y": slope * x + icept + noise}))
+    rows.append(pd.DataFrame({"k": "flat", "x": 7, "y": rng.integers(0, 100, 50)}))
+    df = pd.concat(rows, ignore_index=True)
+
+    got = (
+        linreg_per_key(rd.from_pandas(df).repartition(8), "k", "x", "y")
+        .to_pandas()
+        .set_index("k")
+    )
+    for k in ("up", "down"):
+        g = df[df.k == k]
+        n, sx, sy = len(g), int(g.x.sum()), int(g.y.sum())
+        sxy, sxx = int((g.x * g.y).sum()), int((g.x * g.x).sum())
+        den = n * sxx - sx * sx
+        slope = (n * sxy - sx * sy) * 1_000_000 // den
+        icept = (sy * 1_000_000 - slope * sx) // n
+        assert int(got.loc[k, "slope_micro"]) == slope
+        assert int(got.loc[k, "intercept_micro"]) == icept
+    assert pd.isna(got.loc["flat", "slope_micro"])

@@ -3836,6 +3836,74 @@ GROUP BY user_id
 """
 
 
+def q_value_hour_regression(sf_dir: str):
+    """Per-event-type OLS of value (cents) on hour-of-day, in exact
+    integer micro-units — distributed normal equations (five int64
+    moment partials through one grouped aggregate, arbitrary-precision
+    finalize). The stats-layer pattern: never float running aggregates
+    across engines."""
+    from ..functions.stats import linreg_per_key
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "h": pc.hour(t.column("ts")).cast(pa.int64()),
+                "c": pc.cast(
+                    pc.floor(pc.add(pc.multiply(t.column("value"), 100.0), 0.5)),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    out = linreg_per_key(
+        ds.map_batches(prep, batch_format="pyarrow"), "event_type", "h", "c"
+    )
+
+    def cast(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": b["event_type"].astype(str),
+                "n": b["n"].astype("int64"),
+                "slope_micro": b["slope_micro"].astype("int64"),
+                "intercept_micro": b["intercept_micro"].astype("int64"),
+            }
+        )
+
+    return out.map_batches(cast, batch_format="pandas")
+
+
+SQL_VALUE_HOUR_REGRESSION = """
+WITH base AS (
+  SELECT event_type,
+         CAST(EXTRACT(hour FROM ts) AS BIGINT) AS h,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
+  FROM events),
+m AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(h) AS HUGEINT) AS sx, CAST(SUM(c) AS HUGEINT) AS sy,
+         CAST(SUM(h * c) AS HUGEINT) AS sxy, CAST(SUM(h * h) AS HUGEINT) AS sxx
+  FROM base GROUP BY event_type),
+s AS (
+  SELECT *, (n * sxy - sx * sy) * CAST(1000000 AS HUGEINT) AS num,
+         (n * sxx - sx * sx) AS den
+  FROM m),
+sl AS (  -- floored division: DuckDB // truncates, so subtract the positive mod
+  SELECT *, (num - ((num % den + den) % den)) // den AS slope FROM s),
+fin AS (
+  SELECT event_type, n, slope, (sy * CAST(1000000 AS HUGEINT) - slope * sx) AS num2
+  FROM sl)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n,
+       CAST(slope AS BIGINT) AS slope_micro,
+       CAST((num2 - ((num2 % n + n) % n)) // n AS BIGINT) AS intercept_micro
+FROM fin
+"""
+
+
 # --- registry ----------------------------------------------------------------
 
 
@@ -3946,6 +4014,7 @@ def queries():
         "embedding_unnest": q_embedding_unnest,
         "value_ohlc_daily": q_value_ohlc_daily,
         "clustered_value_scan": q_clustered_value_scan,
+        "value_hour_regression": q_value_hour_regression,
     }
 
 
@@ -4039,6 +4108,7 @@ def oracle_sql():
         "embedding_unnest": SQL_EMBEDDING_UNNEST,
         "value_ohlc_daily": SQL_VALUE_OHLC,
         "clustered_value_scan": SQL_CLUSTERED_SCAN,
+        "value_hour_regression": SQL_VALUE_HOUR_REGRESSION,
         "lang_id": _sql_lang_id(),
         "simhash": _sql_simhash(),
         "simhash_pairs": _sql_simhash_pairs(),
