@@ -172,6 +172,93 @@ def read_parquet_source(
     return ray.data.read_parquet(paths, columns=columns)
 
 
+def _expand_files(paths: str | list[str], suffixes: tuple[str, ...]) -> list[str]:
+    import glob as _glob
+    import os
+
+    if isinstance(paths, str):
+        paths = [paths]
+    files: list[str] = []
+    for p in paths:
+        if os.path.isdir(p):
+            for s in suffixes:
+                files.extend(_glob.glob(os.path.join(p, f"*{s}")))
+        else:
+            files.append(p)
+    if not files:
+        raise ConnectorError(f"no input files under {paths!r}")
+    return sorted(files)
+
+
+def _read_per_file(files: list[str], read_one, columns: list[str] | None):
+    """Distributed per-file reader for formats Ray has no native reader
+    for: the FILE LIST (not the bytes) is the dataset; each read task
+    opens its own file directly from storage — one task per file, the
+    same parallelism contract as read_parquet, nothing staged through
+    the object store twice."""
+
+    def load(batch: pa.Table) -> pa.Table:
+        tables = [read_one(p.as_py(), columns) for p in batch.column("path")]
+        return pa.concat_tables(tables, promote_options="permissive")
+
+    paths_ds = ray.data.from_arrow(pa.table({"path": pa.array(files, pa.string())}))
+    return paths_ds.map_batches(load, batch_format="pyarrow", batch_size=1)
+
+
+def read_orc_source(
+    paths: str | list[str], columns: list[str] | None = None
+) -> ray.data.Dataset:
+    """ORC source (pyarrow.orc; Ray 2.49 has no read_orc) — column
+    projection pushes into the ORC stripe reader."""
+    import pyarrow.orc as paorc
+
+    files = _expand_files(paths, (".orc",))
+
+    def read_one(path: str, cols):
+        return paorc.ORCFile(path).read(columns=cols)
+
+    return _read_per_file(files, read_one, columns)
+
+
+def read_ipc_source(
+    paths: str | list[str], columns: list[str] | None = None
+) -> ray.data.Dataset:
+    """Arrow IPC / Feather V2 source — the zero-parse interchange format
+    (memory-mapped; a WAL written as IPC needs no decode at all)."""
+    import pyarrow.feather as feather
+
+    files = _expand_files(paths, (".arrow", ".feather", ".ipc"))
+
+    def read_one(path: str, cols):
+        return feather.read_table(path, columns=cols, memory_map=True)
+
+    return _read_per_file(files, read_one, columns)
+
+
+def write_orc_sink(ds: ray.data.Dataset, out_dir: str) -> int:
+    """Partitioned ORC sink: one file per block, temp+rename publish.
+    Returns files written."""
+    import os
+
+    import pyarrow.orc as paorc
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write(batch: pa.Table) -> pa.Table:
+        if batch.num_rows:
+            name = hashlib.md5(
+                str((batch.num_rows, batch.column(0)[0].as_py())).encode()
+            ).hexdigest()[:12]
+            path = os.path.join(out_dir, f"part-{name}.orc")
+            tmp = f"{path}.{os.getpid()}.tmp"
+            paorc.write_table(batch, tmp)
+            os.replace(tmp, path)
+        return pa.table({"files": pa.array([1 if batch.num_rows else 0], pa.int64())})
+
+    stats = ds.map_batches(write, batch_format="pyarrow").to_pandas()
+    return int(stats["files"].sum())
+
+
 def fetch_url(url: str, dest_dir: str | None = None, timeout: float = 60.0) -> str:
     """Fetch ``url`` to a local file and return its path (streamed in
     4 MiB blocks — never whole-response-in-memory). ``urllib`` serves
@@ -219,6 +306,10 @@ def remote_file_connector(
         return read_json_source(path, **read_kwargs)
     if format == "parquet":
         return read_parquet_source(path, **read_kwargs)
+    if format == "orc":
+        return read_orc_source(path, **read_kwargs)
+    if format in ("ipc", "feather", "arrow"):
+        return read_ipc_source(path, **read_kwargs)
     raise ConnectorError(f"remote source {url!r}: unknown format {format!r}")
 
 
