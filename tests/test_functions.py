@@ -1930,3 +1930,37 @@ def test_linreg_per_key_matches_numpy_exact(ray_session):
         assert int(got.loc[k, "slope_micro"]) == slope
         assert int(got.loc[k, "intercept_micro"]) == icept
     assert pd.isna(got.loc["flat", "slope_micro"])
+
+
+def test_zorder_layout_prunes_on_both_dims(ray_session, tmp_path):
+    from wprdc_etl_ray.functions.layout import zorder_plan, zorder_read, zorder_write
+
+    rng = np.random.default_rng(31)
+    df = pd.DataFrame(
+        {
+            "id": np.arange(8000),
+            "x": rng.integers(0, 10_000, 8000).astype("int64"),
+            "y": rng.integers(0, 10_000, 8000).astype("int64"),
+        }
+    )
+    root = str(tmp_path / "z")
+    res = zorder_write(rd.from_pandas(df).repartition(8), root, "x", "y", num_files=16)
+    assert res["rows"] == 8000
+
+    # a tight 2-D box touches a small corner of the rank space
+    box = zorder_plan(root, 1000, 2000, 1000, 2000)
+    assert 0 < len(box) < 16 // 2
+
+    # one-sided predicates prune too (each file is a rank-space quadrant)
+    xa = zorder_plan(root, a_lo=9000)
+    assert 0 < len(xa) < 16
+    yb = zorder_plan(root, b_hi=1000)
+    assert 0 < len(yb) < 16
+
+    got = (
+        zorder_read(root, 1000, 2000, 1000, 2000)
+        .to_pandas()
+        .sort_values("id", ignore_index=True)
+    )
+    want = df[(df.x >= 1000) & (df.x <= 2000) & (df.y >= 1000) & (df.y <= 2000)]
+    assert got["id"].tolist() == sorted(want["id"].tolist())

@@ -114,6 +114,144 @@ def cluster_plan(root: str, lo=None, hi=None) -> list[str]:
     return keep
 
 
+def _interleave16(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Morton-interleave two 16-bit rank spaces into one 32-bit z-value
+    (vectorized bit spreading)."""
+
+    def spread(x: np.ndarray) -> np.ndarray:
+        x = x.astype(np.uint64) & np.uint64(0xFFFF)
+        x = (x | (x << np.uint64(8))) & np.uint64(0x00FF00FF)
+        x = (x | (x << np.uint64(4))) & np.uint64(0x0F0F0F0F)
+        x = (x | (x << np.uint64(2))) & np.uint64(0x33333333)
+        x = (x | (x << np.uint64(1))) & np.uint64(0x55555555)
+        return x
+
+    return (spread(a) << np.uint64(1)) | spread(b)
+
+
+def zorder_write(
+    ds: ray.data.Dataset,
+    root: str,
+    col_a: str,
+    col_b: str,
+    num_files: int = 16,
+) -> dict:
+    """Z-ORDER two int64 columns: each value maps to its 16-bit global
+    RANK space (boundaries from the exact distributed quantiles — rank
+    space, not value space, so skewed distributions still interleave
+    evenly), ranks Morton-interleave into a z-value, files are z-ranges,
+    and ``_CLUSTER.json`` records BOTH columns' min/max per file — a
+    predicate on EITHER column (or both) prunes. The multi-dimensional
+    upgrade of :func:`cluster_write`."""
+    n_ranks = 256  # 8-bit rank per column is plenty for file-level zones
+    qs = [i / n_ranks for i in range(1, n_ranks)]
+    ba = exact_quantiles(ds, col_a, qs).column("value").to_numpy(zero_copy_only=False)
+    bb = exact_quantiles(ds, col_b, qs).column("value").to_numpy(zero_copy_only=False)
+    os.makedirs(root, exist_ok=True)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        va = batch.column(col_a).to_numpy(zero_copy_only=False)
+        vb = batch.column(col_b).to_numpy(zero_copy_only=False)
+        ra = np.searchsorted(ba, va, side="right")
+        rb = np.searchsorted(bb, vb, side="right")
+        z = _interleave16(ra, rb)
+        # file = top bits of z (z-range partitioning)
+        shift = np.uint64(max(0, 2 * 8 - int(np.log2(num_files))))
+        b = (z >> shift).astype(np.int64) % num_files
+        return batch.append_column("_range", pa.array(b))
+
+    def write_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        stats = []
+        for b, grp in g.groupby("_range", sort=False):
+            b = int(b)
+            out = grp.drop(columns=["_range"])
+            path = os.path.join(root, f"part-{b:03d}.parquet")
+            tmp = f"{path}.{os.getpid()}.tmp"
+            pq.write_table(pa.Table.from_pandas(out, preserve_index=False), tmp)
+            os.replace(tmp, path)
+            rec = {"file": f"part-{b:03d}.parquet", "rows": len(out)}
+            for c, tag in ((col_a, "a"), (col_b, "b")):
+                nn = out[c].dropna()
+                rec[f"{tag}min"] = int(nn.min()) if len(nn) else None
+                rec[f"{tag}max"] = int(nn.max()) if len(nn) else None
+            stats.append(rec)
+        return pd.DataFrame(
+            stats, columns=["file", "rows", "amin", "amax", "bmin", "bmax"]
+        )
+
+    stats = bucketed_group_map(
+        ds.map_batches(assign, batch_format="pyarrow"),
+        ["_range"],
+        write_bucket,
+        num_buckets=num_files,
+    ).to_pandas()
+    files = sorted(stats.to_dict("records"), key=lambda r: r["file"])
+    meta = {"zorder": [col_a, col_b], "files": files}
+    tmp = os.path.join(root, ".meta.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(root, _META))
+    return {"root": root, "files": len(files), "rows": int(stats["rows"].sum())}
+
+
+def zorder_plan(
+    root: str, a_lo=None, a_hi=None, b_lo=None, b_hi=None
+) -> list[str]:
+    """Files whose per-column zones overlap BOTH requested intervals."""
+    with open(os.path.join(root, _META)) as f:
+        meta = json.load(f)
+    keep = []
+    for rec in meta["files"]:
+        if rec["amin"] is None or rec["bmin"] is None:
+            continue
+        if a_lo is not None and rec["amax"] < a_lo:
+            continue
+        if a_hi is not None and rec["amin"] > a_hi:
+            continue
+        if b_lo is not None and rec["bmax"] < b_lo:
+            continue
+        if b_hi is not None and rec["bmin"] > b_hi:
+            continue
+        keep.append(os.path.join(root, rec["file"]))
+    return keep
+
+
+def zorder_read(
+    root: str,
+    a_lo=None,
+    a_hi=None,
+    b_lo=None,
+    b_hi=None,
+    columns: list[str] | None = None,
+) -> ray.data.Dataset:
+    """Zone-pruned 2-D range scan + residual vectorized filter."""
+    import pyarrow.compute as pc
+
+    with open(os.path.join(root, _META)) as f:
+        meta = json.load(f)
+    col_a, col_b = meta["zorder"]
+    files = zorder_plan(root, a_lo, a_hi, b_lo, b_hi)
+    if not files:
+        schema = pq.read_schema(os.path.join(root, meta["files"][0]["file"]))
+        if columns:
+            schema = pa.schema([schema.field(c) for c in columns])
+        return ray.data.from_arrow(schema.empty_table())
+    ds = ray.data.read_parquet(files, columns=columns)
+
+    def residual(t: pa.Table) -> pa.BooleanArray:
+        mask = pc.and_(pc.is_valid(t.column(col_a)), pc.is_valid(t.column(col_b)))
+        for c, lo, hi in ((col_a, a_lo, a_hi), (col_b, b_lo, b_hi)):
+            if lo is not None:
+                mask = pc.and_(mask, pc.greater_equal(t.column(c), lo))
+            if hi is not None:
+                mask = pc.and_(mask, pc.less_equal(t.column(c), hi))
+        return mask
+
+    return filter_batches(ds, residual)
+
+
 def cluster_read(
     root: str, lo=None, hi=None, columns: list[str] | None = None
 ) -> ray.data.Dataset:

@@ -3904,6 +3904,66 @@ FROM fin
 """
 
 
+def q_zorder_scan(sf_dir: str):
+    """Z-ordered 2-D data skipping: lineitem clustered on (price cents,
+    quantity) rank space, a 2-D BETWEEN box reads only zone-overlapping
+    files, then aggregates by return flag."""
+    import os
+
+    from ..functions.layout import zorder_read, zorder_write
+
+    sfname = os.path.basename(os.path.normpath(sf_dir))
+    root = f"/tmp/graft_cluster/{sfname}/li_zorder"
+    if not os.path.exists(os.path.join(root, "_CLUSTER.json")):
+        ds = read_table(
+            sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice", "l_quantity"]
+        )
+
+        def prep(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "l_returnflag": t.column("l_returnflag"),
+                    "price_cents": pc.cast(
+                        pc.floor(
+                            pc.add(pc.multiply(t.column("l_extendedprice"), 100.0), 0.5)
+                        ),
+                        pa.int64(),
+                    ),
+                    "qty": pc.cast(t.column("l_quantity"), pa.int64()),
+                }
+            )
+
+        zorder_write(
+            ds.map_batches(prep, batch_format="pyarrow"),
+            root,
+            "price_cents",
+            "qty",
+            num_files=16,
+        )
+
+    scan = zorder_read(root, a_lo=1_000_000, a_hi=3_000_000, b_lo=10, b_hi=20)
+    out = grouped_agg(
+        scan,
+        ["l_returnflag"],
+        [("", "count", "n"), ("price_cents", "sum", "sum_cents")],
+    )
+    return out.map_batches(_as_int64(["n", "sum_cents"]), batch_format="pyarrow")
+
+
+SQL_ZORDER_SCAN = """
+WITH c AS (
+  SELECT l_returnflag,
+         CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_cents,
+         CAST(l_quantity AS BIGINT) AS qty
+  FROM lineitem)
+SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(price_cents) AS BIGINT) AS sum_cents
+FROM c
+WHERE price_cents BETWEEN 1000000 AND 3000000 AND qty BETWEEN 10 AND 20
+GROUP BY l_returnflag
+"""
+
+
 # --- registry ----------------------------------------------------------------
 
 
@@ -4015,6 +4075,7 @@ def queries():
         "value_ohlc_daily": q_value_ohlc_daily,
         "clustered_value_scan": q_clustered_value_scan,
         "value_hour_regression": q_value_hour_regression,
+        "zorder_scan": q_zorder_scan,
     }
 
 
@@ -4109,6 +4170,7 @@ def oracle_sql():
         "value_ohlc_daily": SQL_VALUE_OHLC,
         "clustered_value_scan": SQL_CLUSTERED_SCAN,
         "value_hour_regression": SQL_VALUE_HOUR_REGRESSION,
+        "zorder_scan": SQL_ZORDER_SCAN,
         "lang_id": _sql_lang_id(),
         "simhash": _sql_simhash(),
         "simhash_pairs": _sql_simhash_pairs(),
