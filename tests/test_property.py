@@ -600,3 +600,51 @@ def test_cube_levels_consistent(rows):
     got_a = out[out.lvl == 1].set_index("a")["s"].astype(int)
     assert got_a.sort_index().to_dict() == want_a.sort_index().to_dict()
     assert int(out[out.lvl == 3]["s"].iloc[0]) == int(df["v"].sum())
+
+
+# --- round-4 operator properties (exchange-composed: few examples) ---
+
+pairs_st = st.lists(
+    st.tuples(st.integers(0, 5), st.sampled_from(["x", "y"])), min_size=0, max_size=30
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(a=pairs_st, b=pairs_st, part=st.integers(1, 5))
+def test_set_ops_match_pandas_any_partitioning(ray_session, a, b, part):
+    import ray.data as rd
+
+    from wprdc_etl_ray.functions.relational import except_distinct, intersect_distinct
+
+    fa = pd.DataFrame(a, columns=["k", "g"]) if a else pd.DataFrame({"k": pd.Series([], dtype="int64"), "g": pd.Series([], dtype="object")})
+    fb = pd.DataFrame(b, columns=["k", "g"]) if b else pd.DataFrame({"k": pd.Series([], dtype="int64"), "g": pd.Series([], dtype="object")})
+    if fa.empty or fb.empty:
+        return  # empty-side behavior covered by the example test
+    da = rd.from_pandas(fa).repartition(part)
+    db = rd.from_pandas(fb).repartition(part)
+    sa = set(map(tuple, fa.values))
+    sb = set(map(tuple, fb.values))
+
+    got_i = set(map(tuple, intersect_distinct(da, db, ["k", "g"]).to_pandas().values))
+    assert got_i == (sa & sb)
+    got_e = set(map(tuple, except_distinct(da, db, ["k", "g"]).to_pandas().values))
+    assert got_e == (sa - sb)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    vals=st.lists(st.integers(0, 40), min_size=1, max_size=200),
+    p1=st.integers(1, 3),
+    p2=st.integers(4, 8),
+)
+def test_kmv_estimate_partitioning_invariant(ray_session, vals, p1, p2):
+    """KMV is mergeable: the estimate cannot depend on how blocks split,
+    and below k it is the exact distinct count."""
+    import ray.data as rd
+
+    from wprdc_etl_ray.functions.sketch import approx_count_distinct
+
+    df = pd.DataFrame({"v": vals})
+    e1 = approx_count_distinct(rd.from_pandas(df).repartition(p1), ["v"], k=64)
+    e2 = approx_count_distinct(rd.from_pandas(df).repartition(p2), ["v"], k=64)
+    assert e1 == e2 == df["v"].nunique()  # domain 41 < k=64: exact
