@@ -1359,6 +1359,40 @@ def pivot_counts(
     return grouped_agg(partials, [index], [(v, "sum", v) for v in values])
 
 
+def pivot_sum(
+    ds: ray.data.Dataset,
+    index: str,
+    pivot_col: str,
+    values: list[str],
+    value_col: str,
+) -> ray.data.Dataset:
+    """PIVOT with SUM (``SUM(value) FILTER (WHERE col = v)`` per listed
+    value) — same shape as :func:`pivot_counts`: wide int partial rows
+    built batch-locally (masked bincount-with-weights in exact int64),
+    ONE narrow exchange, composable final sums."""
+    import numpy as np
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = batch.column(index)
+        codes = pc.dictionary_encode(keys)
+        if isinstance(codes, pa.ChunkedArray):
+            codes = codes.combine_chunks()
+        idx = codes.indices.to_numpy(zero_copy_only=False)
+        uniq = codes.dictionary
+        pv = batch.column(pivot_col).to_numpy(zero_copy_only=False)
+        val = batch.column(value_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        cols: dict = {index: uniq}
+        for v in values:
+            mask = pv == v
+            acc = np.zeros(len(uniq), np.int64)
+            np.add.at(acc, idx[mask], val[mask])  # exact int64, no float pass
+            cols[v] = pa.array(acc, pa.int64())
+        return pa.table(cols)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return grouped_agg(partials, [index], [(v, "sum", v) for v in values])
+
+
 def melt(
     ds: ray.data.Dataset,
     id_cols: list[str],

@@ -3964,6 +3964,30 @@ GROUP BY l_returnflag
 """
 
 
+def q_event_value_pivot(sf_dir: str):
+    """PIVOT with SUM: per-user value cents widened per event type
+    before the shuffle (exact int64 masked scatter per batch) — the
+    aggregate companion to the count PIVOT."""
+    from ..functions.relational import pivot_sum
+
+    types = ["click", "error", "purchase", "signup", "view"]
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_type", "value"])
+    ds = ds.map_batches(_to_cents_cols(["value"]), batch_format="pyarrow")
+    out = pivot_sum(ds, "user_id", "event_type", types, "value")
+    return out.map_batches(_as_int64(["user_id"] + types), batch_format="pyarrow")
+
+
+SQL_EVENT_VALUE_PIVOT = """
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(COALESCE(SUM(CAST(FLOOR(value*100+0.5) AS BIGINT)) FILTER (WHERE event_type='click'), 0) AS BIGINT) AS click,
+       CAST(COALESCE(SUM(CAST(FLOOR(value*100+0.5) AS BIGINT)) FILTER (WHERE event_type='error'), 0) AS BIGINT) AS error,
+       CAST(COALESCE(SUM(CAST(FLOOR(value*100+0.5) AS BIGINT)) FILTER (WHERE event_type='purchase'), 0) AS BIGINT) AS purchase,
+       CAST(COALESCE(SUM(CAST(FLOOR(value*100+0.5) AS BIGINT)) FILTER (WHERE event_type='signup'), 0) AS BIGINT) AS signup,
+       CAST(COALESCE(SUM(CAST(FLOOR(value*100+0.5) AS BIGINT)) FILTER (WHERE event_type='view'), 0) AS BIGINT) AS view
+FROM events GROUP BY user_id
+"""
+
+
 # --- registry ----------------------------------------------------------------
 
 
@@ -4076,6 +4100,7 @@ def queries():
         "clustered_value_scan": q_clustered_value_scan,
         "value_hour_regression": q_value_hour_regression,
         "zorder_scan": q_zorder_scan,
+        "event_value_pivot": q_event_value_pivot,
     }
 
 
@@ -4171,6 +4196,7 @@ def oracle_sql():
         "clustered_value_scan": SQL_CLUSTERED_SCAN,
         "value_hour_regression": SQL_VALUE_HOUR_REGRESSION,
         "zorder_scan": SQL_ZORDER_SCAN,
+        "event_value_pivot": SQL_EVENT_VALUE_PIVOT,
         "lang_id": _sql_lang_id(),
         "simhash": _sql_simhash(),
         "simhash_pairs": _sql_simhash_pairs(),
