@@ -1,0 +1,97 @@
+"""Streaming tumbling-window aggregation (pipelines/window.py):
+watermark finalization, exactly-once emission, late-event accounting."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from wprdc_etl_ray.pipelines.window import StreamingWindowSession
+
+W = 100  # window width (us) for tests
+
+
+def _mk(keys, ts, vals):
+    return pa.table(
+        {
+            "k": pa.array([str(x) for x in keys], pa.string()),
+            "ts": pa.array(np.asarray(ts, np.int64), pa.timestamp("us")),
+            "v": pa.array(np.asarray(vals, np.int64), pa.int64()),
+        }
+    )
+
+
+def test_streamed_equals_batch_when_lateness_covers_disorder(ray_session):
+    rng = np.random.default_rng(41)
+    n = 5000
+    ts = np.cumsum(rng.integers(0, 5, n))  # increasing base time
+    ts = ts + rng.integers(-30, 31, n)  # bounded disorder < 50
+    keys = rng.choice(["a", "b", "c"], n)
+    vals = rng.integers(0, 100, n)
+
+    sess = StreamingWindowSession("k", "ts", "v", width_us=W, allowed_lateness_us=60, num_shards=4)
+    outs = []
+    for i in range(0, n, 500):  # 10 waves
+        outs.append(sess.feed(_mk(keys[i : i + 500], ts[i : i + 500], vals[i : i + 500])))
+    outs.append(sess.drain())
+    assert sess.stats()["late_dropped"] == 0
+    got = (
+        pa.concat_tables(outs)
+        .to_pandas()
+        .sort_values(["key", "wstart"], ignore_index=True)
+    )
+    # exactly-once: no (key, wstart) appears twice across waves
+    assert not got.duplicated(["key", "wstart"]).any()
+
+    df = pd.DataFrame({"key": keys.astype(str), "w": (ts // W) * W, "v": vals})
+    want = (
+        df.groupby(["key", "w"], as_index=False)
+        .agg(n=("v", "size"), s=("v", "sum"))
+        .sort_values(["key", "w"], ignore_index=True)
+    )
+    assert got["key"].tolist() == want["key"].tolist()
+    assert got["wstart"].tolist() == want["w"].tolist()
+    assert got["n"].tolist() == want["n"].tolist()
+    assert got["s"].tolist() == want["s"].tolist()
+    sess.shutdown()
+
+
+def test_late_events_are_counted_not_applied(ray_session):
+    sess = StreamingWindowSession("k", "ts", "v", width_us=W, allowed_lateness_us=0, num_shards=2)
+    out1 = sess.feed(_mk(["a", "a"], [50, 250], [1, 1]))
+    # watermark=250 -> window 0 (end 100) and 100 (end 200) sealed;
+    # window [0,100) emitted with n=1
+    got1 = out1.to_pandas()
+    assert got1[got1.wstart == 0]["n"].tolist() == [1]
+    # a straggler for the sealed window 0 must be dropped and counted
+    out2 = sess.feed(_mk(["a"], [60], [7]))
+    assert sess.stats()["late_dropped"] == 1
+    # ...and never re-emits the sealed window
+    all_rows = pd.concat([got1, out2.to_pandas(), sess.drain().to_pandas()])
+    assert not all_rows.duplicated(["key", "wstart"]).any()
+    assert int(all_rows[all_rows.wstart == 0]["n"].sum()) == 1  # 7 never applied
+    sess.shutdown()
+
+
+def test_wave_boundaries_do_not_change_results(ray_session):
+    """Same stream in 3 waves vs 7 waves -> identical final multiset."""
+    rng = np.random.default_rng(43)
+    n = 2100
+    ts = np.cumsum(rng.integers(0, 4, n)) + rng.integers(-10, 11, n)
+    keys = rng.choice(["x", "y"], n)
+    vals = rng.integers(0, 9, n)
+
+    def run(chunks):
+        sess = StreamingWindowSession("k", "ts", "v", width_us=W, allowed_lateness_us=20, num_shards=3)
+        outs = []
+        for lo in range(0, n, chunks):
+            outs.append(sess.feed(_mk(keys[lo : lo + chunks], ts[lo : lo + chunks], vals[lo : lo + chunks])))
+        outs.append(sess.drain())
+        sess.shutdown()
+        return (
+            pa.concat_tables(outs)
+            .to_pandas()
+            .sort_values(["key", "wstart"], ignore_index=True)
+        )
+
+    a, b = run(700), run(300)
+    assert a.equals(b)

@@ -3988,6 +3988,61 @@ FROM events GROUP BY user_id
 """
 
 
+def q_streaming_window(sf_dir: str):
+    """The streaming tumbling-window aggregator replayed over the events
+    table as an ordered stream (10 waves): with lateness covering the
+    stream's disorder, the finalized+drained stream must equal the
+    batch GROUP BY exactly — the streaming/batch unification contract."""
+    import pyarrow.parquet as pq_
+
+    from .window import StreamingWindowSession
+
+    t = pq_.read_table(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+    cents = pc.cast(
+        pc.floor(pc.add(pc.multiply(t.column("value"), 100.0), 0.5)), pa.int64()
+    )
+    t = pa.table(
+        {"event_type": t.column("event_type"), "ts": t.column("ts"), "v": cents}
+    ).sort_by([("ts", "ascending")])
+
+    day_us = 86_400_000_000
+    sess = StreamingWindowSession(
+        "event_type", "ts", "v", width_us=day_us, allowed_lateness_us=0, num_shards=4
+    )
+    outs = []
+    n = t.num_rows
+    step = max(1, n // 10)
+    for lo in range(0, n, step):
+        outs.append(sess.feed(t.slice(lo, step)))
+    outs.append(sess.drain())
+    assert sess.stats()["late_dropped"] == 0  # sorted feed: nothing late
+    sess.shutdown()
+    out = pa.concat_tables(outs)
+
+    def cast(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": b["key"].astype(str),
+                "wstart": b["wstart"].astype("int64"),
+                "n": b["n"].astype("int64"),
+                "s": b["s"].astype("int64"),
+            }
+        )
+
+    return cast(out.to_pandas())
+
+
+SQL_STREAMING_WINDOW = """
+SELECT event_type AS key,
+       CAST((epoch_us(ts) // 86400000000) * 86400000000 AS BIGINT) AS wstart,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS s
+FROM events GROUP BY 1, 2
+"""
+
+
 # --- registry ----------------------------------------------------------------
 
 
@@ -4101,6 +4156,7 @@ def queries():
         "value_hour_regression": q_value_hour_regression,
         "zorder_scan": q_zorder_scan,
         "event_value_pivot": q_event_value_pivot,
+        "streaming_window": q_streaming_window,
     }
 
 
@@ -4197,6 +4253,7 @@ def oracle_sql():
         "value_hour_regression": SQL_VALUE_HOUR_REGRESSION,
         "zorder_scan": SQL_ZORDER_SCAN,
         "event_value_pivot": SQL_EVENT_VALUE_PIVOT,
+        "streaming_window": SQL_STREAMING_WINDOW,
         "lang_id": _sql_lang_id(),
         "simhash": _sql_simhash(),
         "simhash_pairs": _sql_simhash_pairs(),

@@ -1,0 +1,204 @@
+"""Streaming tumbling-window aggregation with event-time watermarks —
+the continuous-query companion to the batch window ops
+(functions/relational: event_windows / sliding windows).
+
+Semantics (the standard streaming contract):
+
+- events carry an event-time column; windows are fixed-width tumbling
+  buckets of it (``floor(ts / width)``);
+- the WATERMARK trails the maximum event time seen by
+  ``allowed_lateness``: a window FINALIZES (emits once, immutably) when
+  the watermark passes its end;
+- events older than the watermark whose window already finalized are
+  counted in ``late_dropped`` (never silently lost, never mutate an
+  emitted result) — with ``allowed_lateness`` ≥ the stream's true
+  disorder no event is ever late and the finalized stream equals the
+  batch GROUP BY exactly (the oracle property).
+
+Scale shape: state is sharded over an actor pool by key hash — each
+actor holds only ITS keys' OPEN windows (O(keys/actor × open windows),
+independent of stream length); batches route once (the tail exchange
+pattern); the watermark is computed per wave on the driver (one max)
+and broadcast with the feed call. Finalized rows stream out of the
+actors as tiny tables; nothing re-reads history.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+
+@ray.remote(num_cpus=0)
+class _WindowShardActor:
+    """Open-window state for one key shard: (key, window_start) →
+    (count, sum). ``feed`` folds a pre-aggregated partial table and
+    finalizes every window whose end ≤ the watermark."""
+
+    def __init__(self, width_us: int):
+        self.width = int(width_us)
+        self.open: dict = {}  # (key, wstart) -> [n, s]
+        self.late_dropped = 0
+        self.finalized_upto: int = -(2**62)  # window starts below are sealed
+
+    def feed(self, partial: pa.Table, watermark_us: int) -> pa.Table:
+        keys = partial.column("key").to_pylist()
+        ws = partial.column("wstart").to_numpy(zero_copy_only=False)
+        ns = partial.column("n").to_numpy(zero_copy_only=False)
+        ss = partial.column("s").to_numpy(zero_copy_only=False)
+        for k, w, n, s in zip(keys, ws, ns, ss):
+            w = int(w)
+            if w < self.finalized_upto:
+                self.late_dropped += int(n)
+                continue
+            st = self.open.setdefault((k, w), [0, 0])
+            st[0] += int(n)
+            st[1] += int(s)
+        # finalize: window [w, w+width) is complete once watermark >= end
+        seal_below = (
+            (int(watermark_us) - self.width) // self.width + 1
+        ) * self.width  # first wstart whose end > watermark
+        out_rows = [
+            (k, w, st[0], st[1])
+            for (k, w), st in self.open.items()
+            if w + self.width <= int(watermark_us)
+        ]
+        for k, w, _, _ in out_rows:
+            del self.open[(k, w)]
+        self.finalized_upto = max(self.finalized_upto, seal_below)
+        out_rows.sort()
+        return pa.table(
+            {
+                "key": pa.array([r[0] for r in out_rows], pa.string()),
+                "wstart": pa.array([r[1] for r in out_rows], pa.int64()),
+                "n": pa.array([r[2] for r in out_rows], pa.int64()),
+                "s": pa.array([r[3] for r in out_rows], pa.int64()),
+            }
+        )
+
+    def drain(self) -> pa.Table:
+        """Close every remaining open window (end of stream)."""
+        rows = sorted((k, w, st[0], st[1]) for (k, w), st in self.open.items())
+        self.open.clear()
+        return pa.table(
+            {
+                "key": pa.array([r[0] for r in rows], pa.string()),
+                "wstart": pa.array([r[1] for r in rows], pa.int64()),
+                "n": pa.array([r[2] for r in rows], pa.int64()),
+                "s": pa.array([r[3] for r in rows], pa.int64()),
+            }
+        )
+
+    def stats(self) -> dict:
+        return {"open_windows": len(self.open), "late_dropped": self.late_dropped}
+
+
+class StreamingWindowSession:
+    """Continuous tumbling-window count+sum per key over an arriving
+    stream of Arrow batches.
+
+    ``feed(batch)`` pre-aggregates the batch to (key, window) partials
+    (vectorized — the exchange ships per-batch partials, never rows),
+    routes each shard's slice to its actor with the advanced watermark,
+    and returns any windows finalized by this wave. ``drain()`` closes
+    the rest. Exactly-once per window: a (key, wstart) row is emitted
+    by precisely one feed/drain call."""
+
+    def __init__(
+        self,
+        key_col: str,
+        ts_col: str,
+        value_col: str,
+        width_us: int,
+        allowed_lateness_us: int = 0,
+        num_shards: int = 8,
+    ):
+        self.key_col, self.ts_col, self.value_col = key_col, ts_col, value_col
+        self.width = int(width_us)
+        self.lateness = int(allowed_lateness_us)
+        self.num_shards = num_shards
+        self.actors = [_WindowShardActor.remote(self.width) for _ in range(num_shards)]
+        self.max_ts = -(2**62)
+
+    def _partials(self, batch: pa.Table) -> tuple[pd.DataFrame, int]:
+        df = pd.DataFrame(
+            {
+                "key": batch.column(self.key_col).to_pandas().astype(str),
+                "ts": batch.column(self.ts_col)
+                .cast(pa.timestamp("us"))
+                .cast(pa.int64())
+                .to_pandas(),
+                "v": batch.column(self.value_col).to_pandas().astype("int64"),
+            }
+        )
+        df["wstart"] = (df["ts"] // self.width) * self.width
+        g = (
+            df.groupby(["key", "wstart"], as_index=False)
+            .agg(n=("v", "size"), s=("v", "sum"))
+            .astype({"n": "int64", "s": "int64"})
+        )
+        return g, int(df["ts"].max()) if len(df) else self.max_ts
+
+    def feed(self, batch: pa.Table) -> pa.Table:
+        g, mx = self._partials(batch)
+        self.max_ts = max(self.max_ts, mx)
+        watermark = self.max_ts - self.lateness
+        from ..stages.partition import hash_strings
+
+        shard = (
+            hash_strings(pa.array(g["key"].to_numpy(object), pa.string()))
+            % np.uint64(self.num_shards)
+        ).astype(np.int64)
+        refs = []
+        for a in range(self.num_shards):
+            part = g[shard == a]
+            t = pa.table(
+                {
+                    "key": pa.array(part["key"].to_numpy(object), pa.string()),
+                    "wstart": pa.array(part["wstart"].to_numpy(np.int64), pa.int64()),
+                    "n": pa.array(part["n"].to_numpy(np.int64), pa.int64()),
+                    "s": pa.array(part["s"].to_numpy(np.int64), pa.int64()),
+                }
+            )
+            refs.append(self.actors[a].feed.remote(t, watermark))
+        outs = [t for t in ray.get(refs) if t.num_rows]
+        return (
+            pa.concat_tables(outs)
+            if outs
+            else pa.table(
+                {
+                    "key": pa.array([], pa.string()),
+                    "wstart": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "s": pa.array([], pa.int64()),
+                }
+            )
+        )
+
+    def drain(self) -> pa.Table:
+        outs = [t for t in ray.get([a.drain.remote() for a in self.actors]) if t.num_rows]
+        if not outs:
+            return pa.table(
+                {
+                    "key": pa.array([], pa.string()),
+                    "wstart": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "s": pa.array([], pa.int64()),
+                }
+            )
+        return pa.concat_tables(outs)
+
+    def stats(self) -> dict:
+        per = ray.get([a.stats.remote() for a in self.actors])
+        return {
+            "open_windows": sum(p["open_windows"] for p in per),
+            "late_dropped": sum(p["late_dropped"] for p in per),
+        }
+
+    def shutdown(self) -> None:
+        for a in self.actors:
+            ray.kill(a)
+        self.actors = []
