@@ -1128,3 +1128,27 @@ def test_full_lifecycle_kitchen_sink(ray_session, tmp_path, log):
     else:
         # retention ate the tag; the merged state remains authoritative
         assert read_transcripts_arrow(root).equals(merged_state)
+
+
+def test_index_nondefault_bucket_count_survives_refresh(ray_session, tmp_path, log):
+    """An index built with n_buckets != the module default must refresh
+    and look up with the RECORDED count (meta.json), not the constant."""
+    from wprdc_etl_ray.pipelines.index import build_index, index_lookup, refresh_index
+
+    write_wal(str(tmp_path), log, segment_rows=1000)
+    segs = sorted(glob.glob(str(tmp_path / "wal" / "seg-*.parquet")))
+    w1 = str(tmp_path / "w1")
+    os.makedirs(w1)
+    for s in segs[: len(segs) // 2]:
+        os.link(s, os.path.join(w1, os.path.basename(s)))
+    root = str(tmp_path / "t")
+    run_ingest(w1, root, CDCConfig(num_partitions=8))
+    r = build_index(root, "tool", n_buckets=4)
+    run_ingest(str(tmp_path / "wal"), root, CDCConfig(num_partitions=8))
+    r = refresh_index(root, "tool")
+    assert r["refreshed"] is True
+
+    oracle = replay_oracle_pandas(log).to_pandas()
+    for tool in sorted(oracle["tool"].dropna().unique()):
+        want = sorted(oracle[oracle["tool"] == tool]["conv_id"].unique())
+        assert index_lookup(root, "tool", tool) == want

@@ -161,10 +161,14 @@ def _make_bucket_writer(idx_dir: str, epoch: int, old_epoch: int | None):
     return write_buckets
 
 
-def build_index(table_root: str, column: str) -> dict:
+def build_index(table_root: str, column: str, n_buckets: int = N_BUCKETS) -> dict:
     """Full build: one narrow scan, per-batch partial (value, conv_id)
     counts, ONE hash exchange by index bucket; the owning task writes
-    its bucket file directly. Nothing index-sized crosses the driver."""
+    its bucket file directly. Nothing index-sized crosses the driver.
+    ``n_buckets`` sizes the bucket files (raise it for high-cardinality
+    indexed columns at scale); it is recorded in meta.json and every
+    refresh/lookup honors the RECORDED value, so the module default can
+    change without corrupting existing indexes."""
     from ..functions.relational import bucketed_group_map
 
     manifest = load_manifest(table_root)
@@ -188,7 +192,7 @@ def build_index(table_root: str, column: str) -> dict:
         g = g.rename_columns(["value", "conv_id", "n_turns"])
         g = g.set_column(2, "n_turns", g.column("n_turns").cast(pa.int64()))
         b = _bucket_of(
-            g.column("value").to_numpy(zero_copy_only=False), N_BUCKETS
+            g.column("value").to_numpy(zero_copy_only=False), n_buckets
         )
         return g.append_column("bucket", pa.array(b, pa.int64()))
 
@@ -198,10 +202,10 @@ def build_index(table_root: str, column: str) -> dict:
         pre,
         ["bucket"],
         _make_bucket_writer(idx_dir, epoch, old_epoch=None),
-        num_buckets=N_BUCKETS,
+        num_buckets=n_buckets,
         pre_reduce=_combine_partials,
     ).to_pandas()
-    _finalize_epoch(idx_dir, epoch)
+    _finalize_epoch(idx_dir, epoch, n_buckets=n_buckets)
     return {
         "column": column,
         "epoch": epoch,
@@ -236,6 +240,10 @@ def refresh_index(table_root: str, column: str) -> dict:
         "update_preimage": -1,
     }
 
+    # honor the bucket count the index was BUILT with (meta.json), not
+    # the module default — they may differ after a default change
+    n_buckets = int(meta.get("n_buckets", N_BUCKETS))
+
     def narrow_delta(batch: pd.DataFrame) -> pd.DataFrame:
         df = pd.DataFrame(
             {
@@ -246,7 +254,7 @@ def refresh_index(table_root: str, column: str) -> dict:
         ).dropna(subset=["value"])
         df["value"] = df["value"].astype(str)
         g = df.groupby(["value", "conv_id"], as_index=False)["n_turns"].sum()
-        g["bucket"] = _bucket_of(g["value"].to_numpy(object), N_BUCKETS)
+        g["bucket"] = _bucket_of(g["value"].to_numpy(object), n_buckets)
         return g[_EXCHANGE_COLS]
 
     # materialize the narrowed delta (O(change rate)): its row count
@@ -259,14 +267,14 @@ def refresh_index(table_root: str, column: str) -> dict:
             delta,
             ["bucket"],
             _make_bucket_writer(idx_dir, cur, old_epoch=old_epoch),
-            num_buckets=N_BUCKETS,
+            num_buckets=n_buckets,
             pre_reduce=_combine_partials,
         ).to_pandas()
         touched = set(int(b) for b in stats["bucket"]) if len(stats) else set()
         total = int(stats["pairs"].sum()) if len(stats) else 0
 
     # carry untouched buckets into the new epoch (hardlink, copy fallback)
-    for b in range(N_BUCKETS):
+    for b in range(n_buckets):
         if b in touched:
             continue
         old_path = _bucket_path(idx_dir, b, old_epoch)
@@ -277,7 +285,7 @@ def refresh_index(table_root: str, column: str) -> dict:
             except OSError:
                 shutil.copyfile(old_path, new_path)
             total += pq.read_metadata(new_path).num_rows
-    _finalize_epoch(idx_dir, cur)
+    _finalize_epoch(idx_dir, cur, n_buckets=n_buckets)
     return {"column": column, "epoch": cur, "pairs": total, "refreshed": True}
 
 
