@@ -129,3 +129,35 @@ def test_cli_table_services(ray_session, tmp_path, capsys):
         run(capsys, "check", root, wal)
     assert e.value.code == 0
     assert json.loads(capsys.readouterr().out.strip().splitlines()[-1])["equal"]
+
+
+def test_cli_cluster_layout(ray_session, tmp_path, capsys):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(3)
+    src = str(tmp_path / "in.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "id": np.arange(3000),
+                "v": rng.integers(0, 1000, 3000),
+                "w": rng.integers(0, 1000, 3000),
+            }
+        ),
+        src,
+    )
+    out_dir = str(tmp_path / "clustered")
+    out = run(capsys, "cluster", "write", out_dir, "--input", src, "--columns", "v", "--files", "4")
+    assert json.loads(out.strip().splitlines()[-1])["rows"] == 3000
+    out = run(capsys, "cluster", "plan", out_dir, "--lo", "100", "--hi", "150")
+    plan = json.loads(out.strip().splitlines()[-1])["files"]
+    assert 0 < len(plan) < 4
+
+    z_dir = str(tmp_path / "z")
+    out = run(capsys, "cluster", "write", z_dir, "--input", src, "--columns", "v,w", "--files", "16")
+    assert json.loads(out.strip().splitlines()[-1])["files"] == 16
+    out = run(capsys, "cluster", "plan", z_dir, "--lo", "100", "--hi", "200", "--b-lo", "800")
+    zplan = json.loads(out.strip().splitlines()[-1])["files"]
+    assert 0 < len(zplan) < 16

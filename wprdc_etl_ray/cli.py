@@ -289,6 +289,46 @@ def cmd_index(args):
         print(json.dumps(index_lookup(args.table_root, args.column, args.value)))
 
 
+def cmd_cluster(args):
+    """Range-cluster (1 column) or Z-order (2 columns) a parquet input
+    into a zone-mapped layout; `plan` shows which files a predicate
+    interval touches."""
+    _ray()
+    import ray.data as _rd
+
+    from .functions.layout import (
+        cluster_plan,
+        cluster_write,
+        zorder_plan,
+        zorder_write,
+    )
+
+    if args.action == "write":
+        ds = _rd.read_parquet(args.input)
+        cols = args.columns.split(",")
+        if len(cols) == 1:
+            print(json.dumps(cluster_write(ds, args.out, cols[0], num_files=args.files)))
+        elif len(cols) == 2:
+            print(
+                json.dumps(
+                    zorder_write(ds, args.out, cols[0], cols[1], num_files=args.files)
+                )
+            )
+        else:
+            print(json.dumps({"error": "1 (range) or 2 (z-order) columns"}))
+            sys.exit(1)
+    else:  # plan
+        import os as _os
+
+        with open(_os.path.join(args.out, "_CLUSTER.json")) as f:
+            meta = json.load(f)
+        if "zorder" in meta:
+            files = zorder_plan(args.out, args.lo, args.hi, args.b_lo, args.b_hi)
+        else:
+            files = cluster_plan(args.out, args.lo, args.hi)
+        print(json.dumps({"files": [_os.path.basename(f) for f in files]}))
+
+
 def cmd_changes(args):
     """Change feed between two committed epochs as JSON lines."""
     _ray()
@@ -431,6 +471,18 @@ def main(argv=None):
     sp.add_argument("column")
     sp.add_argument("--value", default=None)
     sp.set_defaults(fn=cmd_index)
+
+    sp = sub.add_parser("cluster")
+    sp.add_argument("action", choices=["write", "plan"])
+    sp.add_argument("out")
+    sp.add_argument("--input")
+    sp.add_argument("--columns", default="")
+    sp.add_argument("--files", type=int, default=16)
+    sp.add_argument("--lo", type=int, default=None)
+    sp.add_argument("--hi", type=int, default=None)
+    sp.add_argument("--b-lo", dest="b_lo", type=int, default=None)
+    sp.add_argument("--b-hi", dest="b_hi", type=int, default=None)
+    sp.set_defaults(fn=cmd_cluster)
 
     sp = sub.add_parser("changes")
     sp.add_argument("table_root")
