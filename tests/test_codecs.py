@@ -223,3 +223,17 @@ def test_audio_features_real_mode(ray_session):
     assert out.loc[1, "rms_milli"] == 1_000_000
     want_rms = int(np.sqrt(np.mean(s0[:, 0].astype(np.float64) ** 2)) * 1000)
     assert out.loc[0, "rms_milli"] == want_rms
+
+
+def test_png_random_filter_sequences_property():
+    """Hypothesis-style randomized matrix (seeded loop — no Ray, fast):
+    any per-row filter assignment decodes back to the source pixels."""
+    rng = np.random.default_rng(77)
+    for trial in range(25):
+        h = int(rng.integers(1, 12))
+        w = int(rng.integers(1, 12))
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        filters = rng.integers(0, 5, h).tolist()
+        data = _png_with_filters(img, filters)
+        out = decode_png(data)
+        assert (out == img).all(), (trial, h, w, filters)
