@@ -1964,3 +1964,24 @@ def test_zorder_layout_prunes_on_both_dims(ray_session, tmp_path):
     )
     want = df[(df.x >= 1000) & (df.x <= 2000) & (df.y >= 1000) & (df.y <= 2000)]
     assert got["id"].tolist() == sorted(want["id"].tolist())
+
+
+def test_rolling_range_includes_ts_peers(ray_session):
+    """SQL RANGE CURRENT ROW spans the whole peer group: two rows with
+    identical ts must both see each other's values."""
+    from wprdc_etl_ray.functions.relational import rolling_range_per_key
+
+    ts = pd.to_datetime(
+        ["2020-01-01 00:00:00", "2020-01-01 00:30:00", "2020-01-01 00:30:00",
+         "2020-01-01 02:00:00"]
+    )
+    df = pd.DataFrame({"k": ["u"] * 4, "ts": ts, "v": [10, 20, 30, 5]})
+    out = (
+        rolling_range_per_key(
+            rd.from_pandas(df), "k", "ts", "v", window_us=3_600_000_000
+        )
+        .to_pandas()
+        .sort_values(["ts", "v"], ignore_index=True)
+    )
+    # row0: only itself; rows 1+2: peers see 10+20+30; row3: outside window
+    assert out["range_sum"].tolist() == [10, 60, 60, 5]

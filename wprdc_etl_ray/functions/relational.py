@@ -1045,6 +1045,47 @@ def rolling_per_key(
     )
 
 
+def rolling_range_per_key(
+    ds: ray.data.Dataset,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    window_us: int,
+    out_col: str = "range_sum",
+    num_buckets: int = 16,
+) -> ray.data.Dataset:
+    """Time-interval rolling sum — ``SUM(v) OVER (PARTITION BY key
+    ORDER BY ts RANGE BETWEEN <window> PRECEDING AND CURRENT ROW)``:
+    for each row, the sum of values whose ts lies in
+    ``[ts_i − window, ts_i]`` within the key — INCLUDING ts-peers of
+    the current row (SQL RANGE CURRENT ROW spans the whole peer group).
+    One bucketed exchange; inside the bucket one sort + per-key prefix
+    sums with two vectorized ``searchsorted`` probes (no per-row
+    Python). The RANGE companion to :func:`rolling_per_key`'s ROWS
+    frame."""
+
+    def per_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        s = b.sort_values([key_col, ts_col], kind="mergesort").reset_index(drop=True)
+        ts = s[ts_col].astype("datetime64[us]").astype("int64").to_numpy()
+        v = s[value_col].to_numpy(np.int64)
+        csum = np.concatenate([[0], np.cumsum(v)])
+        out = np.empty(len(s), np.int64)
+        # per-key segments: probe within each key's slice
+        sizes = s.groupby(key_col, sort=False).size().to_numpy()
+        start = 0
+        for n in sizes:  # loop over KEYS' segments, probes vectorized
+            seg = ts[start : start + n]
+            lo = start + np.searchsorted(seg, seg - window_us, side="left")
+            hi = start + np.searchsorted(seg, seg, side="right")  # incl. peers
+            out[start : start + n] = csum[hi] - csum[lo]
+            start += n
+        s = s.copy()
+        s[out_col] = out
+        return s
+
+    return bucketed_group_map(ds, [key_col], per_bucket, num_buckets=num_buckets)
+
+
 def funnel_counts(
     ds: ray.data.Dataset,
     steps: list[str],

@@ -4043,6 +4043,41 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_rolling_hour_value(sf_dir: str):
+    """RANGE-frame window: each event's sum of the same user's value
+    cents over the trailing hour (ts-peers included, SQL RANGE
+    semantics) — prefix sums + two searchsorted probes per key segment."""
+    from ..functions.relational import rolling_range_per_key
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_id", "ts", "value"])
+    ds = ds.map_batches(_to_cents_cols(["value"]), batch_format="pyarrow")
+    out = rolling_range_per_key(
+        ds, "user_id", "ts", "value", window_us=3_600_000_000, out_col="hour_cents"
+    )
+
+    def cast(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": b["user_id"].astype("int64"),
+                "event_id": b["event_id"].astype("int64"),
+                "hour_cents": b["hour_cents"].astype("int64"),
+            }
+        )
+
+    return out.map_batches(cast, batch_format="pandas")
+
+
+SQL_ROLLING_HOUR = """
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(event_id AS BIGINT) AS event_id,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) OVER (
+            PARTITION BY user_id ORDER BY ts
+            RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS hour_cents
+FROM events
+"""
+
+
 # --- registry ----------------------------------------------------------------
 
 
@@ -4157,6 +4192,7 @@ def queries():
         "zorder_scan": q_zorder_scan,
         "event_value_pivot": q_event_value_pivot,
         "streaming_window": q_streaming_window,
+        "rolling_hour_value": q_rolling_hour_value,
     }
 
 
@@ -4254,6 +4290,7 @@ def oracle_sql():
         "zorder_scan": SQL_ZORDER_SCAN,
         "event_value_pivot": SQL_EVENT_VALUE_PIVOT,
         "streaming_window": SQL_STREAMING_WINDOW,
+        "rolling_hour_value": SQL_ROLLING_HOUR,
         "lang_id": _sql_lang_id(),
         "simhash": _sql_simhash(),
         "simhash_pairs": _sql_simhash_pairs(),
