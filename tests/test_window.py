@@ -95,3 +95,79 @@ def test_wave_boundaries_do_not_change_results(ray_session):
 
     a, b = run(700), run(300)
     assert a.equals(b)
+
+
+def _batch_sessions(keys, ts, gap):
+    df = pd.DataFrame({"key": np.asarray(keys).astype(str), "ts": np.asarray(ts, np.int64)})
+    s = df.sort_values(["key", "ts"], kind="mergesort").reset_index(drop=True)
+    brk = (s["key"] != s["key"].shift()) | (s["ts"].diff() > gap)
+    sid = brk.cumsum()
+    return (
+        s.groupby(sid, sort=False)
+        .agg(key=("key", "first"), session_start=("ts", "min"),
+             session_end=("ts", "max"), n=("ts", "size"))
+        .reset_index(drop=True)
+        .sort_values(["key", "session_start"], ignore_index=True)
+        .astype({"session_start": "int64", "session_end": "int64", "n": "int64"})
+    )
+
+
+def test_streaming_sessions_equal_batch_sessionize(ray_session):
+    from wprdc_etl_ray.pipelines.window import StreamingSessionizer
+
+    rng = np.random.default_rng(51)
+    n = 4000
+    base = np.cumsum(rng.integers(0, 40, n))  # frequent small gaps + natural breaks
+    ts = base + rng.integers(-15, 16, n)  # disorder < 31
+    keys = rng.choice(["a", "b", "c", "d"], n)
+    GAP = 120
+
+    sess = StreamingSessionizer("k", "ts", gap_us=GAP, allowed_lateness_us=40, num_shards=4)
+    outs = []
+    for lo in range(0, n, 400):
+        outs.append(sess.feed(_mk(keys[lo : lo + 400], ts[lo : lo + 400], np.zeros(min(400, n - lo)))))
+    outs.append(sess.drain())
+    assert sess.stats()["late_dropped"] == 0
+    got = (
+        pa.concat_tables(outs)
+        .to_pandas()
+        .sort_values(["key", "session_start"], ignore_index=True)
+    )
+    assert not got.duplicated(["key", "session_start"]).any()  # exactly-once
+    want = _batch_sessions(keys, ts, GAP)
+    assert got["key"].tolist() == want["key"].tolist()
+    assert got["session_start"].tolist() == want["session_start"].tolist()
+    assert got["session_end"].tolist() == want["session_end"].tolist()
+    assert got["n"].tolist() == want["n"].tolist()
+    sess.shutdown()
+
+
+def test_streaming_sessions_bridge_merges_open_sessions(ray_session):
+    """An out-of-order event BETWEEN two open sessions (within gap of
+    both) must fuse them into one."""
+    from wprdc_etl_ray.pipelines.window import StreamingSessionizer
+
+    sess = StreamingSessionizer("k", "ts", gap_us=150, allowed_lateness_us=10_000, num_shards=2)
+    sess.feed(_mk(["u", "u"], [1000, 1250], [0, 0]))  # two sessions, 250 apart
+    assert sess.stats()["open_sessions"] == 2
+    sess.feed(_mk(["u"], [1120], [0]))  # within 150 of both -> bridge
+    assert sess.stats()["open_sessions"] == 1
+    final = sess.drain().to_pandas()
+    assert final["session_start"].tolist() == [1000]
+    assert final["session_end"].tolist() == [1250]
+    assert final["n"].tolist() == [3]
+    sess.shutdown()
+
+
+def test_streaming_sessions_eager_late_policy(ray_session):
+    from wprdc_etl_ray.pipelines.window import StreamingSessionizer
+
+    sess = StreamingSessionizer("k", "ts", gap_us=50, allowed_lateness_us=0, num_shards=2)
+    out1 = sess.feed(_mk(["u", "u"], [100, 1000], [0, 0]))
+    # watermark 1000: session [100,100] sealed (end+gap=150 < 1000)
+    assert out1.to_pandas()["session_start"].tolist() == [100]
+    sess.feed(_mk(["u"], [120], [0]))  # straggler for the sealed session
+    assert sess.stats()["late_dropped"] == 1
+    final = sess.drain().to_pandas()
+    assert final["session_start"].tolist() == [1000]  # never re-emitted/merged
+    sess.shutdown()

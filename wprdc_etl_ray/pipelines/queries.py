@@ -4078,6 +4078,64 @@ FROM events
 """
 
 
+def q_streaming_sessions(sf_dir: str):
+    """Streaming gap-sessionization (30 min) replayed over the ordered
+    events stream — finalized+drained sessions must equal the batch
+    window-function sessionization exactly (one row per session with
+    start/end/count)."""
+    import pyarrow.parquet as pq_
+
+    from .window import StreamingSessionizer
+
+    t = pq_.read_table(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    t = pa.table(
+        {"user_id": t.column("user_id").cast(pa.string()), "ts": t.column("ts")}
+    ).sort_by([("ts", "ascending")])
+
+    sess = StreamingSessionizer(
+        "user_id", "ts", gap_us=30 * 60 * 1_000_000, allowed_lateness_us=0, num_shards=4
+    )
+    outs = []
+    n = t.num_rows
+    step = max(1, n // 10)
+    for lo in range(0, n, step):
+        outs.append(sess.feed(t.slice(lo, step)))
+    outs.append(sess.drain())
+    assert sess.stats()["late_dropped"] == 0
+    sess.shutdown()
+    out = pa.concat_tables(outs)
+
+    def cast(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": b["key"].astype("int64"),
+                "session_start": b["session_start"].astype("int64"),
+                "session_end": b["session_end"].astype("int64"),
+                "n": b["n"].astype("int64"),
+            }
+        )
+
+    return cast(out.to_pandas())
+
+
+SQL_STREAMING_SESSIONS = """
+WITH d AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+  FROM events),
+s AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM d)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(epoch_us(MIN(ts)) AS BIGINT) AS session_start,
+       CAST(epoch_us(MAX(ts)) AS BIGINT) AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM s GROUP BY user_id, sid
+"""
+
+
 # --- registry ----------------------------------------------------------------
 
 
@@ -4193,6 +4251,7 @@ def queries():
         "event_value_pivot": q_event_value_pivot,
         "streaming_window": q_streaming_window,
         "rolling_hour_value": q_rolling_hour_value,
+        "streaming_sessions": q_streaming_sessions,
     }
 
 
@@ -4291,6 +4350,7 @@ def oracle_sql():
         "event_value_pivot": SQL_EVENT_VALUE_PIVOT,
         "streaming_window": SQL_STREAMING_WINDOW,
         "rolling_hour_value": SQL_ROLLING_HOUR,
+        "streaming_sessions": SQL_STREAMING_SESSIONS,
         "lang_id": _sql_lang_id(),
         "simhash": _sql_simhash(),
         "simhash_pairs": _sql_simhash_pairs(),

@@ -96,6 +96,192 @@ class _WindowShardActor:
         return {"open_windows": len(self.open), "late_dropped": self.late_dropped}
 
 
+@ray.remote(num_cpus=0)
+class _SessionShardActor:
+    """Open gap-sessions for one key shard: per key a sorted list of
+    [start, end, n] intervals. Each feed merges the wave's per-key
+    mini-sessions in (bridging events can FUSE two open sessions — the
+    interval merge handles it) and finalizes sessions no on-time event
+    can ever extend: ``end + gap < watermark`` (an on-time event has
+    ts ≥ watermark, which is > end + gap, so it would start a new
+    session, never touch this one)."""
+
+    def __init__(self, gap_us: int):
+        self.gap = int(gap_us)
+        self.open: dict = {}  # key -> list[[start, end, n]] sorted by start
+        self.late_dropped = 0
+        self.sealed_wm = -(2**62)  # watermark of the LAST finalize pass
+
+    def feed(self, mini: pa.Table, watermark_us: int) -> pa.Table:
+        keys = mini.column("key").to_pylist()
+        starts = mini.column("start").to_numpy(zero_copy_only=False)
+        ends = mini.column("end").to_numpy(zero_copy_only=False)
+        ns = mini.column("n").to_numpy(zero_copy_only=False)
+        by_key: dict = {}
+        for k, st, en, n in zip(keys, starts, ends, ns):
+            # POLICY: a mini-session wholly behind the PREVIOUS finalize
+            # line (end + gap < sealed_wm) can only belong to sealed
+            # territory — dropped and counted; sealed sessions stay
+            # immutable. With lateness ≥ true disorder nothing ever
+            # falls behind the line (the exactness theorem the tests pin).
+            if int(en) + self.gap < self.sealed_wm:
+                self.late_dropped += int(n)
+                continue
+            by_key.setdefault(k, []).append([int(st), int(en), int(n)])
+        for k, newly in by_key.items():
+            merged = sorted(self.open.get(k, []) + newly)
+            out: list = []
+            for st, en, n in merged:
+                if out and st <= out[-1][1] + self.gap:
+                    out[-1][1] = max(out[-1][1], en)
+                    out[-1][2] += n
+                else:
+                    out.append([st, en, n])
+            self.open[k] = out
+        # finalize sealed sessions
+        wm = int(watermark_us)
+        rows = []
+        for k in list(self.open):
+            still = []
+            for st, en, n in self.open[k]:
+                if en + self.gap < wm:
+                    rows.append((k, st, en, n))
+                else:
+                    still.append([st, en, n])
+            if still:
+                self.open[k] = still
+            else:
+                del self.open[k]
+        self.sealed_wm = max(self.sealed_wm, wm)
+        rows.sort()
+        return pa.table(
+            {
+                "key": pa.array([r[0] for r in rows], pa.string()),
+                "session_start": pa.array([r[1] for r in rows], pa.int64()),
+                "session_end": pa.array([r[2] for r in rows], pa.int64()),
+                "n": pa.array([r[3] for r in rows], pa.int64()),
+            }
+        )
+
+    def drain(self) -> pa.Table:
+        rows = sorted(
+            (k, st, en, n) for k, ses in self.open.items() for st, en, n in ses
+        )
+        self.open.clear()
+        return pa.table(
+            {
+                "key": pa.array([r[0] for r in rows], pa.string()),
+                "session_start": pa.array([r[1] for r in rows], pa.int64()),
+                "session_end": pa.array([r[2] for r in rows], pa.int64()),
+                "n": pa.array([r[3] for r in rows], pa.int64()),
+            }
+        )
+
+    def stats(self) -> dict:
+        return {
+            "open_sessions": sum(len(s) for s in self.open.values()),
+            "late_dropped": self.late_dropped,
+        }
+
+
+class StreamingSessionizer:
+    """Continuous gap-based sessionization: per wave, events reduce to
+    per-key mini-sessions (vectorized sort + diff — the batch sessionize
+    kernel applied wave-locally), which route to shard actors whose
+    interval merge handles bridging and out-of-order arrival inside the
+    lateness bound; sessions emit exactly once when the watermark passes
+    ``end + gap``. With ``allowed_lateness`` ≥ the stream's disorder the
+    emitted session multiset equals batch sessionization of the whole
+    log."""
+
+    def __init__(
+        self,
+        key_col: str,
+        ts_col: str,
+        gap_us: int,
+        allowed_lateness_us: int = 0,
+        num_shards: int = 8,
+    ):
+        self.key_col, self.ts_col = key_col, ts_col
+        self.gap = int(gap_us)
+        self.lateness = int(allowed_lateness_us)
+        self.num_shards = num_shards
+        self.actors = [_SessionShardActor.remote(self.gap) for _ in range(num_shards)]
+        self.max_ts = -(2**62)
+
+    def feed(self, batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "key": batch.column(self.key_col).to_pandas().astype(str),
+                "ts": batch.column(self.ts_col)
+                .cast(pa.timestamp("us"))
+                .cast(pa.int64())
+                .to_pandas(),
+            }
+        )
+        if len(df):
+            self.max_ts = max(self.max_ts, int(df["ts"].max()))
+        watermark = self.max_ts - self.lateness
+        # lateness is judged in the ACTORS against their previous
+        # finalize line (intra-wave events must never be compared to the
+        # watermark this same wave advances)
+        s = df.sort_values(["key", "ts"], kind="mergesort").reset_index(drop=True)
+        brk = (s["key"] != s["key"].shift()) | (s["ts"].diff() > self.gap)
+        sid = brk.cumsum()
+        mini = (
+            s.groupby(sid, sort=False)
+            .agg(key=("key", "first"), start=("ts", "min"), end=("ts", "max"), n=("ts", "size"))
+            .reset_index(drop=True)
+        )
+        from ..stages.partition import hash_strings
+
+        shard = (
+            hash_strings(pa.array(mini["key"].to_numpy(object), pa.string()))
+            % np.uint64(self.num_shards)
+        ).astype(np.int64)
+        refs = []
+        for a in range(self.num_shards):
+            part = mini[shard == a]
+            t = pa.table(
+                {
+                    "key": pa.array(part["key"].to_numpy(object), pa.string()),
+                    "start": pa.array(part["start"].to_numpy(np.int64), pa.int64()),
+                    "end": pa.array(part["end"].to_numpy(np.int64), pa.int64()),
+                    "n": pa.array(part["n"].to_numpy(np.int64), pa.int64()),
+                }
+            )
+            refs.append(self.actors[a].feed.remote(t, watermark))
+        outs = [t for t in ray.get(refs) if t.num_rows]
+        return pa.concat_tables(outs) if outs else self._empty()
+
+    @staticmethod
+    def _empty() -> pa.Table:
+        return pa.table(
+            {
+                "key": pa.array([], pa.string()),
+                "session_start": pa.array([], pa.int64()),
+                "session_end": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+
+    def drain(self) -> pa.Table:
+        outs = [t for t in ray.get([a.drain.remote() for a in self.actors]) if t.num_rows]
+        return pa.concat_tables(outs) if outs else self._empty()
+
+    def stats(self) -> dict:
+        per = ray.get([a.stats.remote() for a in self.actors])
+        return {
+            "open_sessions": sum(p["open_sessions"] for p in per),
+            "late_dropped": sum(p["late_dropped"] for p in per),
+        }
+
+    def shutdown(self) -> None:
+        for a in self.actors:
+            ray.kill(a)
+        self.actors = []
+
+
 class StreamingWindowSession:
     """Continuous tumbling-window count+sum per key over an arriving
     stream of Arrow batches.
