@@ -237,3 +237,64 @@ def test_png_random_filter_sequences_property():
         data = _png_with_filters(img, filters)
         out = decode_png(data)
         assert (out == img).all(), (trial, h, w, filters)
+
+
+def test_bmp_roundtrip_and_dispatch():
+    from wprdc_etl_ray.functions.codecs import (
+        decode_bmp,
+        decode_image,
+        encode_bmp,
+        image_dimensions,
+    )
+
+    rng = np.random.default_rng(12)
+    for w in (5, 8, 13):  # 5/13 exercise the 4-byte row padding
+        img = rng.integers(0, 256, (7, w, 3), dtype=np.uint8)
+        data = encode_bmp(img)
+        assert (decode_bmp(data) == img).all()
+        assert image_dimensions(data) == (w, 7)
+        assert (decode_image(data) == img).all()
+    # dispatcher also routes PNG and rejects junk
+    png = encode_png(rng.integers(0, 256, (3, 4, 3), dtype=np.uint8))
+    assert decode_image(png).shape == (3, 4, 3)
+    with pytest.raises(CodecError):
+        decode_image(b"GIF89a...")
+
+
+def test_mixed_format_dataset_through_real_decode(ray_session):
+    """PNG and BMP payloads in ONE dataset decode through the same
+    real-mode stage; same pixels in different containers share a
+    content address."""
+    from wprdc_etl_ray.functions.codecs import encode_bmp
+    from wprdc_etl_ray.functions.multimodal import DecodeStub, ImageDecodeStub
+
+    rng = np.random.default_rng(14)
+    img = rng.integers(0, 256, (6, 9, 3), dtype=np.uint8)
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "payload": pa.array([encode_png(img), encode_bmp(img)], pa.binary()),
+        }
+    )
+    dims = (
+        rd.from_arrow(t)
+        .map_batches(
+            ImageDecodeStub,
+            fn_constructor_kwargs={"mode": "real"},
+            batch_format="pyarrow",
+            concurrency=1,
+        )
+        .to_pandas()
+    )
+    assert dims["width"].tolist() == [9, 9] and dims["height"].tolist() == [6, 6]
+    feats = (
+        rd.from_arrow(t)
+        .map_batches(
+            DecodeStub,
+            fn_constructor_kwargs={"mode": "real"},
+            batch_format="pyarrow",
+            concurrency=1,
+        )
+        .to_pandas()
+    )
+    assert feats["content_md5"].nunique() == 1  # container-invariant dedup

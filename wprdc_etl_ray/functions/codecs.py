@@ -169,6 +169,70 @@ def encode_png(arr: np.ndarray) -> bytes:
     )
 
 
+def decode_bmp(data: bytes) -> np.ndarray:
+    """Uncompressed 24/32-bit BMP (BITMAPINFOHEADER) → (H, W, 3|4)
+    uint8, top-down row order, BGR→RGB swapped. Rows are 4-byte
+    aligned; negative height means the file is already top-down."""
+    if data[:2] != b"BM":
+        raise CodecError("not a BMP")
+    (off,) = struct.unpack("<I", data[10:14])
+    w, h = struct.unpack("<ii", data[18:26])
+    planes, bpp = struct.unpack("<HH", data[26:30])
+    (comp,) = struct.unpack("<I", data[30:34])
+    if comp != 0:
+        raise CodecError(f"compressed BMP (method {comp}) not supported")
+    if bpp not in (24, 32):
+        raise CodecError(f"unsupported BMP bit depth {bpp}")
+    ch = bpp // 8
+    top_down = h < 0
+    h = abs(h)
+    stride = ((w * ch + 3) // 4) * 4
+    px = np.frombuffer(data, np.uint8, count=h * stride, offset=off)
+    rows = px.reshape(h, stride)[:, : w * ch].reshape(h, w, ch)
+    if not top_down:
+        rows = rows[::-1]
+    out = rows.copy()
+    out[..., 0], out[..., 2] = rows[..., 2], rows[..., 0]  # BGR -> RGB
+    return out
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """uint8 (H, W, 3) RGB → 24-bit bottom-up BMP (round-trip tests)."""
+    arr = np.ascontiguousarray(arr, np.uint8)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise CodecError(f"unsupported array shape {arr.shape}")
+    h, w, _ = arr.shape
+    bgr = arr[..., ::-1][::-1]  # RGB->BGR, bottom-up
+    stride = ((w * 3 + 3) // 4) * 4
+    rows = np.zeros((h, stride), np.uint8)
+    rows[:, : w * 3] = bgr.reshape(h, w * 3)
+    body = rows.tobytes()
+    off = 14 + 40
+    header = b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return header + info + body
+
+
+def decode_image(data: bytes) -> np.ndarray:
+    """Magic-byte dispatch: PNG or BMP → pixel array (the real-mode
+    image entry point; new formats plug in here)."""
+    if data[:8] == _PNG_SIG:
+        return decode_png(data)
+    if data[:2] == b"BM":
+        return decode_bmp(data)
+    raise CodecError("unrecognized image format (PNG and BMP supported)")
+
+
+def image_dimensions(data: bytes) -> tuple[int, int]:
+    """(width, height) from the header alone — no pixel decode."""
+    if data[:8] == _PNG_SIG:
+        return png_dimensions(data)
+    if data[:2] == b"BM":
+        w, h = struct.unpack("<ii", data[18:26])
+        return int(w), abs(int(h))
+    raise CodecError("unrecognized image format (PNG and BMP supported)")
+
+
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     """PCM WAV bytes → ((n_frames, n_channels) array, sample_rate).
     8-bit unsigned / 16- and 32-bit signed little-endian PCM via the

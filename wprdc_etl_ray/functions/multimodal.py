@@ -49,7 +49,7 @@ class DecodeStub:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.mode == "real":
-            from .codecs import decode_png
+            from .codecs import decode_image
 
             payload = batch.column("payload")
             arr = (
@@ -61,7 +61,7 @@ class DecodeStub:
                 arr = arr.fill_null(b"")
             n_bytes, digests = [], []
             for v in arr:
-                px = decode_png(v.as_py())
+                px = decode_image(v.as_py())
                 buf = px.tobytes()
                 n_bytes.append(len(buf))
                 digests.append(hashlib.md5(buf).hexdigest())
@@ -137,7 +137,7 @@ class ImageDecodeStub:
         if self.mode == "real":
             import numpy as np
 
-            from .codecs import png_dimensions
+            from .codecs import image_dimensions
 
             payload = batch.column("payload")
             arr = (
@@ -147,7 +147,7 @@ class ImageDecodeStub:
             )
             if arr.null_count:
                 arr = arr.fill_null(b"")
-            dims = [png_dimensions(v.as_py()) for v in arr]
+            dims = [image_dimensions(v.as_py()) for v in arr]
             return pa.table(
                 {
                     "doc_id": batch.column("doc_id"),
