@@ -210,8 +210,11 @@ def _strip_schema_metadata(batch: pa.Table) -> pa.Table:
     a pa.Schema WITH metadata is unhashable ("unhashable type: 'dict'"),
     so every slice concat inside HashShuffleAggregator logs 'Failed to
     hash the schemas (for deduplication)' and skips unify's early-exit.
-    replace_schema_metadata is zero-copy, and this map stage fuses into
-    the upstream map op — no extra pass over streaming inputs."""
+    replace_schema_metadata is zero-copy; measured via ds.stats() at
+    sf0.1 the stage runs as its own task-pool op (Ray doesn't fuse it
+    past SplitBlocks) at ~6 ms mean remote wall per block — noise next
+    to the join's all-to-all, and it buys back unify's hash-dedup fast
+    path in every downstream concat."""
     return batch.replace_schema_metadata(None) if batch.schema.metadata else batch
 
 
