@@ -171,3 +171,59 @@ def test_streaming_sessions_eager_late_policy(ray_session):
     final = sess.drain().to_pandas()
     assert final["session_start"].tolist() == [1000]  # never re-emitted/merged
     sess.shutdown()
+
+
+def test_feed_dataset_equals_feed(ray_session):
+    """The distributed wave path (partials built + routed inside
+    map_batches tasks) must produce exactly the driver-side feed()'s
+    results — windows and sessions both."""
+    import ray.data as rd
+
+    from wprdc_etl_ray.pipelines.window import (
+        StreamingSessionizer,
+        StreamingWindowSession,
+    )
+
+    rng = np.random.default_rng(61)
+    n = 3000
+    ts = np.cumsum(rng.integers(0, 6, n)) + rng.integers(-20, 21, n)
+    keys = rng.choice(["a", "b", "c"], n)
+    vals = rng.integers(0, 50, n)
+
+    def windows_via(method):
+        sess = StreamingWindowSession("k", "ts", "v", width_us=W, allowed_lateness_us=45, num_shards=3)
+        outs = []
+        for lo in range(0, n, 1000):
+            t = _mk(keys[lo : lo + 1000], ts[lo : lo + 1000], vals[lo : lo + 1000])
+            if method == "ds":
+                outs.append(sess.feed_dataset(rd.from_arrow(t).repartition(4)))
+            else:
+                outs.append(sess.feed(t))
+        outs.append(sess.drain())
+        sess.shutdown()
+        return (
+            pa.concat_tables(outs)
+            .to_pandas()
+            .sort_values(["key", "wstart"], ignore_index=True)
+        )
+
+    assert windows_via("ds").equals(windows_via("batch"))
+
+    def sessions_via(method):
+        sess = StreamingSessionizer("k", "ts", gap_us=150, allowed_lateness_us=45, num_shards=3)
+        outs = []
+        for lo in range(0, n, 1000):
+            t = _mk(keys[lo : lo + 1000], ts[lo : lo + 1000], vals[lo : lo + 1000])
+            if method == "ds":
+                outs.append(sess.feed_dataset(rd.from_arrow(t).repartition(4)))
+            else:
+                outs.append(sess.feed(t))
+        outs.append(sess.drain())
+        sess.shutdown()
+        return (
+            pa.concat_tables(outs)
+            .to_pandas()
+            .sort_values(["key", "session_start"], ignore_index=True)
+        )
+
+    assert sessions_via("ds").equals(sessions_via("batch"))

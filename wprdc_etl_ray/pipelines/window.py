@@ -30,6 +30,7 @@ import pandas as pd
 import pyarrow as pa
 
 import ray
+import ray.data
 
 
 @ray.remote(num_cpus=0)
@@ -254,6 +255,79 @@ class StreamingSessionizer:
         outs = [t for t in ray.get(refs) if t.num_rows]
         return pa.concat_tables(outs) if outs else self._empty()
 
+    def feed_dataset(self, ds: ray.data.Dataset) -> pa.Table:
+        """Distributed wave (the feed_dataset contract of
+        StreamingWindowSession, session flavor): each task builds its
+        batch's mini-sessions and routes them shard-wise with the
+        NEVER-finalize watermark; the driver sees only one max-ts row
+        per task and runs a single finalize round. Task batch
+        boundaries simply produce more mini-sessions — the actors'
+        interval merge fuses them, so the result equals feed() of the
+        same rows."""
+        key_col, ts_col, gap = self.key_col, self.ts_col, self.gap
+        num_shards, actors = self.num_shards, self.actors
+        NEG = -(2**62)
+
+        def route(batch: pa.Table) -> pa.Table:
+            from ..stages.partition import hash_strings
+
+            df = pd.DataFrame(
+                {
+                    "key": batch.column(key_col).to_pandas().astype(str),
+                    "ts": batch.column(ts_col)
+                    .cast(pa.timestamp("us"))
+                    .cast(pa.int64())
+                    .to_pandas(),
+                }
+            )
+            s = df.sort_values(["key", "ts"], kind="mergesort").reset_index(drop=True)
+            brk = (s["key"] != s["key"].shift()) | (s["ts"].diff() > gap)
+            mini = (
+                s.groupby(brk.cumsum(), sort=False)
+                .agg(key=("key", "first"), start=("ts", "min"), end=("ts", "max"), n=("ts", "size"))
+                .reset_index(drop=True)
+            )
+            shard = (
+                hash_strings(pa.array(mini["key"].to_numpy(object), pa.string()))
+                % np.uint64(num_shards)
+            ).astype(np.int64)
+            refs = []
+            for a in range(num_shards):
+                part = mini[shard == a]
+                t = pa.table(
+                    {
+                        "key": pa.array(part["key"].to_numpy(object), pa.string()),
+                        "start": pa.array(part["start"].to_numpy(np.int64), pa.int64()),
+                        "end": pa.array(part["end"].to_numpy(np.int64), pa.int64()),
+                        "n": pa.array(part["n"].to_numpy(np.int64), pa.int64()),
+                    }
+                )
+                refs.append(actors[a].feed.remote(t, NEG))
+            ray.get(refs)
+            mx = int(df["ts"].max()) if len(df) else NEG
+            return pa.table({"mx": pa.array([mx], pa.int64())})
+
+        maxes = ds.map_batches(route, batch_format="pyarrow", max_retries=0).to_pandas()
+        if len(maxes):
+            self.max_ts = max(self.max_ts, int(maxes["mx"].max()))
+        watermark = self.max_ts - self.lateness
+        empty_mini = pa.table(
+            {
+                "key": pa.array([], pa.string()),
+                "start": pa.array([], pa.int64()),
+                "end": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        outs = [
+            t
+            for t in ray.get(
+                [a.feed.remote(empty_mini, watermark) for a in self.actors]
+            )
+            if t.num_rows
+        ]
+        return pa.concat_tables(outs) if outs else self._empty()
+
     @staticmethod
     def _empty() -> pa.Table:
         return pa.table(
@@ -363,6 +437,80 @@ class StreamingWindowSession:
                 }
             )
         )
+
+    def feed_dataset(self, ds: ray.data.Dataset) -> pa.Table:
+        """Distributed wave: partials are computed INSIDE map_batches
+        tasks and routed straight to the shard actors; only one max-ts
+        marker row per task returns to the driver, which then advances
+        the watermark in a single finalize round. Identical result to
+        feeding the same rows through ``feed()`` — finalization happens
+        once per wave after every partial has landed, so intra-wave
+        order is irrelevant. Routing runs with ``max_retries=0`` (a
+        retried route would double-apply partials to stateful actors);
+        callers retry the whole wave, whose sealed output is
+        exactly-once either way."""
+        key_col, ts_col, value_col = self.key_col, self.ts_col, self.value_col
+        width, num_shards, actors = self.width, self.num_shards, self.actors
+        NEG = -(2**62)
+
+        def route(batch: pa.Table) -> pa.Table:
+            from ..stages.partition import hash_strings
+
+            df = pd.DataFrame(
+                {
+                    "key": batch.column(key_col).to_pandas().astype(str),
+                    "ts": batch.column(ts_col)
+                    .cast(pa.timestamp("us"))
+                    .cast(pa.int64())
+                    .to_pandas(),
+                    "v": batch.column(value_col).to_pandas().astype("int64"),
+                }
+            )
+            df["wstart"] = (df["ts"] // width) * width
+            g = (
+                df.groupby(["key", "wstart"], as_index=False)
+                .agg(n=("v", "size"), s=("v", "sum"))
+                .astype({"n": "int64", "s": "int64"})
+            )
+            shard = (
+                hash_strings(pa.array(g["key"].to_numpy(object), pa.string()))
+                % np.uint64(num_shards)
+            ).astype(np.int64)
+            refs = []
+            for a in range(num_shards):
+                part = g[shard == a]
+                t = pa.table(
+                    {
+                        "key": pa.array(part["key"].to_numpy(object), pa.string()),
+                        "wstart": pa.array(part["wstart"].to_numpy(np.int64), pa.int64()),
+                        "n": pa.array(part["n"].to_numpy(np.int64), pa.int64()),
+                        "s": pa.array(part["s"].to_numpy(np.int64), pa.int64()),
+                    }
+                )
+                # watermark NEG: apply only, never finalize mid-wave
+                refs.append(actors[a].feed.remote(t, NEG))
+            ray.get(refs)  # ack = backpressure
+            mx = int(df["ts"].max()) if len(df) else NEG
+            return pa.table({"mx": pa.array([mx], pa.int64())})
+
+        maxes = ds.map_batches(route, batch_format="pyarrow", max_retries=0).to_pandas()
+        if len(maxes):
+            self.max_ts = max(self.max_ts, int(maxes["mx"].max()))
+        watermark = self.max_ts - self.lateness
+        empty = pa.table(
+            {
+                "key": pa.array([], pa.string()),
+                "wstart": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "s": pa.array([], pa.int64()),
+            }
+        )
+        outs = [
+            t
+            for t in ray.get([a.feed.remote(empty, watermark) for a in self.actors])
+            if t.num_rows
+        ]
+        return pa.concat_tables(outs) if outs else empty
 
     def drain(self) -> pa.Table:
         outs = [t for t in ray.get([a.drain.remote() for a in self.actors]) if t.num_rows]
