@@ -227,3 +227,66 @@ def test_feed_dataset_equals_feed(ray_session):
         )
 
     assert sessions_via("ds").equals(sessions_via("batch"))
+
+
+def test_window_checkpoint_restore_continues_exactly(ray_session, tmp_path):
+    """feed half → checkpoint → kill → restore → feed rest == the
+    uninterrupted run (open windows, watermark clock, late counters all
+    survive)."""
+    from wprdc_etl_ray.pipelines.window import StreamingWindowSession
+
+    rng = np.random.default_rng(71)
+    n = 2000
+    ts = np.cumsum(rng.integers(0, 8, n)) + rng.integers(-20, 21, n)
+    keys = rng.choice(["a", "b"], n)
+    vals = rng.integers(0, 30, n)
+
+    def uninterrupted():
+        s = StreamingWindowSession("k", "ts", "v", width_us=W, allowed_lateness_us=45, num_shards=3)
+        outs = [s.feed(_mk(keys[i : i + 500], ts[i : i + 500], vals[i : i + 500])) for i in range(0, n, 500)]
+        outs.append(s.drain())
+        s.shutdown()
+        return pa.concat_tables(outs).to_pandas().sort_values(["key", "wstart"], ignore_index=True)
+
+    s1 = StreamingWindowSession("k", "ts", "v", width_us=W, allowed_lateness_us=45, num_shards=3)
+    outs = [s1.feed(_mk(keys[i : i + 500], ts[i : i + 500], vals[i : i + 500])) for i in range(0, 1000, 500)]
+    ck = str(tmp_path / "ckpt")
+    info = s1.checkpoint(ck)
+    assert info["shards"] == 3
+    s1.shutdown()  # simulated crash after checkpoint
+
+    s2 = StreamingWindowSession.restore(ck, "k", "ts", "v")
+    outs += [s2.feed(_mk(keys[i : i + 500], ts[i : i + 500], vals[i : i + 500])) for i in range(1000, n, 500)]
+    outs.append(s2.drain())
+    s2.shutdown()
+    got = pa.concat_tables(outs).to_pandas().sort_values(["key", "wstart"], ignore_index=True)
+    assert got.equals(uninterrupted())
+
+
+def test_sessionizer_checkpoint_restore_continues_exactly(ray_session, tmp_path):
+    from wprdc_etl_ray.pipelines.window import StreamingSessionizer
+
+    rng = np.random.default_rng(73)
+    n = 2000
+    ts = np.cumsum(rng.integers(0, 30, n)) + rng.integers(-15, 16, n)
+    keys = rng.choice(["a", "b", "c"], n)
+
+    def uninterrupted():
+        s = StreamingSessionizer("k", "ts", gap_us=120, allowed_lateness_us=40, num_shards=3)
+        outs = [s.feed(_mk(keys[i : i + 400], ts[i : i + 400], np.zeros(min(400, n - i)))) for i in range(0, n, 400)]
+        outs.append(s.drain())
+        s.shutdown()
+        return pa.concat_tables(outs).to_pandas().sort_values(["key", "session_start"], ignore_index=True)
+
+    s1 = StreamingSessionizer("k", "ts", gap_us=120, allowed_lateness_us=40, num_shards=3)
+    outs = [s1.feed(_mk(keys[i : i + 400], ts[i : i + 400], np.zeros(400))) for i in range(0, 800, 400)]
+    ck = str(tmp_path / "ckpt")
+    s1.checkpoint(ck)
+    s1.shutdown()
+
+    s2 = StreamingSessionizer.restore(ck, "k", "ts")
+    outs += [s2.feed(_mk(keys[i : i + 400], ts[i : i + 400], np.zeros(min(400, n - i)))) for i in range(800, n, 400)]
+    outs.append(s2.drain())
+    s2.shutdown()
+    got = pa.concat_tables(outs).to_pandas().sort_values(["key", "session_start"], ignore_index=True)
+    assert got.equals(uninterrupted())

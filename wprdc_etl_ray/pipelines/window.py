@@ -96,6 +96,31 @@ class _WindowShardActor:
     def stats(self) -> dict:
         return {"open_windows": len(self.open), "late_dropped": self.late_dropped}
 
+    def dump_state(self):
+        rows = sorted((k, w, st[0], st[1]) for (k, w), st in self.open.items())
+        t = pa.table(
+            {
+                "key": pa.array([r[0] for r in rows], pa.string()),
+                "wstart": pa.array([r[1] for r in rows], pa.int64()),
+                "n": pa.array([r[2] for r in rows], pa.int64()),
+                "s": pa.array([r[3] for r in rows], pa.int64()),
+            }
+        )
+        return t, {"late_dropped": self.late_dropped, "finalized_upto": self.finalized_upto}
+
+    def load_state(self, t: pa.Table, meta: dict) -> bool:
+        self.open = {}
+        for k, w, n, s in zip(
+            t.column("key").to_pylist(),
+            t.column("wstart").to_pylist(),
+            t.column("n").to_pylist(),
+            t.column("s").to_pylist(),
+        ):
+            self.open[(k, int(w))] = [int(n), int(s)]
+        self.late_dropped = int(meta["late_dropped"])
+        self.finalized_upto = int(meta["finalized_upto"])
+        return True
+
 
 @ray.remote(num_cpus=0)
 class _SessionShardActor:
@@ -183,6 +208,35 @@ class _SessionShardActor:
             "open_sessions": sum(len(s) for s in self.open.values()),
             "late_dropped": self.late_dropped,
         }
+
+    def dump_state(self):
+        rows = sorted(
+            (k, st, en, n) for k, ses in self.open.items() for st, en, n in ses
+        )
+        t = pa.table(
+            {
+                "key": pa.array([r[0] for r in rows], pa.string()),
+                "start": pa.array([r[1] for r in rows], pa.int64()),
+                "end": pa.array([r[2] for r in rows], pa.int64()),
+                "n": pa.array([r[3] for r in rows], pa.int64()),
+            }
+        )
+        return t, {"late_dropped": self.late_dropped, "sealed_wm": self.sealed_wm}
+
+    def load_state(self, t: pa.Table, meta: dict) -> bool:
+        self.open = {}
+        for k, st, en, n in zip(
+            t.column("key").to_pylist(),
+            t.column("start").to_pylist(),
+            t.column("end").to_pylist(),
+            t.column("n").to_pylist(),
+        ):
+            self.open.setdefault(k, []).append([int(st), int(en), int(n)])
+        for k in self.open:
+            self.open[k].sort()
+        self.late_dropped = int(meta["late_dropped"])
+        self.sealed_wm = int(meta["sealed_wm"])
+        return True
 
 
 class StreamingSessionizer:
@@ -349,6 +403,63 @@ class StreamingSessionizer:
             "open_sessions": sum(p["open_sessions"] for p in per),
             "late_dropped": sum(p["late_dropped"] for p in per),
         }
+
+    def checkpoint(self, ckpt_dir: str) -> dict:
+        """Persist open sessions + the watermark clock (same contract
+        as StreamingWindowSession.checkpoint)."""
+        import json as _json
+        import os as _os
+
+        import pyarrow.parquet as _pq
+
+        _os.makedirs(ckpt_dir, exist_ok=True)
+        states = ray.get([a.dump_state.remote() for a in self.actors])
+        metas = []
+        for i, (t, meta) in enumerate(states):
+            path = _os.path.join(ckpt_dir, f"shard-{i:03d}.parquet")
+            tmp = f"{path}.tmp"
+            _pq.write_table(t, tmp)
+            _os.replace(tmp, path)
+            metas.append(meta)
+        m = {
+            "kind": "sessions",
+            "gap_us": self.gap,
+            "lateness_us": self.lateness,
+            "num_shards": self.num_shards,
+            "max_ts": self.max_ts,
+            "shards": metas,
+        }
+        tmp = _os.path.join(ckpt_dir, ".meta.tmp")
+        with open(tmp, "w") as f:
+            _json.dump(m, f)
+            f.flush()
+            _os.fsync(f.fileno())
+        _os.replace(tmp, _os.path.join(ckpt_dir, "meta.json"))
+        return {"shards": self.num_shards, "open_sessions": sum(s.num_rows for s, _ in states)}
+
+    @classmethod
+    def restore(cls, ckpt_dir: str, key_col: str, ts_col: str):
+        import json as _json
+        import os as _os
+
+        import pyarrow.parquet as _pq
+
+        with open(_os.path.join(ckpt_dir, "meta.json")) as f:
+            m = _json.load(f)
+        sess = cls(
+            key_col,
+            ts_col,
+            gap_us=m["gap_us"],
+            allowed_lateness_us=m["lateness_us"],
+            num_shards=m["num_shards"],
+        )
+        sess.max_ts = int(m["max_ts"])
+        refs = []
+        for i, meta in enumerate(m["shards"]):
+            t = _pq.read_table(_os.path.join(ckpt_dir, f"shard-{i:03d}.parquet"))
+            refs.append(sess.actors[i].load_state.remote(t, meta))
+        ray.get(refs)
+        return sess
 
     def shutdown(self) -> None:
         for a in self.actors:
@@ -531,6 +642,69 @@ class StreamingWindowSession:
             "open_windows": sum(p["open_windows"] for p in per),
             "late_dropped": sum(p["late_dropped"] for p in per),
         }
+
+    def checkpoint(self, ckpt_dir: str) -> dict:
+        """Persist all open-window state + the watermark clock to
+        ``ckpt_dir`` (one parquet per shard + meta.json, temp+rename —
+        a crash mid-checkpoint leaves the previous checkpoint intact).
+        Call between waves; a restored session continues exactly where
+        this one stopped (the streaming fault-tolerance contract the
+        CDC tail gets from its manifest)."""
+        import json as _json
+        import os as _os
+
+        import pyarrow.parquet as _pq
+
+        _os.makedirs(ckpt_dir, exist_ok=True)
+        states = ray.get([a.dump_state.remote() for a in self.actors])
+        metas = []
+        for i, (t, meta) in enumerate(states):
+            path = _os.path.join(ckpt_dir, f"shard-{i:03d}.parquet")
+            tmp = f"{path}.tmp"
+            _pq.write_table(t, tmp)
+            _os.replace(tmp, path)
+            metas.append(meta)
+        m = {
+            "kind": "window",
+            "width_us": self.width,
+            "lateness_us": self.lateness,
+            "num_shards": self.num_shards,
+            "max_ts": self.max_ts,
+            "shards": metas,
+        }
+        tmp = _os.path.join(ckpt_dir, ".meta.tmp")
+        with open(tmp, "w") as f:
+            _json.dump(m, f)
+            f.flush()
+            _os.fsync(f.fileno())
+        _os.replace(tmp, _os.path.join(ckpt_dir, "meta.json"))
+        return {"shards": self.num_shards, "open_windows": sum(s.num_rows for s, _ in states)}
+
+    @classmethod
+    def restore(cls, ckpt_dir: str, key_col: str, ts_col: str, value_col: str):
+        """Rebuild a session from :meth:`checkpoint` output."""
+        import json as _json
+        import os as _os
+
+        import pyarrow.parquet as _pq
+
+        with open(_os.path.join(ckpt_dir, "meta.json")) as f:
+            m = _json.load(f)
+        sess = cls(
+            key_col,
+            ts_col,
+            value_col,
+            width_us=m["width_us"],
+            allowed_lateness_us=m["lateness_us"],
+            num_shards=m["num_shards"],
+        )
+        sess.max_ts = int(m["max_ts"])
+        refs = []
+        for i, meta in enumerate(m["shards"]):
+            t = _pq.read_table(_os.path.join(ckpt_dir, f"shard-{i:03d}.parquet"))
+            refs.append(sess.actors[i].load_state.remote(t, meta))
+        ray.get(refs)
+        return sess
 
     def shutdown(self) -> None:
         for a in self.actors:
