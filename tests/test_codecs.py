@@ -298,3 +298,54 @@ def test_mixed_format_dataset_through_real_decode(ray_session):
         .to_pandas()
     )
     assert feats["content_md5"].nunique() == 1  # container-invariant dedup
+
+
+def test_gif_roundtrip_lzw_paths():
+    """GIF-LZW: constant image (KwKwK case), binary runs, wide palette
+    (code width growth past 8 bits), and a 40k-pixel image that
+    overflows the 12-bit dictionary (encoder clear/reset)."""
+    from wprdc_etl_ray.functions.codecs import (
+        decode_gif,
+        decode_image,
+        encode_gif,
+        image_dimensions,
+    )
+
+    rng = np.random.default_rng(3)
+    cases = [
+        (np.zeros((9, 7), np.uint8), np.array([[10, 20, 30], [0, 0, 0]], np.uint8)),
+        (rng.integers(0, 2, (16, 11)).astype(np.uint8),
+         np.array([[255, 0, 0], [0, 255, 0]], np.uint8)),
+        (rng.integers(0, 200, (23, 31)).astype(np.uint8),
+         rng.integers(0, 256, (200, 3), dtype=np.uint8)),
+        (rng.integers(0, 250, (80, 90)).astype(np.uint8),
+         rng.integers(0, 256, (250, 3), dtype=np.uint8)),
+    ]
+    for idx, pal in cases:
+        data = encode_gif(idx, pal)
+        assert (decode_gif(data) == pal[idx]).all()
+        assert (decode_image(data) == pal[idx]).all()
+        assert image_dimensions(data) == (idx.shape[1], idx.shape[0])
+
+
+def test_gif_skips_extensions_and_rejects_interlace():
+    import struct as _struct
+
+    from wprdc_etl_ray.functions.codecs import CodecError, decode_gif, encode_gif
+
+    idx = np.array([[0, 1], [1, 0]], np.uint8)
+    pal = np.array([[0, 0, 0], [255, 255, 255]], np.uint8)
+    data = encode_gif(idx, pal)
+    # splice a graphic-control extension between header+GCT and the frame
+    head_len = 13 + 2 * 3
+    gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    spliced = data[:head_len] + gce + data[head_len:]
+    assert (decode_gif(spliced) == pal[idx]).all()
+
+    # interlace flag set -> clear error
+    pos = head_len
+    desc = bytearray(data)
+    assert desc[pos] == 0x2C
+    desc[pos + 9] |= 0x40
+    with pytest.raises(CodecError):
+        decode_gif(bytes(desc))

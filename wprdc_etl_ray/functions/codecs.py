@@ -213,14 +213,189 @@ def encode_bmp(arr: np.ndarray) -> bytes:
     return header + info + body
 
 
+def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
+    """GIF-variant LZW: LSB-first bitstream, CLEAR/EOI codes, dict grows
+    to 12-bit codes; the KwKwK case (code == next dict index) emits
+    prev + prev[0]."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    bits = np.unpackbits(np.frombuffer(data, np.uint8), bitorder="little")
+    out = np.empty(n_pixels, np.uint8)
+    pos = 0
+    o = 0
+
+    def reset():
+        return (
+            [bytes([i]) for i in range(clear)] + [b"", b""],
+            min_code_size + 1,
+        )
+
+    table, width = reset()
+    prev: bytes | None = None
+    while o < n_pixels:
+        if pos + width > len(bits):
+            raise CodecError("LZW stream truncated")
+        code = int(np.packbits(bits[pos : pos + width], bitorder="little").view(np.uint16)[0]) if width > 8 else int(
+            np.packbits(bits[pos : pos + width], bitorder="little")[0]
+        )
+        pos += width
+        if code == clear:
+            table, width = reset()
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]  # KwKwK
+            table.append(entry)
+        else:
+            raise CodecError(f"invalid LZW code {code}")
+        n = len(entry)
+        if o + n > n_pixels:
+            entry = entry[: n_pixels - o]
+            n = len(entry)
+        out[o : o + n] = np.frombuffer(entry, np.uint8)
+        o += n
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+    return out
+
+
+def _lzw_encode(indices: np.ndarray, min_code_size: int) -> bytes:
+    """Reference GIF-LZW encoder (full dictionary) for the sink/tests."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out_bits: list[int] = []
+
+    def emit(code: int, width: int):
+        for i in range(width):
+            out_bits.append((code >> i) & 1)
+
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    width = min_code_size + 1
+    emit(clear, width)
+    w = b""
+    for px in indices.astype(np.uint8).tobytes():
+        wk = w + bytes([px])
+        if wk in table:
+            w = wk
+        else:
+            emit(table[w], width)
+            table[wk] = next_code
+            next_code += 1
+            if next_code - 1 == (1 << width) and width < 12:
+                width += 1
+            if next_code == (1 << 12):
+                emit(clear, width)
+                table = {bytes([i]): i for i in range(clear)}
+                next_code = eoi + 1
+                width = min_code_size + 1
+            w = bytes([px])
+    if w:
+        emit(table[w], width)
+    emit(eoi, width)
+    arr = np.array(out_bits, np.uint8)
+    return np.packbits(arr, bitorder="little").tobytes()
+
+
+def decode_gif(data: bytes) -> np.ndarray:
+    """GIF87a/89a, FIRST frame, non-interlaced → (H, W, 3) uint8 via
+    the global or local palette; extensions skipped; malformed or
+    truncated input raises CodecError."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise CodecError("not a GIF")
+    try:
+        return _decode_gif_body(data)
+    except (struct.error, IndexError) as e:
+        raise CodecError(f"malformed GIF: {e}") from e
+
+
+def _decode_gif_body(data: bytes) -> np.ndarray:
+    W, H, packed = struct.unpack("<HHB", data[6:11])
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(data, np.uint8, count=3 * n, offset=pos).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(data):
+        b0 = data[pos]
+        if b0 == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+        elif b0 == 0x2C:  # image descriptor
+            left, top, w, h, ipacked = struct.unpack("<HHHHB", data[pos + 1 : pos + 10])
+            pos += 10
+            if ipacked & 0x40:
+                raise CodecError("interlaced GIF not supported")
+            pal = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                pal = np.frombuffer(data, np.uint8, count=3 * n, offset=pos).reshape(n, 3)
+                pos += 3 * n
+            if pal is None:
+                raise CodecError("GIF frame without a palette")
+            min_code = data[pos]
+            pos += 1
+            chunks = []
+            while data[pos] != 0:
+                ln = data[pos]
+                chunks.append(data[pos + 1 : pos + 1 + ln])
+                pos += 1 + ln
+            idx = _lzw_decode(b"".join(chunks), min_code, w * h)
+            return pal[idx.reshape(h, w)]
+        elif b0 == 0x3B:
+            break
+        else:
+            raise CodecError(f"unknown GIF block 0x{b0:02x}")
+    raise CodecError("GIF contains no image frame")
+
+
+def encode_gif(indices: np.ndarray, palette: np.ndarray) -> bytes:
+    """(H, W) palette indices + (N, 3) palette → single-frame GIF89a
+    (round-trip tests; palette padded to a power of two ≥ 2)."""
+    indices = np.ascontiguousarray(indices, np.uint8)
+    h, w = indices.shape
+    n = max(2, 1 << int(np.ceil(np.log2(max(2, len(palette))))))
+    pal = np.zeros((n, 3), np.uint8)
+    pal[: len(palette)] = palette
+    gct_bits = int(np.log2(n)) - 1
+    min_code = max(2, int(np.log2(n)))
+    lzw = _lzw_encode(indices.ravel(), min_code)
+    subs = b"".join(
+        bytes([len(lzw[i : i + 255])]) + lzw[i : i + 255] for i in range(0, len(lzw), 255)
+    )
+    return (
+        b"GIF89a"
+        + struct.pack("<HHBBB", w, h, 0x80 | gct_bits, 0, 0)
+        + pal.tobytes()
+        + b"\x2c"
+        + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        + bytes([min_code])
+        + subs
+        + b"\x00\x3b"
+    )
+
+
 def decode_image(data: bytes) -> np.ndarray:
-    """Magic-byte dispatch: PNG or BMP → pixel array (the real-mode
-    image entry point; new formats plug in here)."""
+    """Magic-byte dispatch: PNG, BMP or GIF → pixel array (the
+    real-mode image entry point; new formats plug in here)."""
     if data[:8] == _PNG_SIG:
         return decode_png(data)
     if data[:2] == b"BM":
         return decode_bmp(data)
-    raise CodecError("unrecognized image format (PNG and BMP supported)")
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(data)
+    raise CodecError("unrecognized image format (PNG/BMP/GIF supported)")
 
 
 def image_dimensions(data: bytes) -> tuple[int, int]:
@@ -230,7 +405,10 @@ def image_dimensions(data: bytes) -> tuple[int, int]:
     if data[:2] == b"BM":
         w, h = struct.unpack("<ii", data[18:26])
         return int(w), abs(int(h))
-    raise CodecError("unrecognized image format (PNG and BMP supported)")
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", data[6:10])
+        return int(w), int(h)
+    raise CodecError("unrecognized image format (PNG/BMP/GIF supported)")
 
 
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
