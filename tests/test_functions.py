@@ -1985,3 +1985,23 @@ def test_rolling_range_includes_ts_peers(ray_session):
     )
     # row0: only itself; rows 1+2: peers see 10+20+30; row3: outside window
     assert out["range_sum"].tolist() == [10, 60, 60, 5]
+
+
+def test_mode_per_key_tiebreak_across_blocks(ray_session):
+    """Pairs of one key spread over many blocks fold exactly; ties go to
+    the smallest value deterministically."""
+    from wprdc_etl_ray.functions.relational import mode_per_key
+
+    df = pd.DataFrame(
+        {
+            "k": ["a"] * 6 + ["b"] * 5,
+            "v": [3, 3, 7, 7, 1, 9, 5, 5, 2, 2, 8],  # a: tie 3 vs 7 -> 3; b: tie 5 vs 2 -> 2
+        }
+    )
+    got = (
+        mode_per_key(rd.from_pandas(df).repartition(6), "k", "v")
+        .to_pandas()
+        .sort_values("k", ignore_index=True)
+    )
+    assert got["mode"].tolist() == [3, 2]
+    assert got["n"].tolist() == [2, 2]

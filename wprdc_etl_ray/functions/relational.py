@@ -1764,6 +1764,51 @@ def count_distinct_per_key(
     return grouped_agg(partials, [key_col], [(out_col, "sum", out_col)])
 
 
+def mode_per_key(
+    ds: ray.data.Dataset,
+    key_col: str,
+    value_col: str,
+    out_col: str = "mode",
+    num_buckets: int = 16,
+) -> ray.data.Dataset:
+    """Exact per-key MODE with a deterministic tie-break (highest count,
+    then smallest value): per-batch (key, value) count partials (Arrow
+    combiner), one pair-keyed exchange with a count-sum pre-reduce, a
+    per-bucket fold to total counts, then the per-key arg-max. The
+    exchange carries pair cardinality, never the row stream."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = (
+            batch.select([key_col, value_col])
+            .group_by([key_col, value_col])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns([key_col, value_col, "_c"])
+
+    pre = ds.map_batches(partial, batch_format="pyarrow")
+
+    def pre_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby([key_col, value_col], as_index=False)["_c"].sum()
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby([key_col, value_col], as_index=False)["_c"].sum()
+        tot = tot.sort_values(
+            [key_col, "_c", value_col], ascending=[True, False, True], kind="mergesort"
+        )
+        win = tot.groupby(key_col, as_index=False).first()
+        return pd.DataFrame(
+            {key_col: win[key_col], out_col: win[value_col], "n": win["_c"].astype("int64")}
+        )
+
+    # bucket by KEY (not pair): every (key, value) count for one key
+    # must meet in one task for the arg-max; the pre-reduce keeps the
+    # buffered pairs folded, so receiver memory is O(distinct pairs per
+    # key-bucket)
+    return bucketed_group_map(
+        pre, [key_col], per_bucket, num_buckets=num_buckets, pre_reduce=pre_reduce
+    )
+
+
 def quantiles_per_key(
     ds: ray.data.Dataset,
     key_col: str,

@@ -4136,6 +4136,40 @@ FROM s GROUP BY user_id, sid
 """
 
 
+def q_value_mode_by_type(sf_dir: str):
+    """Exact MODE of value cents per event type (deterministic
+    tie-break: highest count, then smallest value)."""
+    from ..functions.relational import mode_per_key
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+    ds = ds.map_batches(_to_cents_cols(["value"]), batch_format="pyarrow")
+    out = mode_per_key(ds, "event_type", "value", out_col="mode_cents")
+
+    def cast(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": b["event_type"].astype(str),
+                "mode_cents": b["mode_cents"].astype("int64"),
+                "n": b["n"].astype("int64"),
+            }
+        )
+
+    return out.map_batches(cast, batch_format="pandas")
+
+
+SQL_VALUE_MODE = """
+WITH c AS (
+  SELECT event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events),
+t AS (
+  SELECT event_type, cents, COUNT(*) AS n,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY COUNT(*) DESC, cents) AS rn
+  FROM c GROUP BY event_type, cents)
+SELECT event_type, CAST(cents AS BIGINT) AS mode_cents, CAST(n AS BIGINT) AS n
+FROM t WHERE rn = 1
+"""
+
+
 # --- registry ----------------------------------------------------------------
 
 
@@ -4252,6 +4286,7 @@ def queries():
         "streaming_window": q_streaming_window,
         "rolling_hour_value": q_rolling_hour_value,
         "streaming_sessions": q_streaming_sessions,
+        "value_mode_by_type": q_value_mode_by_type,
     }
 
 
@@ -4351,6 +4386,7 @@ def oracle_sql():
         "streaming_window": SQL_STREAMING_WINDOW,
         "rolling_hour_value": SQL_ROLLING_HOUR,
         "streaming_sessions": SQL_STREAMING_SESSIONS,
+        "value_mode_by_type": SQL_VALUE_MODE,
         "lang_id": _sql_lang_id(),
         "simhash": _sql_simhash(),
         "simhash_pairs": _sql_simhash_pairs(),
