@@ -197,3 +197,21 @@ def test_orc_and_ipc_roundtrip(ray_session, tmp_path):
 
     rds = remote_file_connector(f"file://{orc_dir}/one.orc", format="orc")
     assert rds.to_pandas()["a"].tolist() == [1, 2, 3]
+
+
+def test_gzip_csv_and_json_sources(ray_session, tmp_path):
+    """Arrow auto-detects gzip by extension — compressed exports read
+    through the same extractor semantics (header normalization etc.)."""
+    import gzip
+
+    from wprdc_etl_ray.sources.connectors import read_csv_source, read_json_source
+
+    with gzip.open(tmp_path / "d.csv.gz", "wt") as f:
+        f.write("A Col,B-Col\n1,x\n2,y\n")
+    with gzip.open(tmp_path / "d.jsonl.gz", "wt") as f:
+        f.write('{"a": 1}\n{"a": 2}\n')
+    csv = read_csv_source(str(tmp_path / "d.csv.gz")).to_pandas()
+    assert list(csv.columns) == ["a_col", "b_col"]
+    assert csv["a_col"].astype(int).tolist() == [1, 2]
+    js = read_json_source(str(tmp_path / "d.jsonl.gz")).to_pandas()
+    assert js["a"].tolist() == [1, 2]
