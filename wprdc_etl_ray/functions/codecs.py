@@ -387,15 +387,19 @@ def encode_gif(indices: np.ndarray, palette: np.ndarray) -> bytes:
 
 
 def decode_image(data: bytes) -> np.ndarray:
-    """Magic-byte dispatch: PNG, BMP or GIF → pixel array (the
-    real-mode image entry point; new formats plug in here)."""
+    """Magic-byte dispatch: PNG, BMP, GIF or baseline JPEG → pixel
+    array (the real-mode image entry point; new formats plug in here)."""
     if data[:8] == _PNG_SIG:
         return decode_png(data)
     if data[:2] == b"BM":
         return decode_bmp(data)
     if data[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif(data)
-    raise CodecError("unrecognized image format (PNG/BMP/GIF supported)")
+    if data[:2] == b"\xff\xd8":
+        from .codecs_jpeg import decode_jpeg
+
+        return decode_jpeg(data)
+    raise CodecError("unrecognized image format (PNG/BMP/GIF/JPEG supported)")
 
 
 def image_dimensions(data: bytes) -> tuple[int, int]:
@@ -408,7 +412,11 @@ def image_dimensions(data: bytes) -> tuple[int, int]:
     if data[:6] in (b"GIF87a", b"GIF89a"):
         w, h = struct.unpack("<HH", data[6:10])
         return int(w), int(h)
-    raise CodecError("unrecognized image format (PNG/BMP/GIF supported)")
+    if data[:2] == b"\xff\xd8":
+        from .codecs_jpeg import jpeg_dimensions
+
+        return jpeg_dimensions(data)
+    raise CodecError("unrecognized image format (PNG/BMP/GIF/JPEG supported)")
 
 
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
