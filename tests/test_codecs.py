@@ -349,3 +349,69 @@ def test_gif_skips_extensions_and_rejects_interlace():
     desc[pos + 9] |= 0x40
     with pytest.raises(CodecError):
         decode_gif(bytes(desc))
+
+
+def _box(btype: bytes, payload: bytes) -> bytes:
+    import struct as _s
+
+    return _s.pack(">I", 8 + len(payload)) + btype + payload
+
+
+def _make_mp4(w, h, timescale, duration, frame_counts):
+    """Minimal hand-built ISO-BMFF tree: ftyp + moov>trak>(tkhd,
+    mdia>(mdhd, minf>stbl>stts))."""
+    import struct as _s
+
+    tkhd = b"\x00" + b"\x00" * 3 + b"\x00" * 76 + _s.pack(">II", w << 16, h << 16)
+    mdhd = b"\x00" + b"\x00" * 3 + _s.pack(">IIII", 0, 0, timescale, duration) + b"\x00" * 4
+    stts = (
+        b"\x00" * 4
+        + _s.pack(">I", len(frame_counts))
+        + b"".join(_s.pack(">II", c, 512) for c in frame_counts)
+    )
+    stbl = _box(b"stbl", _box(b"stts", stts))
+    minf = _box(b"minf", stbl)
+    mdia = _box(b"mdia", _box(b"mdhd", mdhd) + minf)
+    trak = _box(b"trak", _box(b"tkhd", tkhd) + mdia)
+    return _box(b"ftyp", b"isom\x00\x00\x02\x00isom") + _box(b"moov", trak)
+
+
+def test_mp4_metadata_parse():
+    from wprdc_etl_ray.functions.codecs import parse_mp4_meta
+
+    data = _make_mp4(640, 360, 30_000, 90_000, [50, 25])
+    m = parse_mp4_meta(data)
+    assert m["width"] == 640 and m["height"] == 360
+    assert m["n_frames"] == 75
+    assert m["duration_ms"] == 3000  # 90000 / 30000 s
+    with pytest.raises(CodecError):
+        parse_mp4_meta(b"\x00\x00\x00\x08junk")
+
+
+def test_video_meta_stub_real_mode(ray_session):
+    from wprdc_etl_ray.functions.multimodal import VideoMetaStub
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "payload": pa.array(
+                [_make_mp4(320, 240, 1000, 5000, [120]), _make_mp4(1920, 1080, 600, 600, [2])],
+                pa.binary(),
+            ),
+        }
+    )
+    out = (
+        rd.from_arrow(t)
+        .map_batches(
+            VideoMetaStub,
+            fn_constructor_kwargs={"mode": "real", "max_frames": 8},
+            batch_format="pyarrow",
+            concurrency=1,
+        )
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert out["width"].tolist() == [320, 1920]
+    assert out["n_frames"].tolist() == [120, 2]
+    assert out["duration_ms"].tolist() == [5000, 1000]
+    assert out["sampled_frames"].tolist() == [8, 2]

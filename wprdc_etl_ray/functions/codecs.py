@@ -419,6 +419,85 @@ def image_dimensions(data: bytes) -> tuple[int, int]:
     raise CodecError("unrecognized image format (PNG/BMP/GIF/JPEG supported)")
 
 
+def parse_mp4_meta(data: bytes) -> dict:
+    """ISO BMFF (MP4/MOV) METADATA without any video codec: walk the
+    big-endian box tree for the first video track — `tkhd` width/height
+    (16.16 fixed point), `mdhd` timescale/duration, and the REAL frame
+    count from `stts` (sum of sample counts). Frame pixel extraction
+    needs H.264/H.265 and stays honestly out of scope; this makes the
+    frame-sample PLAN exact (n_frames, duration) instead of
+    byte-derived."""
+
+    def boxes(buf: memoryview, start: int, end: int):
+        pos = start
+        while pos + 8 <= end:
+            (size,) = struct.unpack(">I", buf[pos : pos + 4])
+            btype = bytes(buf[pos + 4 : pos + 8])
+            hdr = 8
+            if size == 1:
+                (size,) = struct.unpack(">Q", buf[pos + 8 : pos + 16])
+                hdr = 16
+            elif size == 0:
+                size = end - pos
+            if size < hdr:
+                raise CodecError(f"bad box size at {pos}")
+            yield btype, pos + hdr, pos + size
+            pos += size
+
+    def find(buf, start, end, name: bytes):
+        for btype, s, e in boxes(buf, start, end):
+            if btype == name:
+                return s, e
+        return None
+
+    mv = memoryview(data)
+    if find(mv, 0, len(data), b"ftyp") is None:
+        raise CodecError("not an ISO-BMFF file (no ftyp)")
+    moov = find(mv, 0, len(data), b"moov")
+    if moov is None:
+        raise CodecError("no moov box (fragmented/streaming MP4 not supported)")
+    for btype, ts, te in boxes(mv, *moov):
+        if btype != b"trak":
+            continue
+        tk = find(mv, ts, te, b"tkhd")
+        if tk is None:
+            continue
+        # tkhd ends with width(4) + height(4), 16.16 fixed point
+        w_fx, h_fx = struct.unpack(">II", mv[tk[1] - 8 : tk[1]])
+        width, height = w_fx >> 16, h_fx >> 16
+        if width == 0 or height == 0:
+            continue  # audio/hint track
+        mdia = find(mv, ts, te, b"mdia")
+        if mdia is None:
+            continue
+        md = find(mv, *mdia, name=b"mdhd")
+        ver = mv[md[0]]
+        if ver == 1:
+            timescale, duration = struct.unpack(">IQ", mv[md[0] + 20 : md[0] + 32])
+        else:
+            timescale, duration = struct.unpack(">II", mv[md[0] + 12 : md[0] + 20])
+        minf = find(mv, *mdia, name=b"minf")
+        stbl = find(mv, *minf, name=b"stbl") if minf else None
+        n_frames = 0
+        if stbl is not None:
+            stts = find(mv, *stbl, name=b"stts")
+            if stts is not None:
+                (n_entries,) = struct.unpack(">I", mv[stts[0] + 4 : stts[0] + 8])
+                for i in range(n_entries):
+                    cnt, _delta = struct.unpack(
+                        ">II", mv[stts[0] + 8 + 8 * i : stts[0] + 16 + 8 * i]
+                    )
+                    n_frames += cnt
+        return {
+            "width": int(width),
+            "height": int(height),
+            "timescale": int(timescale),
+            "duration_ms": int(duration * 1000 // max(timescale, 1)),
+            "n_frames": int(n_frames),
+        }
+    raise CodecError("no video track found")
+
+
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     """PCM WAV bytes → ((n_frames, n_channels) array, sample_rate).
     8-bit unsigned / 16- and 32-bit signed little-endian PCM via the

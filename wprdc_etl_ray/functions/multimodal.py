@@ -249,6 +249,60 @@ def multimodal_pipeline(
     return decoded.map_batches(combine, batch_format="pyarrow", batch_size=batch_size)
 
 
+class VideoMetaStub:
+    """Video-metadata stage (actor pool): payload bytes → typed
+    dimensions + REAL frame count/duration. ``mode='real'`` parses the
+    ISO-BMFF box tree (codecs.parse_mp4_meta — tkhd/mdhd/stts, no video
+    codec needed), making the frame-sample plan exact; pixel-level
+    frame extraction would need H.264 and stays an honest plug-point.
+    ``mode='fake'`` derives the same columns from the bytes."""
+
+    def __init__(self, mode: str = "fake", every: int = 16, max_frames: int = 4):
+        if mode not in ("fake", "real"):
+            raise ValueError(mode)
+        self.mode = mode
+        self.every = every
+        self.max_frames = max_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        payload = batch.column("payload")
+        arr = (
+            payload.combine_chunks() if isinstance(payload, pa.ChunkedArray) else payload
+        )
+        if arr.null_count:
+            arr = arr.fill_null(b"")
+        ws, hs, nf, dur = [], [], [], []
+        for v in arr:
+            data = v.as_py()
+            if self.mode == "real":
+                from .codecs import parse_mp4_meta
+
+                m = parse_mp4_meta(data)
+                ws.append(m["width"])
+                hs.append(m["height"])
+                nf.append(m["n_frames"])
+                dur.append(m["duration_ms"])
+            else:
+                first = data[0] if data else 0
+                ws.append(16 + first % 240)
+                hs.append(16 + len(data) % 240)
+                nf.append(1 + len(data) // self.every)
+                dur.append((1 + len(data) // self.every) * 40)
+        sampled = np.minimum(self.max_frames, np.asarray(nf, np.int64))
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "width": pa.array(ws, pa.int64()),
+                "height": pa.array(hs, pa.int64()),
+                "n_frames": pa.array(nf, pa.int64()),
+                "duration_ms": pa.array(dur, pa.int64()),
+                "sampled_frames": pa.array(sampled, pa.int64()),
+            }
+        )
+
+
 class AudioDecodeStub:
     """Audio-decode stage (actor pool): payload bytes → (sample_rate,
     n_samples, rms_milli). ``mode='real'`` decodes PCM WAV via the
