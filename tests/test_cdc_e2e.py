@@ -1152,3 +1152,64 @@ def test_index_nondefault_bucket_count_survives_refresh(ray_session, tmp_path, l
     for tool in sorted(oracle["tool"].dropna().unique()):
         want = sorted(oracle[oracle["tool"] == tool]["conv_id"].unique())
         assert index_lookup(root, "tool", tool) == want
+
+
+def test_cdf_feeds_streaming_window(ray_session, tmp_path, log):
+    """CDC → streaming integration capstone: the change-data-feed of a
+    two-epoch ingest streams through the distributed windower
+    (feed_dataset per epoch), and the finalized+drained windows equal a
+    batch GROUP BY over the same feed rows — exactly-once across epoch
+    boundaries."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from wprdc_etl_ray.pipelines.cdc import follow_changes
+    from wprdc_etl_ray.pipelines.window import StreamingWindowSession
+
+    write_wal(str(tmp_path), log, segment_rows=1000)
+    segs = sorted(glob.glob(str(tmp_path / "wal" / "seg-*.parquet")))
+    w1 = str(tmp_path / "w1")
+    os.makedirs(w1)
+    for s in segs[: len(segs) // 2]:
+        os.link(s, os.path.join(w1, os.path.basename(s)))
+    root = str(tmp_path / "t")
+    run_ingest(w1, root, CDCConfig(num_partitions=8))
+    run_ingest(str(tmp_path / "wal"), root, CDCConfig(num_partitions=8))
+
+    DAY = 86_400_000_000
+    sess = StreamingWindowSession(
+        "role", "ts", "one", width_us=DAY, allowed_lateness_us=DAY, num_shards=3
+    )
+    feeds = []
+    outs = []
+    for epoch, ds in follow_changes(root, from_epoch=0, max_polls=1):
+        def narrow(b: pd.DataFrame) -> pd.DataFrame:
+            ins = b[b["change_type"] == "insert"][["role", "ts"]].dropna()
+            ins = ins.copy()
+            ins["one"] = 1
+            return ins
+
+        fed = ds.map_batches(narrow, batch_format="pandas")
+        feeds.append(fed.to_pandas())
+        outs.append(sess.feed_dataset(fed))
+    outs.append(sess.drain())
+    got = (
+        pa.concat_tables(outs)
+        .to_pandas()
+        .sort_values(["key", "wstart"], ignore_index=True)
+    )
+    assert not got.duplicated(["key", "wstart"]).any()
+
+    allfeed = pd.concat(feeds, ignore_index=True)
+    allfeed["w"] = (
+        allfeed["ts"].astype("datetime64[us]").astype("int64") // DAY
+    ) * DAY
+    want = (
+        allfeed.groupby(["role", "w"], as_index=False)
+        .agg(n=("one", "size"), s=("one", "sum"))
+        .sort_values(["role", "w"], ignore_index=True)
+    )
+    assert got["key"].tolist() == want["role"].tolist()
+    assert got["wstart"].tolist() == want["w"].tolist()
+    assert got["n"].tolist() == want["n"].tolist()
+    sess.shutdown()
