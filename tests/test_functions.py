@@ -2005,3 +2005,56 @@ def test_mode_per_key_tiebreak_across_blocks(ray_session):
     )
     assert got["mode"].tolist() == [3, 2]
     assert got["n"].tolist() == [2, 2]
+
+
+def test_round4_operators_empty_and_single_row_edges(ray_session):
+    """Edge battery: empty inputs and single-row keys must not crash or
+    mis-shape any round-4 operator."""
+    from wprdc_etl_ray.functions.relational import (
+        count_distinct_per_key,
+        except_distinct,
+        explode_list,
+        intersect_distinct,
+        mode_per_key,
+        quantiles_per_key,
+        rank_per_key,
+        rolling_range_per_key,
+    )
+
+    empty = rd.from_arrow(
+        pa.table({"k": pa.array([], pa.string()), "v": pa.array([], pa.int64())})
+    )
+    one = rd.from_pandas(pd.DataFrame({"k": ["z"], "v": [42]}))
+
+    assert rank_per_key(one, "k", "v").to_pandas()["rn"].tolist() == [1]
+    assert count_distinct_per_key(one, "k", "v").to_pandas()["n_distinct"].tolist() == [1]
+    q = quantiles_per_key(one, "k", "v", [0.5]).to_pandas()
+    assert q["q50"].tolist() == [42]
+    m = mode_per_key(one, "k", "v").to_pandas()
+    assert m["mode"].tolist() == [42]
+
+    # set ops with an empty side
+    assert intersect_distinct(one, one, ["k", "v"]).count() == 1
+    assert except_distinct(one, one, ["k", "v"]).count() == 0
+
+    # explode over a dataset whose lists are all empty
+    t = pa.table({"id": pa.array([1, 2], pa.int64()), "xs": pa.array([[], []], pa.list_(pa.int64()))})
+    assert explode_list(rd.from_arrow(t), ["id"], "xs").count() == 0
+
+    # RANGE window over one row
+    ts1 = pd.DataFrame({"k": ["a"], "ts": pd.to_datetime(["2020-01-01"]), "v": [5]})
+    rr = rolling_range_per_key(rd.from_pandas(ts1), "k", "ts", "v", window_us=1000)
+    assert rr.to_pandas()["range_sum"].tolist() == [5]
+
+
+def test_kmv_and_linreg_empty_safe(ray_session):
+    from wprdc_etl_ray.functions.sketch import approx_count_distinct
+    from wprdc_etl_ray.functions.stats import linreg_per_key
+
+    empty = rd.from_arrow(pa.table({"v": pa.array([], pa.int64())}))
+    assert approx_count_distinct(empty, ["v"], k=64) == 0
+
+    one = rd.from_pandas(pd.DataFrame({"k": ["a"], "x": [1], "y": [2]}))
+    out = linreg_per_key(one, "k", "x", "y").to_pandas()
+    # single point: zero variance -> null slope
+    assert pd.isna(out["slope_micro"]).all()

@@ -54,6 +54,8 @@ def approx_count_distinct(
         return pa.table({"h": pa.array(m.view(np.int64), pa.int64())})
 
     parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if not len(parts) or "h" not in parts.columns:
+        return 0  # empty input: map_batches never fires, no partials
     mins = _kmv_merge(parts["h"].to_numpy(np.int64).view(np.uint64), k)
     return _kmv_estimate(mins, k)
 
