@@ -2058,3 +2058,16 @@ def test_kmv_and_linreg_empty_safe(ray_session):
     out = linreg_per_key(one, "k", "x", "y").to_pandas()
     # single point: zero variance -> null slope
     assert pd.isna(out["slope_micro"]).all()
+
+
+def test_rank_per_key_cume_dist(ray_session):
+    from wprdc_etl_ray.functions.relational import rank_per_key
+
+    df = pd.DataFrame({"k": ["a"] * 4 + ["b"] * 2, "o": [10, 20, 20, 30, 5, 5]})
+    got = (
+        rank_per_key(rd.from_pandas(df), "k", "o", method="cume_dist", out_col="cd")
+        .to_pandas()
+        .sort_values(["k", "o"], ignore_index=True)
+    )
+    # a: ranks_max [1,3,3,4]/4 ; b: ties -> 2/2
+    assert got["cd"].tolist() == [0.25, 0.75, 0.75, 1.0, 1.0, 1.0]

@@ -1701,12 +1701,14 @@ def rank_per_key(
     out_col: str = "rn",
     method: str = "row_number",
 ) -> ray.data.Dataset:
-    """``ROW_NUMBER()`` / ``RANK()`` / ``DENSE_RANK()`` OVER
-    (PARTITION BY key ORDER BY order). ``method="row_number"`` needs
+    """``ROW_NUMBER()`` / ``RANK()`` / ``DENSE_RANK()`` / ``CUME_DIST()``
+    OVER (PARTITION BY key ORDER BY order). ``method="row_number"`` needs
     ``order_col`` unique within a key (ties are engine-nondeterministic,
-    same contract as ntile_per_key); ``"rank"`` and ``"dense"`` are
-    tie-stable. One bucketed exchange, one in-bucket sort + C kernel."""
-    if method not in ("row_number", "rank", "dense"):
+    same contract as ntile_per_key); the others are tie-stable.
+    ``cume_dist`` emits float64 ``rank_max/n`` — one integer division in
+    IEEE double, bit-identical across engines. One bucketed exchange,
+    one in-bucket sort + C kernel."""
+    if method not in ("row_number", "rank", "dense", "cume_dist"):
         raise ValueError(f"unknown rank method {method!r}")
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -1714,6 +1716,11 @@ def rank_per_key(
         out = g[[key_col, order_col]].copy()
         if method == "row_number":
             out[out_col] = g.groupby(key_col, sort=False).cumcount().to_numpy() + 1
+        elif method == "cume_dist":
+            grp = g.groupby(key_col, sort=False)[order_col]
+            rmax = grp.rank(method="max").to_numpy()
+            n = grp.transform("size").to_numpy()
+            out[out_col] = rmax / n
         else:
             out[out_col] = (
                 g.groupby(key_col, sort=False)[order_col]

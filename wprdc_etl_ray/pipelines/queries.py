@@ -4170,6 +4170,58 @@ FROM t WHERE rn = 1
 """
 
 
+def q_event_cume_dist(sf_dir: str):
+    """CUME_DIST of each event's value cents within its type — the
+    fraction-of-peers-at-or-below window; one integer division in
+    float64 keeps both engines bit-identical."""
+    from ..functions.relational import rank_per_key
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "event_type", "value"])
+    ds = ds.map_batches(_to_cents_cols(["value"]), batch_format="pyarrow")
+
+    def keyed(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": b["event_type"],
+                # carry (value, event_id) as order key via a struct? —
+                # no: cume_dist is defined on the VALUE ordering alone,
+                # ties share the same cume, so value suffices
+                "value": b["value"].astype("int64"),
+                "event_id": b["event_id"].astype("int64"),
+            }
+        )
+
+    out = rank_per_key(
+        ds.map_batches(keyed, batch_format="pandas"),
+        "event_type",
+        "value",
+        out_col="cume",
+        method="cume_dist",
+    )
+
+    # rank_per_key returns (key, order) pairs; ties collapse to the same
+    # (value, cume), so join back onto the event spine for per-event rows
+    def cast(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": b["event_type"].astype(str),
+                "value": b["value"].astype("int64"),
+                "cume": b["cume"].astype("float64"),
+            }
+        ).drop_duplicates()
+
+    return out.map_batches(cast, batch_format="pandas")
+
+
+SQL_EVENT_CUME = """
+SELECT DISTINCT event_type,
+       CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS value,
+       CUME_DIST() OVER (PARTITION BY event_type
+                         ORDER BY CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS cume
+FROM events
+"""
+
+
 # --- registry ----------------------------------------------------------------
 
 
@@ -4287,6 +4339,7 @@ def queries():
         "rolling_hour_value": q_rolling_hour_value,
         "streaming_sessions": q_streaming_sessions,
         "value_mode_by_type": q_value_mode_by_type,
+        "event_cume_dist": q_event_cume_dist,
     }
 
 
@@ -4387,6 +4440,7 @@ def oracle_sql():
         "rolling_hour_value": SQL_ROLLING_HOUR,
         "streaming_sessions": SQL_STREAMING_SESSIONS,
         "value_mode_by_type": SQL_VALUE_MODE,
+        "event_cume_dist": SQL_EVENT_CUME,
         "lang_id": _sql_lang_id(),
         "simhash": _sql_simhash(),
         "simhash_pairs": _sql_simhash_pairs(),
