@@ -2071,3 +2071,83 @@ def test_rank_per_key_cume_dist(ray_session):
     )
     # a: ranks_max [1,3,3,4]/4 ; b: ties -> 2/2
     assert got["cd"].tolist() == [0.25, 0.75, 0.75, 1.0, 1.0, 1.0]
+
+
+def test_zorder_one_sided_query_keeps_other_col_nulls(ray_session, tmp_path):
+    """ADVICE r4: a one-sided range scan must NOT drop rows where the
+    un-predicated column is null — parity with a plain filter."""
+    from wprdc_etl_ray.functions.layout import zorder_read, zorder_write
+
+    df = pd.DataFrame(
+        {
+            "id": np.arange(200),
+            "x": np.arange(200).astype("int64"),
+            "y": pd.array([None if i % 5 == 0 else i for i in range(200)], dtype="Int64"),
+        }
+    )
+    root = str(tmp_path / "znull")
+    zorder_write(rd.from_pandas(df).repartition(4), root, "x", "y", num_files=4)
+
+    got = zorder_read(root, a_lo=100).to_pandas().sort_values("id", ignore_index=True)
+    want = df[df.x >= 100]  # plain filter keeps null-y rows
+    assert got["id"].tolist() == want["id"].tolist()
+    assert got["y"].isna().sum() == want["y"].isna().sum() > 0
+
+    # bounding y prunes its nulls, exactly like the plain filter would
+    got2 = zorder_read(root, b_lo=100).to_pandas()
+    want2 = df[df.y.notna() & (df.y >= 100)]
+    assert sorted(got2["id"].tolist()) == sorted(want2["id"].tolist())
+
+
+def test_cluster_read_unbounded_keeps_nulls(ray_session, tmp_path):
+    from wprdc_etl_ray.functions.layout import cluster_read, cluster_write
+
+    df = pd.DataFrame(
+        {
+            "id": np.arange(100),
+            "v": pd.array([None if i % 7 == 0 else i for i in range(100)], dtype="Int64"),
+        }
+    )
+    root = str(tmp_path / "cnull")
+    cluster_write(rd.from_pandas(df).repartition(4), root, "v", num_files=4)
+    got = cluster_read(root).to_pandas()
+    assert len(got) == 100  # unbounded scan = full table incl. null rows
+
+
+def test_linreg_overflow_guard(ray_session):
+    from wprdc_etl_ray.functions.stats import linreg_per_key
+
+    big = pd.DataFrame({"k": ["a", "a"], "x": [1 << 32, 2 << 32], "y": [1, 2]})
+    with pytest.raises(Exception) as ei:
+        linreg_per_key(rd.from_pandas(big), "k", "x", "y").to_pandas()
+    assert "2^31" in str(ei.value)
+
+
+def test_decode_real_mode_null_payload_and_doc_id_in_error(ray_session):
+    from wprdc_etl_ray.functions.codecs import CodecError, encode_png
+    from wprdc_etl_ray.functions.multimodal import DecodeStub, ImageDecodeStub
+
+    px = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    png = encode_png(px)
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "payload": pa.array([png, None], pa.binary()),
+        }
+    )
+    out = DecodeStub(mode="real")(t)
+    assert out.column("n_bytes")[0].as_py() == 48
+    assert not out.column("n_bytes")[1].is_valid  # null payload -> null row
+
+    dims = ImageDecodeStub(mode="real")(t)
+    assert dims.column("width")[0].as_py() == 4
+    assert not dims.column("width")[1].is_valid
+
+    bad = pa.table(
+        {
+            "doc_id": pa.array([77], pa.int64()),
+            "payload": pa.array([b"not-an-image"], pa.binary()),
+        }
+    )
+    with pytest.raises(CodecError, match="doc_id=77"):
+        DecodeStub(mode="real")(bad)

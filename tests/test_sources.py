@@ -215,3 +215,27 @@ def test_gzip_csv_and_json_sources(ray_session, tmp_path):
     assert csv["a_col"].astype(int).tolist() == [1, 2]
     js = read_json_source(str(tmp_path / "d.jsonl.gz")).to_pandas()
     assert js["a"].tolist() == [1, 2]
+
+
+def test_orc_sink_no_filename_collision_on_identical_looking_blocks(
+    ray_session, tmp_path
+):
+    """ADVICE r4: two distinct blocks with equal row counts and equal
+    first cell (common after repartitioning low-cardinality data) must
+    both land on disk — the old (num_rows, first_cell) hash name let
+    os.replace silently drop one block."""
+    import glob
+
+    import pandas as pd
+
+    import ray.data as rd
+    from wprdc_etl_ray.sources.connectors import read_orc_source, write_orc_sink
+
+    # 4 blocks x 100 rows, every cell identical across blocks
+    df = pd.DataFrame({"k": [1] * 400, "v": ["same"] * 400})
+    out = str(tmp_path / "orcsink")
+    n_files = write_orc_sink(rd.from_pandas(df).repartition(4), out)
+    assert n_files == 4
+    assert len(glob.glob(out + "/part-*.orc")) == 4
+    back = read_orc_source(out).to_pandas()
+    assert len(back) == 400  # no silently-dropped rows

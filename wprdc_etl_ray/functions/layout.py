@@ -199,12 +199,22 @@ def zorder_write(
 def zorder_plan(
     root: str, a_lo=None, a_hi=None, b_lo=None, b_hi=None
 ) -> list[str]:
-    """Files whose per-column zones overlap BOTH requested intervals."""
+    """Files whose per-column zones overlap every requested interval.
+
+    Null semantics: a null can never satisfy a range bound, so a file
+    whose zone is all-null in a BOUNDED column is pruned — but an
+    all-null zone in an UN-bounded column keeps the file, matching a
+    plain ``filter`` over the same data (a one-sided query must not
+    drop rows where the other column is null)."""
     with open(os.path.join(root, _META)) as f:
         meta = json.load(f)
+    a_bounded = a_lo is not None or a_hi is not None
+    b_bounded = b_lo is not None or b_hi is not None
     keep = []
     for rec in meta["files"]:
-        if rec["amin"] is None or rec["bmin"] is None:
+        if a_bounded and rec["amin"] is None:
+            continue
+        if b_bounded and rec["bmin"] is None:
             continue
         if a_lo is not None and rec["amax"] < a_lo:
             continue
@@ -226,7 +236,11 @@ def zorder_read(
     b_hi=None,
     columns: list[str] | None = None,
 ) -> ray.data.Dataset:
-    """Zone-pruned 2-D range scan + residual vectorized filter."""
+    """Zone-pruned 2-D range scan + residual vectorized filter.
+
+    Null semantics match a plain ``filter``: only columns that carry a
+    bound require validity — a one-sided query keeps rows where the
+    un-predicated column is null (see ``zorder_plan``)."""
     import pyarrow.compute as pc
 
     with open(os.path.join(root, _META)) as f:
@@ -241,8 +255,11 @@ def zorder_read(
     ds = ray.data.read_parquet(files, columns=columns)
 
     def residual(t: pa.Table) -> pa.BooleanArray:
-        mask = pc.and_(pc.is_valid(t.column(col_a)), pc.is_valid(t.column(col_b)))
+        mask = pa.array(np.ones(t.num_rows, dtype=bool))
         for c, lo, hi in ((col_a, a_lo, a_hi), (col_b, b_lo, b_hi)):
+            if lo is None and hi is None:
+                continue
+            mask = pc.and_(mask, pc.is_valid(t.column(c)))
             if lo is not None:
                 mask = pc.and_(mask, pc.greater_equal(t.column(c), lo))
             if hi is not None:
@@ -272,6 +289,8 @@ def cluster_read(
 
     def residual(t: pa.Table) -> pa.BooleanArray:
         c = t.column(column)
+        if lo is None and hi is None:  # unbounded scan keeps null rows
+            return pa.array(np.ones(t.num_rows, dtype=bool))
         mask = pc.is_valid(c)
         if lo is not None:
             mask = pc.and_(mask, pc.greater_equal(c, lo))

@@ -49,7 +49,7 @@ class DecodeStub:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.mode == "real":
-            from .codecs import decode_image
+            from .codecs import CodecError, decode_image
 
             payload = batch.column("payload")
             arr = (
@@ -57,11 +57,22 @@ class DecodeStub:
                 if isinstance(payload, pa.ChunkedArray)
                 else payload
             )
-            if arr.null_count:
-                arr = arr.fill_null(b"")
+            ids = batch.column("doc_id")
             n_bytes, digests = [], []
-            for v in arr:
-                px = decode_image(v.as_py())
+            # Null payloads emit null feature rows (fake-mode tolerance);
+            # a malformed payload raises naming the offending doc_id so a
+            # 100-TB run's error points at the row, not just the stage.
+            for i, v in enumerate(arr):
+                if not v.is_valid:
+                    n_bytes.append(None)
+                    digests.append(None)
+                    continue
+                try:
+                    px = decode_image(v.as_py())
+                except CodecError as e:
+                    raise CodecError(
+                        f"doc_id={ids[i].as_py()!r}: {e}"
+                    ) from e
                 buf = px.tobytes()
                 n_bytes.append(len(buf))
                 digests.append(hashlib.md5(buf).hexdigest())
@@ -135,9 +146,7 @@ class ImageDecodeStub:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.mode == "real":
-            import numpy as np
-
-            from .codecs import image_dimensions
+            from .codecs import CodecError, image_dimensions
 
             payload = batch.column("payload")
             arr = (
@@ -145,9 +154,18 @@ class ImageDecodeStub:
                 if isinstance(payload, pa.ChunkedArray)
                 else payload
             )
-            if arr.null_count:
-                arr = arr.fill_null(b"")
-            dims = [image_dimensions(v.as_py()) for v in arr]
+            ids = batch.column("doc_id")
+            dims: list[tuple[int | None, int | None]] = []
+            for i, v in enumerate(arr):
+                if not v.is_valid:
+                    dims.append((None, None))
+                    continue
+                try:
+                    dims.append(image_dimensions(v.as_py()))
+                except CodecError as e:
+                    raise CodecError(
+                        f"doc_id={ids[i].as_py()!r}: {e}"
+                    ) from e
             return pa.table(
                 {
                     "doc_id": batch.column("doc_id"),

@@ -49,6 +49,21 @@ def linreg_per_key(
     def moments(batch: pa.Table) -> pa.Table:
         x = batch.column(x_col).to_numpy(zero_copy_only=False).astype(np.int64)
         y = batch.column(y_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        # x*y and x*x are int64: numpy wraps silently past 2^63, which
+        # would break the exact-integer contract without any error.
+        # |x|,|y| < 2^31 keeps every per-row product < 2^62 exact; the
+        # grouped SUM of those products still needs n_rows·max|xy| < 2^63
+        # headroom, so callers quantize to units where values are far
+        # below this guard (the guard catches the silent-wrap regime the
+        # contract forbids; it is a necessary, not sufficient, bound).
+        lim = 1 << 31
+        for name, v in ((x_col, x), (y_col, y)):
+            if len(v) and int(np.abs(v).max()) >= lim:
+                raise ValueError(
+                    f"linreg_per_key: |{name}| must be < 2^31 to keep the "
+                    f"int64 moment partials exact (max seen "
+                    f"{int(np.abs(v).max())}); quantize to coarser units"
+                )
         t = pa.table(
             {
                 key_col: batch.column(key_col),

@@ -246,9 +246,14 @@ def write_orc_sink(ds: ray.data.Dataset, out_dir: str) -> int:
 
     def write(batch: pa.Table) -> pa.Table:
         if batch.num_rows:
-            name = hashlib.md5(
-                str((batch.num_rows, batch.column(0)[0].as_py())).encode()
-            ).hexdigest()[:12]
+            # Filename must be unique per BLOCK, not per (row_count, first
+            # cell): after repartitioning sorted/low-cardinality data two
+            # distinct blocks can share both, and os.replace would silently
+            # drop one block's rows. uuid4 guarantees no collision; the
+            # temp+rename publish still keeps partial files invisible.
+            import uuid
+
+            name = uuid.uuid4().hex[:16]
             path = os.path.join(out_dir, f"part-{name}.orc")
             tmp = f"{path}.{os.getpid()}.tmp"
             paorc.write_table(batch, tmp)
