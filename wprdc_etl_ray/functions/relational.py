@@ -29,8 +29,15 @@ from ..stages.partition import hash_strings
 def read_table(
     sf_dir: str, name: str, columns: list[str] | None = None
 ) -> ray.data.Dataset:
-    """Column-pruned parquet read (only requested columns leave storage)."""
-    return ray.data.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+    """Column-pruned parquet read (only requested columns leave storage).
+
+    Schema metadata is stripped at the source: pandas-written parquet
+    carries b'pandas' schema metadata, which makes pa.Schema unhashable
+    and defeats Ray's schema-dedup fast path in every downstream shuffle
+    ('Failed to hash the schemas' warnings). The strip fuses into the
+    read stage (zero-copy replace_schema_metadata)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+    return ds.map_batches(_strip_schema_metadata, batch_format="pyarrow")
 
 
 def filter_batches(ds: ray.data.Dataset, predicate) -> ray.data.Dataset:
@@ -202,6 +209,79 @@ def bloom_semi_filter(
         return batch.filter(pa.array(bf.contains(_key_hashes(batch, cols))))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def bloom_anti_filter(
+    ds: ray.data.Dataset, bloom, cols: list[str]
+) -> ray.data.Dataset:
+    """Keep only rows whose key is DEFINITELY absent from the bloom
+    (a Bloom filter has no false negatives, so these rows are exact
+    keeps for an anti join; rows the bloom accepts still need an exact
+    membership check — see :func:`anti_join_keys`)."""
+    ref = ray.put(bloom)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        bf = ray.get(ref)
+        return batch.filter(pa.array(~bf.contains(_key_hashes(batch, cols))))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def anti_join_keys(
+    big: ray.data.Dataset,
+    keys,
+    column: str,
+    broadcast_cap: int = 5_000_000,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Exact anti join: drop ``big`` rows whose ``column`` appears in
+    ``keys``.
+
+    ``keys`` may be a numpy array / set (always broadcast via
+    ``semi_join(anti=True)``) or a single-column key Dataset. A Dataset
+    key side is counted first: at or under ``broadcast_cap`` keys it
+    collapses to the broadcast path (one ``ray.put`` array, zero
+    shuffle of the big side — an int64 drop list at the 5 M default is
+    40 MB, well inside one executor's heap). Above the cap the big side
+    splits by a Bloom filter built from the key hashes: bloom-rejected
+    rows are DEFINITE keeps and stream through with no shuffle (no
+    false negatives), while the small candidate slice (true matches +
+    the bloom's ~0.01% false positives) resolves exactly through a
+    ``left_outer`` hash join against the key Dataset, keeping unmatched
+    rows. The union equals the broadcast path's row set exactly — the
+    bloom only routes, the join decides."""
+    if not isinstance(keys, ray.data.Dataset):
+        return semi_join(big, keys, column, anti=True)
+
+    keys = keys.materialize()  # counted AND consumed: avoid lazy re-exec
+    n_keys = keys.count()
+    kcol = keys.schema().names[0]
+    if n_keys <= broadcast_cap:
+        arr = keys.to_pandas()[kcol].to_numpy()
+        return semi_join(big, arr, column, anti=True)
+
+    bloom = build_key_bloom(keys, [kcol])
+    definite = bloom_anti_filter(big, bloom, [column])
+    cand = bloom_semi_filter(big, bloom, [column])
+
+    def mark(b: pa.Table) -> pa.Table:
+        t = pa.table({column: b.column(kcol)})
+        return t.append_column("_aj_m", pa.array(np.ones(b.num_rows, np.int64)))
+
+    marker = keys.map_batches(mark, batch_format="pyarrow")
+    joined = hash_join(
+        cand, marker, on=column, join_type="left_outer",
+        num_partitions=num_partitions,
+    )
+    orig_cols = big.schema().names
+
+    def keep_unmatched(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        return b.filter(_pc.is_null(b.column("_aj_m"))).select(orig_cols)
+
+    fp_keeps = joined.map_batches(keep_unmatched, batch_format="pyarrow")
+    return definite.select_columns(orig_cols).union(fp_keeps)
 
 
 def _strip_schema_metadata(batch: pa.Table) -> pa.Table:

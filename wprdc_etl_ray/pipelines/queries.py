@@ -1122,10 +1122,21 @@ def q_region_revenue(sf_dir: str):
         return pa.table({"l_orderkey": batch.column("l_orderkey"), "rev": r})
 
     li = li.map_batches(rev, batch_format="pyarrow")
+    # Group key (r_name) is functionally dependent on the join keys, so
+    # partial sums push BELOW each join: lineitem pre-aggregates per
+    # order (the first exchange ships 1 row/order, not 1 row/lineitem),
+    # the order-level partials re-aggregate per customer below the
+    # second join, and the final region rollup just sums partials.
+    pre_ord = grouped_agg(
+        li, ["l_orderkey"], [("rev", "sum", "_rev"), ("", "count", "_n")]
+    )
     ords = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
-    j1 = hash_join(li, ords, on="l_orderkey", right_on="o_orderkey", num_partitions=8)
+    j1 = hash_join(pre_ord, ords, on="l_orderkey", right_on="o_orderkey", num_partitions=8)
+    pre_cust = grouped_agg(
+        j1, ["o_custkey"], [("_rev", "sum", "_rev"), ("_n", "sum", "_n")]
+    )
     cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
-    j2 = hash_join(j1, cust, on="o_custkey", right_on="c_custkey", num_partitions=8)
+    j2 = hash_join(pre_cust, cust, on="o_custkey", right_on="c_custkey", num_partitions=8)
 
     nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
     region = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
@@ -1134,7 +1145,7 @@ def q_region_revenue(sf_dir: str):
     ]
     j3 = broadcast_join(j2, dim, on="c_nationkey", right_on="n_nationkey")
     out = grouped_agg(
-        j3, ["r_name"], [("", "count", "n_items"), ("rev", "sum", "revenue")]
+        j3, ["r_name"], [("_n", "sum", "n_items"), ("_rev", "sum", "revenue")]
     )
     return out.map_batches(_as_int64(["n_items", "revenue"]), batch_format="pyarrow")
 
@@ -1166,15 +1177,27 @@ FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
 
 
 def q_segment_revenue(sf_dir: str):
-    """Partitioned hash join (Dataset.join) orders ⋈ customer → grouped sum."""
+    """Partitioned hash join (Dataset.join) orders ⋈ customer → grouped sum.
+
+    The group key (c_mktsegment) is functionally dependent on the join
+    key, so orders PRE-AGGREGATE per o_custkey below the join (partial
+    sum + count): the all-to-all exchange ships one row per customer
+    instead of one per order (~10× fewer rows at TPC-H ratios), and the
+    final segment rollup just sums the partials — same result exactly
+    (sum of partial sums, sum of partial counts)."""
     orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
     cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
-    j = hash_join(orders, cust, on="o_custkey", right_on="c_custkey", num_partitions=8)
-    j = j.map_batches(_to_cents_cols(["o_totalprice"]), batch_format="pyarrow")
+    o = orders.map_batches(_to_cents_cols(["o_totalprice"]), batch_format="pyarrow")
+    pre = grouped_agg(
+        o,
+        ["o_custkey"],
+        [("o_totalprice", "sum", "_rev"), ("", "count", "_n")],
+    )
+    j = hash_join(pre, cust, on="o_custkey", right_on="c_custkey", num_partitions=8)
     out = grouped_agg(
         j,
         ["c_mktsegment"],
-        [("o_totalprice", "sum", "total_revenue"), ("", "count", "n_orders")],
+        [("_rev", "sum", "total_revenue"), ("_n", "sum", "n_orders")],
     )
     return out.map_batches(
         _as_int64(["total_revenue", "n_orders"]), batch_format="pyarrow"
@@ -1399,21 +1422,23 @@ GROUP BY c_mktsegment
 
 
 def q_order_priority(sf_dir: str):
-    """TPC-H Q4 shape: EXISTS semi-join expressed as join+distinct+count."""
+    """TPC-H Q4 shape: EXISTS semi-join.
+
+    EXISTS(l_shipdate > o_orderdate) ⟺ MAX(l_shipdate) > o_orderdate,
+    so lineitem pre-aggregates to its per-order max shipdate BELOW the
+    join: the exchange ships one row per order instead of one per
+    lineitem, and the post-join rows are already order-distinct (the r4
+    plan joined the full lineitem stream and deduped after)."""
     li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+    pre = grouped_agg(li, ["l_orderkey"], [("l_shipdate", "max", "_max_ship")])
     orders = read_table(
         sf_dir, "orders", columns=["o_orderkey", "o_orderdate", "o_orderpriority"]
     )
-    j = hash_join(li, orders, on="l_orderkey", right_on="o_orderkey", num_partitions=8)
+    j = hash_join(pre, orders, on="l_orderkey", right_on="o_orderkey", num_partitions=8)
     j = filter_batches(
-        j, lambda t: pc.greater(t.column("l_shipdate"), t.column("o_orderdate"))
+        j, lambda t: pc.greater(t.column("_max_ship"), t.column("o_orderdate"))
     )
-    distinct_orders = grouped_agg(
-        j, ["l_orderkey", "o_orderpriority"], [("", "count", "_c")]
-    )
-    out = grouped_agg(
-        distinct_orders, ["o_orderpriority"], [("", "count", "n_orders")]
-    )
+    out = grouped_agg(j, ["o_orderpriority"], [("", "count", "n_orders")])
     return out.map_batches(_as_int64(["n_orders"]), batch_format="pyarrow")
 
 
@@ -1472,6 +1497,16 @@ def q_top_orders_per_segment(sf_dir: str):
 
     orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_totalprice"])
     cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+
+    def local_top3_per_cust(b: pd.DataFrame) -> pd.DataFrame:
+        # batch-local combiner BELOW the join: a customer contributes at
+        # most its own top-3 to its segment's top-3, so keeping 3 rows
+        # per customer per batch (map-only, no exchange) is a lossless
+        # superset that shrinks the join's all-to-all input.
+        s = b.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True])
+        return s.groupby("o_custkey", sort=False).head(3)
+
+    orders = orders.map_batches(local_top3_per_cust, batch_format="pandas")
     j = hash_join(orders, cust, on="o_custkey", right_on="c_custkey", num_partitions=8)
     j = j.select_columns(["c_mktsegment", "o_orderkey", "o_totalprice"])
     return topk_per_key(
@@ -2977,32 +3012,29 @@ FROM reach GROUP BY n
 
 def q_dedup_corpus(sf_dir: str):
     """Dedup APPLIED: the corpus with non-canonical near-dup cluster
-    members removed — pairs → connected components → drop-list
-    broadcast (duplicate members only, a tiny fraction of the corpus)
-    → streamed filter. The end-to-end 'give me the deduplicated
-    training set' pipeline."""
-    import numpy as np
+    members removed — pairs → connected components → drop-list anti
+    join → streamed filter. The end-to-end 'give me the deduplicated
+    training set' pipeline.
 
+    The drop list (duplicate members only, a tiny fraction of the
+    corpus) goes through ``anti_join_keys``: broadcast below its 5 M-key
+    ceiling (one ray.put array, zero shuffle of the corpus), bloom-split
+    exact anti join above it — see SURVEY §2.9 for the ceiling row."""
     from ..functions.dedup import minhash_near_dups
     from ..functions.graph import connected_components
+    from ..functions.relational import anti_join_keys
 
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     cc = connected_components(minhash_near_dups(ds, threshold_micro=800_000))
-    cdf = cc.to_pandas()
-    drop = np.sort(cdf.loc[cdf["node"] != cdf["comp"], "node"].to_numpy("int64"))
-    dref = ray.put(drop)
 
+    def drop_list(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": b.loc[b["node"] != b["comp"], "node"].astype("int64")}
+        )
+
+    drops = cc.map_batches(drop_list, batch_format="pandas")
     corpus = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
-
-    def keep(batch: pa.Table) -> pa.Table:
-        import numpy as _np
-
-        d = ray.get(dref)
-        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        mask = ~_np.isin(ids, d)
-        return batch.filter(pa.array(mask))
-
-    return corpus.map_batches(keep, batch_format="pyarrow")
+    return anti_join_keys(corpus, drops, "doc_id")
 
 
 def _sql_dedup_corpus() -> str:
@@ -3699,16 +3731,17 @@ FROM embeddings
 
 def q_value_ohlc_daily(sf_dir: str):
     """OHLC bars: per (event_type, day) the opening value (at the
-    earliest (ts, event_id)), high, low, close (latest) and count —
-    first/latest-per-key arg-min/max kernels + one combiner aggregate,
-    joined on the tiny per-bar keys. The time-series summarization every
-    event-stream warehouse job needs."""
-    from ..functions.relational import (
-        first_per_key,
-        grouped_agg,
-        hash_join,
-        latest_per_key,
-    )
+    earliest (ts, event_id)), high, low, close (latest) and count.
+
+    ONE events scan: each batch pre-combines to per-key OHLC partials
+    (one row per key per batch — the partial carries the arg-min/arg-max
+    ordering tuples so partials MERGE exactly), then a single
+    ``bucketed_group_map`` folds partials per key with the merge itself
+    as ``pre_reduce`` (same-schema idempotent ⇒ O(result) receiver
+    memory). Replaces the r4 three-branch plan (grouped_agg +
+    first_per_key + latest_per_key + two joins) that re-executed the
+    upstream read three times."""
+    from ..functions.relational import bucketed_group_map
 
     ds = read_table(sf_dir, "events", columns=["event_type", "ts", "event_id", "value"])
 
@@ -3728,43 +3761,60 @@ def q_value_ohlc_daily(sf_dir: str):
         _to_cents_cols(["value"]), batch_format="pyarrow"
     )
 
-    hilo = grouped_agg(
-        keyed,
-        ["event_type", "day"],
-        [("value", "min", "low"), ("value", "max", "high"), ("", "count", "n")],
-    )
+    PART_COLS = [
+        "event_type", "day", "open_ts", "open_eid", "open",
+        "close_ts", "close_eid", "close", "low", "high", "n",
+    ]
 
-    def day_us(b: pd.DataFrame) -> pd.DataFrame:
-        # join keys must agree on timestamp unit across all three inputs
-        b = b.copy()
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        # per-batch combiner: one OHLC partial row per key in the batch
+        b = b.sort_values(
+            ["event_type", "day", "ts", "event_id"], kind="mergesort"
+        )
         b["day"] = b["day"].astype("datetime64[us]")
-        return b
+        b["ts"] = b["ts"].astype("datetime64[us]").astype("int64")  # µs
+        grp = b.groupby(["event_type", "day"], sort=False)
+        first = grp[["ts", "event_id", "value"]].first()
+        last = grp[["ts", "event_id", "value"]].last()
+        out = pd.DataFrame(
+            {
+                "open_ts": first["ts"],
+                "open_eid": first["event_id"].astype("int64"),
+                "open": first["value"].astype("int64"),
+                "close_ts": last["ts"],
+                "close_eid": last["event_id"].astype("int64"),
+                "close": last["value"].astype("int64"),
+                "low": grp["value"].min().astype("int64"),
+                "high": grp["value"].max().astype("int64"),
+                "n": grp.size().astype("int64"),
+            }
+        ).reset_index()
+        return out[PART_COLS]
 
-    hilo = hilo.map_batches(day_us, batch_format="pandas")
-    opens = first_per_key(keyed, ["event_type", "day"], ["ts", "event_id"])
-    closes = latest_per_key(keyed, ["event_type", "day"], ["ts", "event_id"])
+    def merge_partials(g: pd.DataFrame) -> pd.DataFrame:
+        # fold partials: open from the lexicographically-earliest
+        # (open_ts, open_eid) partial, close from the latest, min/max/sum
+        ga = g.sort_values(
+            ["event_type", "day", "open_ts", "open_eid"], kind="mergesort"
+        )
+        grp_a = ga.groupby(["event_type", "day"], sort=False)
+        opens = grp_a[["open_ts", "open_eid", "open"]].first()
+        gd = g.sort_values(
+            ["event_type", "day", "close_ts", "close_eid"], kind="mergesort"
+        )
+        closes = gd.groupby(["event_type", "day"], sort=False)[
+            ["close_ts", "close_eid", "close"]
+        ].last()
+        rest = grp_a.agg(low=("low", "min"), high=("high", "max"), n=("n", "sum"))
+        out = opens.join([closes, rest]).reset_index()
+        return out[PART_COLS]
 
-    def narrow(name: str):
-        def fn(b: pd.DataFrame) -> pd.DataFrame:
-            return pd.DataFrame(
-                {
-                    "event_type": b["event_type"],
-                    "day": b["day"].astype("datetime64[us]"),
-                    name: b["value"].astype("int64"),
-                }
-            )
-
-        return fn
-
-    j = hash_join(
-        hilo,
-        opens.map_batches(narrow("open"), batch_format="pandas"),
-        on=("event_type", "day"),
-    )
-    j = hash_join(
-        j,
-        closes.map_batches(narrow("close"), batch_format="pandas"),
-        on=("event_type", "day"),
+    bars = bucketed_group_map(
+        keyed.map_batches(partials, batch_format="pandas"),
+        ["event_type", "day"],
+        merge_partials,
+        num_buckets=16,
+        pre_reduce=merge_partials,
     )
 
     def cast(b: pd.DataFrame) -> pd.DataFrame:
@@ -3780,7 +3830,7 @@ def q_value_ohlc_daily(sf_dir: str):
             }
         )
 
-    return j.map_batches(cast, batch_format="pandas")
+    return bars.map_batches(cast, batch_format="pandas")
 
 
 SQL_VALUE_OHLC = """
@@ -4226,7 +4276,59 @@ FROM events
 
 
 def queries():
+    """Registry order note (round 5): the correctness driver samples
+    the FIRST 50 entries, so the 48 queries never driver-sampled in
+    rounds 1-4 lead the dict; the 65 already driver-green entries
+    follow. Name->callable mapping is unchanged."""
     return {
+        "rolling_user_value": q_rolling_user_value,
+        "event_ntile": q_event_ntile,
+        "event_gaps": q_event_gaps,
+        "event_funnel": q_event_funnel,
+        "retention_cohorts": q_retention_cohorts,
+        "heavy_hitters": q_heavy_hitters,
+        "props_stats": q_props_stats,
+        "export_shards": q_export_shards,
+        "region_revenue": q_region_revenue,
+        "bucketed_join": q_bucketed_join,
+        "priority_rollup": q_priority_rollup,
+        "priority_cube": q_priority_cube,
+        "event_pivot": q_event_pivot,
+        "event_melt": q_event_melt,
+        "table_profile": q_table_profile,
+        "user_event_sequences": q_user_event_sequences,
+        "doc_repetition": q_doc_repetition,
+        "decontaminate": q_decontaminate,
+        "tfidf_top_term": q_tfidf_top_term,
+        "chunk_docs": q_chunk_docs,
+        "ngram_topk": q_ngram_topk,
+        "streaming_dedup": q_streaming_dedup,
+        "resumable_sink": q_resumable_sink,
+        "ngram_jaccard": q_ngram_jaccard,
+        "dedup_corpus": q_dedup_corpus,
+        "embed_dedup_clusters": q_embed_dedup_clusters,
+        "label_centroids": q_label_centroids,
+        "pagerank": q_pagerank,
+        "kmeans": q_kmeans,
+        "kmeans_purity": q_kmeans_purity,
+        "event_rank": q_event_rank,
+        "user_type_diversity": q_user_type_diversity,
+        "value_quantiles_by_type": q_value_quantiles_by_type,
+        "priority_sets": q_priority_sets,
+        "part_coverage": q_part_coverage,
+        "urgent_only_customers": q_urgent_only_customers,
+        "urgent_and_low_customers": q_urgent_and_low_customers,
+        "embedding_unnest": q_embedding_unnest,
+        "value_ohlc_daily": q_value_ohlc_daily,
+        "clustered_value_scan": q_clustered_value_scan,
+        "value_hour_regression": q_value_hour_regression,
+        "zorder_scan": q_zorder_scan,
+        "event_value_pivot": q_event_value_pivot,
+        "streaming_window": q_streaming_window,
+        "rolling_hour_value": q_rolling_hour_value,
+        "streaming_sessions": q_streaming_sessions,
+        "value_mode_by_type": q_value_mode_by_type,
+        "event_cume_dist": q_event_cume_dist,
         "cdc_flagship": q_cdc_flagship,
         "cdc_turn_counts": q_cdc_turn_counts,
         "cdc_mor": q_cdc_mor,
@@ -4277,29 +4379,6 @@ def queries():
         "mixture_sample": q_mixture_sample,
         "clean_text": q_clean_text,
         "price_quantiles": q_price_quantiles,
-        "rolling_user_value": q_rolling_user_value,
-        "event_ntile": q_event_ntile,
-        "event_gaps": q_event_gaps,
-        "event_funnel": q_event_funnel,
-        "retention_cohorts": q_retention_cohorts,
-        "heavy_hitters": q_heavy_hitters,
-        "props_stats": q_props_stats,
-        "export_shards": q_export_shards,
-        "region_revenue": q_region_revenue,
-        "bucketed_join": q_bucketed_join,
-        "priority_rollup": q_priority_rollup,
-        "priority_cube": q_priority_cube,
-        "event_pivot": q_event_pivot,
-        "event_melt": q_event_melt,
-        "table_profile": q_table_profile,
-        "user_event_sequences": q_user_event_sequences,
-        "doc_repetition": q_doc_repetition,
-        "decontaminate": q_decontaminate,
-        "tfidf_top_term": q_tfidf_top_term,
-        "chunk_docs": q_chunk_docs,
-        "ngram_topk": q_ngram_topk,
-        "streaming_dedup": q_streaming_dedup,
-        "resumable_sink": q_resumable_sink,
         "embed_stats": q_embed_stats,
         "multimodal_features": q_multimodal_features,
         "multimodal_pipeline": q_multimodal_pipeline,
@@ -4308,38 +4387,13 @@ def queries():
         "lang_id": q_lang_id,
         "doc_fingerprint": q_fingerprint,
         "minhash_pairs": q_minhash_pairs,
-        "ngram_jaccard": q_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
-        "dedup_corpus": q_dedup_corpus,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
         "embedding_near_dups": q_embedding_near_dups,
-        "embed_dedup_clusters": q_embed_dedup_clusters,
-        "label_centroids": q_label_centroids,
-        "pagerank": q_pagerank,
-        "kmeans": q_kmeans,
-        "kmeans_purity": q_kmeans_purity,
         "cosine_lsh_pairs": q_cosine_lsh_pairs,
         "ivf_topk": q_ivf_topk,
         "ivf_topk_batch": q_ivf_topk_batch,
-        "event_rank": q_event_rank,
-        "user_type_diversity": q_user_type_diversity,
-        "value_quantiles_by_type": q_value_quantiles_by_type,
-        "priority_sets": q_priority_sets,
-        "part_coverage": q_part_coverage,
-        "urgent_only_customers": q_urgent_only_customers,
-        "urgent_and_low_customers": q_urgent_and_low_customers,
-        "embedding_unnest": q_embedding_unnest,
-        "value_ohlc_daily": q_value_ohlc_daily,
-        "clustered_value_scan": q_clustered_value_scan,
-        "value_hour_regression": q_value_hour_regression,
-        "zorder_scan": q_zorder_scan,
-        "event_value_pivot": q_event_value_pivot,
-        "streaming_window": q_streaming_window,
-        "rolling_hour_value": q_rolling_hour_value,
-        "streaming_sessions": q_streaming_sessions,
-        "value_mode_by_type": q_value_mode_by_type,
-        "event_cume_dist": q_event_cume_dist,
     }
 
 
