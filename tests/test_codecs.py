@@ -415,3 +415,14 @@ def test_video_meta_stub_real_mode(ray_session):
     assert out["n_frames"].tolist() == [120, 2]
     assert out["duration_ms"].tolist() == [5000, 1000]
     assert out["sampled_frames"].tolist() == [8, 2]
+
+
+def test_png_long_filter_runs_vectorized():
+    """Round-5 unfilter vectorizes RUNS of None/Up rows (2-D cumsum);
+    a long Up run must reconstruct byte-exactly."""
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (24, 9, 3), dtype=np.uint8)
+    filters = [0] * 4 + [2] * 10 + [3] * 3 + [4] * 5 + [2] * 2
+    data = _png_with_filters(img, filters)
+    out = decode_png(data)
+    assert np.array_equal(out, img)

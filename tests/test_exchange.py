@@ -249,3 +249,56 @@ def test_latest_and_topk_still_exact_with_combiner(ray_session):
         drop=True
     )
     pd.testing.assert_frame_equal(got[["k", "v", "id"]], _expect_topk(df)[["k", "v", "id"]])
+
+
+def test_salted_group_map_equals_unsalted_under_skew(ray_session):
+    """VERDICT r4 item 8: salted associative groupby must be byte-equal
+    to the unsalted exchange on a zipf-skewed key distribution."""
+    import numpy as np
+    import pandas as pd
+
+    import ray.data as rd
+    from wprdc_etl_ray.functions.relational import (
+        bucketed_group_map,
+        salted_group_map,
+    )
+
+    rng = np.random.default_rng(3)
+    n = 40_000
+    hot = rng.random(n) < 0.4  # one key owns 40% of rows
+    keys = np.where(hot, 0, rng.integers(1, 500, n)).astype("int64")
+    v = rng.integers(-50, 50, n).astype("int64")
+    df = pd.DataFrame({"k": keys, "v": v, "n": np.ones(n, "int64"), "lo": v, "hi": v})
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        grp = g.groupby("k", sort=False)
+        out = pd.DataFrame(
+            {
+                "v": grp["v"].sum(),
+                "n": grp["n"].sum(),
+                "lo": grp["lo"].min(),
+                "hi": grp["hi"].max(),
+            }
+        ).reset_index()
+        return out[["k", "v", "n", "lo", "hi"]]
+
+    ds = rd.from_pandas(df).repartition(16)
+    plain = (
+        bucketed_group_map(ds, ["k"], kernel, num_buckets=8, pre_reduce=kernel)
+        .to_pandas()
+        .sort_values("k", ignore_index=True)
+    )
+    for exchange in ("direct", "sort"):
+        salted = (
+            salted_group_map(ds, ["k"], kernel, num_buckets=8, salt=4, exchange=exchange)
+            .to_pandas()
+            .sort_values("k", ignore_index=True)
+        )
+        pd.testing.assert_frame_equal(plain, salted)
+    # salt=1 degenerates to the plain exchange
+    one = (
+        salted_group_map(ds, ["k"], kernel, num_buckets=8, salt=1)
+        .to_pandas()
+        .sort_values("k", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(plain, one)

@@ -49,37 +49,82 @@ def _paeth(a: int, b: int, c: int) -> int:
 def _unfilter(raw: np.ndarray, height: int, stride: int, bpp: int) -> np.ndarray:
     """Reverse PNG scanline filtering. ``raw`` is the inflated stream of
     height rows, each 1 filter byte + stride data bytes; returns the
-    (height, stride) reconstructed byte matrix."""
+    (height, stride) reconstructed byte matrix.
+
+    Vectorization (round 5): encoders emit long RUNS of one filter
+    type, so consecutive None rows copy as one 2-D slice and
+    consecutive Up rows collapse to one ``cumsum(axis=0)`` over the run
+    (Up is addition mod 256 down the column — the run's prefix sums).
+    Sub is a per-lane cumsum within its row. Average/Paeth are honestly
+    left-sequential (each byte needs the reconstructed left neighbor),
+    so they run as an optimized pure-Python byte scan over plain lists
+    with the Paeth predictor inlined — ~4× the old numpy elementwise
+    indexing, measured in scripts/codec_bench.py."""
     rows = raw.reshape(height, stride + 1)
     ftypes = rows[:, 0]
     recon = np.zeros((height, stride), np.uint8)
     prev = np.zeros(stride, np.int64)
-    for y in range(height):
+    y = 0
+    while y < height:
         f = int(ftypes[y])
+        if f in (0, 2):  # vectorize the whole run of None / Up rows
+            y2 = y + 1
+            while y2 < height and int(ftypes[y2]) == f:
+                y2 += 1
+            if f == 0:
+                recon[y:y2] = rows[y:y2, 1:]
+            else:
+                # Up is addition mod 256 down the column: a uint8 cumsum
+                # over the run wraps to exactly that — one pass, no
+                # int64 detour
+                recon[y:y2] = np.cumsum(
+                    rows[y:y2, 1:], axis=0, dtype=np.uint8
+                ) + prev.astype(np.uint8)
+            prev = recon[y2 - 1].astype(np.int64)
+            y = y2
+            continue
         line = rows[y, 1:].astype(np.int64)
-        if f == 0:  # None
-            cur = line
-        elif f == 1:  # Sub: per-lane mod-256 cumsum
+        if f == 1:  # Sub: per-lane mod-256 cumsum
             cur = line.copy()
             for lane in range(bpp):
                 cur[lane::bpp] = np.cumsum(line[lane::bpp]) % 256
-        elif f == 2:  # Up
-            cur = (line + prev) % 256
-        elif f == 3:  # Average (left-sequential: loop)
-            cur = np.zeros(stride, np.int64)
+        elif f == 3:  # Average (left-sequential: optimized byte scan)
+            ln = line.tolist()
+            pv = prev.tolist()
+            cur_l = [0] * stride
             for i in range(stride):
-                left = cur[i - bpp] if i >= bpp else 0
-                cur[i] = (line[i] + (left + prev[i]) // 2) % 256
-        elif f == 4:  # Paeth (left-sequential: loop)
-            cur = np.zeros(stride, np.int64)
+                left = cur_l[i - bpp] if i >= bpp else 0
+                cur_l[i] = (ln[i] + ((left + pv[i]) >> 1)) & 0xFF
+            cur = np.array(cur_l, np.int64)
+        elif f == 4:  # Paeth (left-sequential: optimized byte scan)
+            ln = line.tolist()
+            pv = prev.tolist()
+            cur_l = [0] * stride
             for i in range(stride):
-                left = cur[i - bpp] if i >= bpp else 0
-                ul = prev[i - bpp] if i >= bpp else 0
-                cur[i] = (line[i] + _paeth(int(left), int(prev[i]), int(ul))) % 256
+                if i >= bpp:
+                    a = cur_l[i - bpp]
+                    c = pv[i - bpp]
+                else:
+                    a = 0
+                    c = 0
+                b = pv[i]
+                p = a + b - c
+                pa_ = p - a if p >= a else a - p
+                pb_ = p - b if p >= b else b - p
+                pc_ = p - c if p >= c else c - p
+                if pa_ <= pb_ and pa_ <= pc_:
+                    pr = a
+                elif pb_ <= pc_:
+                    pr = b
+                else:
+                    pr = c
+                cur_l[i] = (ln[i] + pr) & 0xFF
+            cur = np.array(cur_l, np.int64)
         else:
             raise CodecError(f"unknown PNG filter type {f} on row {y}")
         recon[y] = cur.astype(np.uint8)
         prev = cur
+        y += 1
     return recon
 
 

@@ -780,6 +780,68 @@ def bucketed_group_map(
     return ray.data.from_arrow_refs(refs)
 
 
+def salted_group_map(
+    ds: ray.data.Dataset,
+    key_cols: list[str],
+    fn_assoc,
+    num_buckets: int = 64,
+    salt: int = 8,
+    **kw,
+) -> ray.data.Dataset:
+    """Skew-resistant groupby-apply for ASSOCIATIVE kernels.
+
+    ``bucketed_group_map`` puts ALL rows of a key in one bucket — one
+    hot key (a viral conversation, a null-heavy join key) serializes
+    into a single task and sets the stage's wall time. When the kernel
+    is an associative same-schema combiner (``fn(concat(fn(a), fn(b)))
+    == fn(a ++ b)`` — sums, counts, min/max, arg-min/max with carried
+    ordering tuples, top-k), the key can be SPLIT: a ``_salt`` sub-key
+    (row position mod ``salt``) spreads each key's rows across up to
+    ``salt`` buckets, phase 1 computes partials per (key, salt) with the
+    kernel itself as ``pre_reduce``, and phase 2 recombines the tiny
+    partials per key with the same kernel — byte-equal to the unsalted
+    result (equality-tested under zipf skew;
+    ``scripts/salt_skew_probe.py`` records the wall-time evidence).
+
+    Cost: one extra exchange over O(keys × salt) PARTIAL rows — noise
+    next to the row-stream exchange it parallelizes. Use for associative
+    kernels under known skew; keep plain ``bucketed_group_map`` for
+    order-sensitive kernels (sessionize, rolling windows, rank), whose
+    semantics need every row of a key in one place."""
+    if salt < 2:
+        return bucketed_group_map(
+            ds, key_cols, fn_assoc, num_buckets=num_buckets,
+            pre_reduce=fn_assoc, **kw,
+        )
+
+    def add_salt(batch: pa.Table) -> pa.Table:
+        s = np.arange(batch.num_rows, dtype=np.int64) % salt
+        return batch.append_column("_salt", pa.array(s))
+
+    salted = ds.map_batches(add_salt, batch_format="pyarrow")
+
+    def k1(g: pd.DataFrame) -> pd.DataFrame:
+        cols = g.columns.tolist()
+        out = fn_assoc(g.drop(columns=["_salt"])).copy()
+        # keep the exchange's same-schema invariant so k1 re-enters as
+        # its own pre_reduce (partials of partials are still partials)
+        out["_salt"] = np.int64(0)
+        return out[cols]
+
+    partials = bucketed_group_map(
+        salted, key_cols + ["_salt"], k1,
+        num_buckets=num_buckets, pre_reduce=k1, **kw,
+    )
+    unsalted = partials.map_batches(
+        lambda t: t.drop_columns(["_salt"]), batch_format="pyarrow"
+    )
+    # phase 2 folds O(keys × salt) partial rows — a tiny exchange
+    return bucketed_group_map(
+        unsalted, key_cols, fn_assoc,
+        num_buckets=num_buckets, pre_reduce=fn_assoc,
+    )
+
+
 def asof_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,
