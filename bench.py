@@ -347,6 +347,160 @@ def run_scaling() -> dict:
     }
 
 
+def run_window() -> dict:
+    """Streaming tumbling-window throughput: a deterministic synthetic
+    key/ts/value stream delivered in time-ordered WAVES to a live
+    StreamingWindowSession via ``feed_dataset`` (partials computed in
+    map_batches tasks, routed straight to the shard actors) + one final
+    drain. Exactly-once checked: emitted (key, wstart) rows must equal
+    the stream's distinct (key, window) count."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from wprdc_etl_ray.pipelines.window import StreamingWindowSession
+
+    n = int(os.environ.get("GRAFT_BENCH_EVENTS", 0)) or 6_000_000
+    waves = int(os.environ.get("GRAFT_WINDOW_WAVES", "6"))
+    n_keys = 10_000
+    width_us = 60_000_000  # 1-minute windows
+    lateness_us = 1_000_000
+
+    rng = np.random.default_rng(9)
+    pool = np.array([f"u{i:05d}" for i in range(n_keys)])
+    keys = pool[rng.integers(0, n_keys, n)]
+    # ~50 µs between events, disorder ≪ lateness
+    ts = np.arange(n, dtype=np.int64) * 50 + rng.integers(0, 20_000, n)
+    vals = rng.integers(0, 1000, n).astype(np.int64)
+    import pandas as pd
+
+    exact_windows = (
+        pd.DataFrame({"k": keys, "w": ts // width_us}).drop_duplicates().shape[0]
+    )
+
+    # per-wave Datasets built (and object-store-put) OUTSIDE the timer:
+    # stream generation is not the stage under test
+    blocks_per_wave = max(4, NUM_CPUS)
+    per = (n + waves - 1) // waves
+    wave_ds = []
+    for w in range(waves):
+        lo, hi = w * per, min(n, (w + 1) * per)
+        tables = []
+        step = (hi - lo + blocks_per_wave - 1) // blocks_per_wave
+        for b in range(lo, hi, step):
+            e = min(hi, b + step)
+            tables.append(
+                pa.table(
+                    {
+                        "k": pa.array(keys[b:e]),
+                        "ts": pa.array(ts[b:e]).cast(pa.timestamp("us")),
+                        "v": pa.array(vals[b:e]),
+                    }
+                )
+            )
+        wave_ds.append(ray.data.from_arrow(tables))
+
+    sess = StreamingWindowSession(
+        "k", "ts", "v", width_us=width_us,
+        allowed_lateness_us=lateness_us,
+        num_shards=int(os.environ.get("GRAFT_WINDOW_SHARDS", "8")),
+    )
+    # warm the Ray worker pool untimed (actor spawn already happened in
+    # the session constructor); feeding real rows twice would double the
+    # window partials, so the warm-up is a no-op map, not a warm wave
+    ray.data.range(NUM_CPUS * 8, override_num_blocks=NUM_CPUS).map_batches(
+        lambda b: b, batch_format="pyarrow"
+    ).materialize()
+
+    t0 = time.time()
+    emitted = 0
+    for ds in wave_ds:
+        out = sess.feed_dataset(ds)
+        emitted += out.num_rows
+    emitted += sess.drain().num_rows
+    wall = time.time() - t0
+    if emitted != exact_windows:
+        raise AssertionError(
+            f"exactly-once violated: emitted {emitted} != {exact_windows}"
+        )
+    ray.shutdown()
+    return {
+        "metric": "streaming_window_feed_dataset",
+        "value": round(wall, 3),
+        "unit": "sec",
+        "events": n,
+        "waves": waves,
+        "windows_emitted": emitted,
+        "events_per_sec": round(n / wall, 1),
+        "num_cpus": NUM_CPUS,
+        "host_memcopy_gbps": _host_memcopy_gbps(),
+    }
+
+
+def run_window_scaling() -> dict:
+    """run_scaling for the STREAMING WINDOW subsystem (the r4 verdict's
+    only major path with no two-level evidence): the same feed_dataset
+    waves at N and 4N taskset-pinned cores in fresh processes; shard
+    count stays fixed so cores are the only variable."""
+    levels = [
+        int(x)
+        for x in os.environ.get("GRAFT_SCALING_LEVELS", "4,16").split(",")
+    ]
+    lo, hi = levels[0], levels[1]
+    outs = {}
+    # defaults chosen so parallel work dominates the per-wave fixed
+    # costs (finalize round, actor RPC): 96 M events over 3 waves with
+    # 16 shard actors FIXED at both levels (the tail-probe methodology:
+    # at the low level the actors timeshare, like a smaller cluster).
+    # 6 M-event runs measure orchestration latency, not scaling — both
+    # data points are recorded in BASELINE.md.
+    scaling_events = os.environ.get("GRAFT_WINDOW_SCALING_EVENTS", "96000000")
+    for ncpu in (lo, hi):
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_BENCH_EVENTS=scaling_events,
+            GRAFT_WINDOW_WAVES=os.environ.get("GRAFT_WINDOW_WAVES", "3"),
+            GRAFT_WINDOW_SHARDS=os.environ.get("GRAFT_WINDOW_SHARDS", "16"),
+        )
+        proc = subprocess.run(
+            ["taskset", "-c", f"0-{ncpu - 1}", sys.executable,
+             os.path.join(REPO, "bench.py"), "--window"],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+        outs[ncpu] = json.loads(proc.stdout.strip().splitlines()[-1])
+        time.sleep(10)
+    t_lo = outs[lo]["value"]
+    t_hi = outs[hi]["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "streaming_window_scaling",
+        "unit": "sec",
+        "levels": [lo, hi],
+        f"sec_{lo}": t_lo,
+        f"sec_{hi}": t_hi,
+        "events": outs[lo]["events"],
+        f"events_per_sec_{lo}": round(outs[lo]["events"] / t_lo, 1),
+        f"events_per_sec_{hi}": round(outs[hi]["events"] / t_hi, 1),
+        "scaling_efficiency": round(eff, 3),
+        "host_memcopy_gbps": _host_memcopy_gbps(),
+    }
+
+
 def run_tail_scaling() -> dict:
     """The run_scaling measurement for TAIL mode (the north-rule
     tailer's stateful merger actors are the stage under test): the same
@@ -396,6 +550,10 @@ def run_tail_scaling() -> dict:
 if __name__ == "__main__":
     if "--tail-scaling" in sys.argv:
         print(json.dumps(run_tail_scaling()))
+    elif "--window-scaling" in sys.argv:
+        print(json.dumps(run_window_scaling()))
+    elif "--window" in sys.argv:
+        print(json.dumps(run_window()))
     elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     elif "--tail" in sys.argv:
