@@ -264,10 +264,15 @@ def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
     prev + prev[0]."""
     clear = 1 << min_code_size
     eoi = clear + 1
-    bits = np.unpackbits(np.frombuffer(data, np.uint8), bitorder="little")
-    out = np.empty(n_pixels, np.uint8)
-    pos = 0
-    o = 0
+    # LSB-first code extraction straight from the byte stream via an
+    # integer bit buffer — one shift/mask per code (the r4 decoder
+    # called np.unpackbits + np.packbits per code, ~µs each)
+    total_bits = len(data) * 8
+    bitbuf = 0
+    nbits = 0
+    bytepos = 0
+    consumed = 0
+    out = bytearray()
 
     def reset():
         return (
@@ -277,13 +282,17 @@ def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
 
     table, width = reset()
     prev: bytes | None = None
-    while o < n_pixels:
-        if pos + width > len(bits):
+    while len(out) < n_pixels:
+        if consumed + width > total_bits:
             raise CodecError("LZW stream truncated")
-        code = int(np.packbits(bits[pos : pos + width], bitorder="little").view(np.uint16)[0]) if width > 8 else int(
-            np.packbits(bits[pos : pos + width], bitorder="little")[0]
-        )
-        pos += width
+        while nbits < width:
+            bitbuf |= data[bytepos] << nbits
+            bytepos += 1
+            nbits += 8
+        code = bitbuf & ((1 << width) - 1)
+        bitbuf >>= width
+        nbits -= width
+        consumed += width
         if code == clear:
             table, width = reset()
             prev = None
@@ -300,16 +309,11 @@ def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
             table.append(entry)
         else:
             raise CodecError(f"invalid LZW code {code}")
-        n = len(entry)
-        if o + n > n_pixels:
-            entry = entry[: n_pixels - o]
-            n = len(entry)
-        out[o : o + n] = np.frombuffer(entry, np.uint8)
-        o += n
+        out += entry
         prev = entry
         if len(table) == (1 << width) and width < 12:
             width += 1
-    return out
+    return np.frombuffer(bytes(out[:n_pixels]), np.uint8).copy()
 
 
 def _lzw_encode(indices: np.ndarray, min_code_size: int) -> bytes:

@@ -130,6 +130,11 @@ class _BitReader:
                 self.pos += 1
             self.bitbuf = (self.bitbuf << 8) | b
             self.nbits += 8
+        # drop already-consumed history bits: without this mask the
+        # Python int grows by 8 bits per input byte FOREVER and every
+        # shift/or becomes O(stream-size) — the r4 decoder's 20 s/image
+        # was this quadratic blow-up, not the Huffman loop itself
+        self.bitbuf &= (1 << self.nbits) - 1
 
     def read_bit(self) -> int:
         if self.nbits == 0:
@@ -138,10 +143,20 @@ class _BitReader:
         return (self.bitbuf >> self.nbits) & 1
 
     def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
-        return v
+        if n == 0:
+            return 0
+        if self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        return (self.bitbuf >> self.nbits) & ((1 << n) - 1)
+
+    def peek16(self) -> int:
+        if self.nbits < 16:
+            self._fill()
+        return (self.bitbuf >> (self.nbits - 16)) & 0xFFFF
+
+    def skip(self, n: int) -> None:
+        self.nbits -= n
 
     def align_to_marker(self):
         """Drop buffered bits and consume an RSTn marker at self.pos."""
@@ -154,14 +169,30 @@ class _BitReader:
         self.pos += 2
 
 
-def _huff_decode(reader: _BitReader, table: dict) -> int:
-    code = 0
-    for length in range(1, 17):
-        code = (code << 1) | reader.read_bit()
-        sym = table.get((length, code))
-        if sym is not None:
-            return sym
-    raise CodecError("invalid Huffman code")
+def _huff_lut(table: dict) -> tuple[list, list]:
+    """16-bit-peek lookup table: every (length, code) entry fills its
+    2^(16-length) slots with (symbol, length); length 0 marks invalid.
+    One peek + one list index decodes any symbol — the textbook JPEG
+    fast path, replacing the bit-by-bit prefix walk."""
+    sym = [0] * (1 << 16)
+    ln = [0] * (1 << 16)
+    for (length, code), s in table.items():
+        shift = 16 - length
+        start = code << shift
+        for i in range(start, start + (1 << shift)):
+            sym[i] = s
+            ln[i] = length
+    return sym, ln
+
+
+def _huff_decode(reader: _BitReader, lut: tuple[list, list]) -> int:
+    sym, ln = lut
+    v = reader.peek16()
+    length = ln[v]
+    if length == 0:
+        raise CodecError("invalid Huffman code")
+    reader.skip(length)
+    return sym[v]
 
 
 def _extend(v: int, t: int) -> int:
@@ -251,7 +282,11 @@ def _decode_scan(data, pos, comps, sel, qt, huff, H, W, restart) -> np.ndarray:
     mcux = -(-W // (8 * hmax))
     mcuy = -(-H // (8 * vmax))
     reader = _BitReader(data, pos)
-    # collect quantized coefficient blocks per component
+    # one 16-bit-peek LUT per distinct Huffman table in this scan
+    luts = {key: _huff_lut(tab) for key, tab in huff.items()}
+    # collect quantized coefficient blocks per component (plain Python
+    # lists in the entropy loop — per-element numpy writes cost ~100 ns
+    # each; the batch np.array conversion below is one vectorized pass)
     blocks: dict[int, list] = {i: [] for i in range(len(comps))}
     pred = [0] * len(comps)
     mcu_count = 0
@@ -261,10 +296,10 @@ def _decode_scan(data, pos, comps, sel, qt, huff, H, W, restart) -> np.ndarray:
                 reader.align_to_marker()
                 pred = [0] * len(comps)
             for ci, c in enumerate(comps):
-                dc_tab = huff[(0, sel[c["id"]][0])]
-                ac_tab = huff[(1, sel[c["id"]][1])]
+                dc_tab = luts[(0, sel[c["id"]][0])]
+                ac_tab = luts[(1, sel[c["id"]][1])]
                 for _ in range(c["h"] * c["v"]):
-                    coef = np.zeros(64, np.int64)
+                    coef = [0] * 64
                     t = _huff_decode(reader, dc_tab)
                     diff = _extend(reader.read_bits(t), t)
                     pred[ci] += diff
@@ -289,7 +324,11 @@ def _decode_scan(data, pos, comps, sel, qt, huff, H, W, restart) -> np.ndarray:
     planes = []
     for ci, c in enumerate(comps):
         q = qt[c["tq"]]
-        arr = np.stack(blocks[ci]) if blocks[ci] else np.zeros((0, 64), np.int64)
+        arr = (
+            np.array(blocks[ci], np.int64)
+            if blocks[ci]
+            else np.zeros((0, 64), np.int64)
+        )
         dez = np.zeros_like(arr)
         dez[:, ZIGZAG] = arr * q  # zigzag index i lives at raster ZIGZAG[i]
         pix = idct_blocks(dez.reshape(-1, 8, 8).astype(np.float64)) + 128.0
