@@ -1123,16 +1123,19 @@ def q_region_revenue(sf_dir: str):
 
     li = li.map_batches(rev, batch_format="pyarrow")
     # Group key (r_name) is functionally dependent on the join keys, so
-    # partial sums push BELOW each join: lineitem pre-aggregates per
-    # order (the first exchange ships 1 row/order, not 1 row/lineitem),
-    # the order-level partials re-aggregate per customer below the
-    # second join, and the final region rollup just sums partials.
-    pre_ord = grouped_agg(
+    # MAP-SIDE partials push BELOW each join (local_combine — in-batch
+    # Arrow group_by, no extra exchange, no empty-block normalization):
+    # lineitem pre-combines per order (~4× fewer join rows at TPC-H
+    # ratios), the order-level partials pre-combine per customer below
+    # the second join, and the final region rollup sums partials.
+    from ..functions.relational import local_combine
+
+    pre_ord = local_combine(
         li, ["l_orderkey"], [("rev", "sum", "_rev"), ("", "count", "_n")]
     )
     ords = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
     j1 = hash_join(pre_ord, ords, on="l_orderkey", right_on="o_orderkey", num_partitions=8)
-    pre_cust = grouped_agg(
+    pre_cust = local_combine(
         j1, ["o_custkey"], [("_rev", "sum", "_rev"), ("_n", "sum", "_n")]
     )
     cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
@@ -1180,15 +1183,18 @@ def q_segment_revenue(sf_dir: str):
     """Partitioned hash join (Dataset.join) orders ⋈ customer → grouped sum.
 
     The group key (c_mktsegment) is functionally dependent on the join
-    key, so orders PRE-AGGREGATE per o_custkey below the join (partial
-    sum + count): the all-to-all exchange ships one row per customer
-    instead of one per order (~10× fewer rows at TPC-H ratios), and the
-    final segment rollup just sums the partials — same result exactly
-    (sum of partial sums, sum of partial counts)."""
+    key, so orders pre-combine per o_custkey below the join with a
+    MAP-SIDE-ONLY partial (local_combine — no extra exchange, no
+    empty-block normalization): the join's all-to-all ships one row per
+    customer PER BATCH (~10× fewer rows at TPC-H ratios), and the final
+    segment rollup sums the partials — same result exactly (sum of
+    partial sums, sum of partial counts)."""
+    from ..functions.relational import local_combine
+
     orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
     cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
     o = orders.map_batches(_to_cents_cols(["o_totalprice"]), batch_format="pyarrow")
-    pre = grouped_agg(
+    pre = local_combine(
         o,
         ["o_custkey"],
         [("o_totalprice", "sum", "_rev"), ("", "count", "_n")],
