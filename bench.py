@@ -359,6 +359,7 @@ def run_window() -> dict:
 
     import ray
 
+    owns_ray = not ray.is_initialized()  # pytest feeds a live session
     ray.init(
         address="local",
         num_cpus=NUM_CPUS,
@@ -434,7 +435,8 @@ def run_window() -> dict:
         raise AssertionError(
             f"exactly-once violated: emitted {emitted} != {exact_windows}"
         )
-    ray.shutdown()
+    if owns_ray:
+        ray.shutdown()
     return {
         "metric": "streaming_window_feed_dataset",
         "value": round(wall, 3),

@@ -290,3 +290,21 @@ def test_sessionizer_checkpoint_restore_continues_exactly(ray_session, tmp_path)
     s2.shutdown()
     got = pa.concat_tables(outs).to_pandas().sort_values(["key", "session_start"], ignore_index=True)
     assert got.equals(uninterrupted())
+
+
+def test_bench_window_smoke(ray_session, monkeypatch):
+    """bench.py --window path: tiny in-session run; the in-run
+    exactly-once assertion (emitted == distinct (key,window)) is the
+    real check."""
+    monkeypatch.setenv("GRAFT_BENCH_EVENTS", "50000")
+    monkeypatch.setenv("GRAFT_WINDOW_WAVES", "3")
+    monkeypatch.setenv("GRAFT_WINDOW_SHARDS", "4")
+    import importlib
+
+    import bench
+
+    importlib.reload(bench)  # re-read env-derived module constants
+    out = bench.run_window()
+    assert out["events"] == 50000
+    assert out["windows_emitted"] > 0
+    assert out["value"] > 0
