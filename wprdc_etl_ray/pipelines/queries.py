@@ -1442,15 +1442,21 @@ def q_order_priority(sf_dir: str):
     so lineitem pre-aggregates to its per-order max shipdate BELOW the
     join: the exchange ships one row per order instead of one per
     lineitem, and the post-join rows are already order-distinct (the r4
-    plan joined the full lineitem stream and deduped after)."""
+    plan joined the full lineitem stream and deduped after). The
+    pre-agg runs through latest_per_key's pre-reduced warm exchange —
+    measured faster than a native grouped_agg here (4.1 vs 4.8 s at
+    sf0.01/32), whose sort shuffle + empty-block normalization cost
+    more than the join savings."""
+    from ..functions.relational import latest_per_key
+
     li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
-    pre = grouped_agg(li, ["l_orderkey"], [("l_shipdate", "max", "_max_ship")])
+    pre = latest_per_key(li, ["l_orderkey"], ["l_shipdate"])
     orders = read_table(
         sf_dir, "orders", columns=["o_orderkey", "o_orderdate", "o_orderpriority"]
     )
     j = hash_join(pre, orders, on="l_orderkey", right_on="o_orderkey", num_partitions=8)
     j = filter_batches(
-        j, lambda t: pc.greater(t.column("_max_ship"), t.column("o_orderdate"))
+        j, lambda t: pc.greater(t.column("l_shipdate"), t.column("o_orderdate"))
     )
     out = grouped_agg(j, ["o_orderpriority"], [("", "count", "n_orders")])
     return out.map_batches(_as_int64(["n_orders"]), batch_format="pyarrow")
