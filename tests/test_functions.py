@@ -2190,3 +2190,31 @@ def test_anti_join_keys_fallback_matches_broadcast(ray_session):
         .sort_values("k", ignore_index=True)
     )
     pd.testing.assert_frame_equal(via_np, via_bcast)
+
+
+def test_grouped_agg_exchange_modes_equal(ray_session):
+    """grouped_agg(exchange='direct'|'sort') folds partials through the
+    warm bucketed exchange; results must equal the native groupby."""
+    from wprdc_etl_ray.functions.relational import grouped_agg
+
+    rng = np.random.default_rng(13)
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 50, 5000).astype("int64"),
+            "v": rng.integers(-100, 100, 5000).astype("int64"),
+        }
+    )
+    ds = rd.from_pandas(df).repartition(8)
+    specs = [("v", "sum", "s"), ("", "count", "n"), ("v", "min", "lo"), ("v", "max", "hi")]
+    want = (
+        grouped_agg(ds, ["k"], specs)
+        .to_pandas()
+        .sort_values("k", ignore_index=True)
+    )
+    for exch in ("direct", "sort"):
+        got = (
+            grouped_agg(ds, ["k"], specs, exchange=exch)
+            .to_pandas()
+            .sort_values("k", ignore_index=True)
+        )
+        pd.testing.assert_frame_equal(got[want.columns], want)

@@ -980,6 +980,7 @@ def grouped_agg(
     ds: ray.data.Dataset,
     keys: list[str],
     specs: list[tuple[str, str, str]],
+    exchange: str = "native",
 ) -> ray.data.Dataset:
     """Grouped aggregation with PARTIAL PRE-AGGREGATION: each batch is
     reduced to one row per key via Arrow's C++ ``Table.group_by``
@@ -990,7 +991,13 @@ def grouped_agg(
 
     ``specs``: (src_col, op, alias) with op ∈ {sum, count, min, max}.
     ``count`` ignores src_col. Means: derive from sum+count downstream.
-    """
+
+    ``exchange``: "native" (default) folds partials via Ray's
+    ``groupby().aggregate()``; "direct"/"sort"/"auto" folds them
+    through :func:`bucketed_group_map` (warm actor exchange — no sort
+    shuffle, no zero-schema empty blocks in the output, so a downstream
+    ``hash_join`` skips its drop_empty_blocks materialization; prefer
+    it when the aggregate FEEDS a join)."""
     from ray.data.aggregate import Max as _Max
     from ray.data.aggregate import Min as _Min
     from ray.data.aggregate import Sum as _Sum
@@ -1007,6 +1014,28 @@ def grouped_agg(
     partials = ds.map_batches(
         _partial_agg_fn(keys, specs, arrow_aggs), batch_format="pyarrow"
     )
+    if exchange != "native":
+        # fold partials through the warm bucketed exchange instead of
+        # Ray's native groupby: no sort shuffle, and the output carries
+        # no zero-schema empty blocks, so a downstream hash_join skips
+        # the drop_empty_blocks materialization ("auto" here defers to
+        # bucketed_group_map's size-based sort/direct choice)
+        fold_ops = [
+            (alias, "sum" if op in ("sum", "count") else op)
+            for _, op, alias in specs
+        ]
+        aliases = [a for a, _ in fold_ops]
+
+        def fold(g: pd.DataFrame) -> pd.DataFrame:
+            grp = g.groupby(keys, sort=False)
+            out = pd.DataFrame(
+                {alias: getattr(grp[alias], op2)() for alias, op2 in fold_ops}
+            ).reset_index()
+            return out[keys + aliases]
+
+        return bucketed_group_map(
+            partials, keys, fold, pre_reduce=fold, exchange=exchange
+        )
     final_aggs = []
     for src, op, alias in specs:
         if op in ("sum", "count"):
