@@ -426,3 +426,46 @@ def test_png_long_filter_runs_vectorized():
     data = _png_with_filters(img, filters)
     out = decode_png(data)
     assert np.array_equal(out, img)
+
+
+def test_mjpeg_mp4_roundtrip_and_sample_table():
+    """REAL video pixels: MJPEG samples wrapped in a from-scratch MP4
+    container decode back within the flat-quant JPEG error bound; the
+    sample-table walk (stsd/stsz/stsc/stco) maps every sample."""
+    from wprdc_etl_ray.functions.codecs import (
+        CodecError,
+        decode_video_frames,
+        encode_mp4_mjpeg,
+        extract_mp4_samples,
+        parse_mp4_meta,
+    )
+
+    rng = np.random.default_rng(3)
+    frames = []
+    for i in range(5):
+        gx = np.linspace(0, 255, 32)[None, :, None]
+        gy = np.linspace(0, 255, 24)[:, None, None]
+        img = ((gx + gy) / 2 + i * 8 + rng.normal(0, 5, (24, 32, 3))).clip(0, 255)
+        frames.append(img.astype(np.uint8))
+    mp4 = encode_mp4_mjpeg(frames, fps=10)
+
+    meta = parse_mp4_meta(mp4)
+    assert (meta["width"], meta["height"], meta["n_frames"]) == (32, 24, 5)
+    assert meta["duration_ms"] == 500
+
+    fourcc, ranges = extract_mp4_samples(mp4)
+    assert fourcc == "jpeg" and len(ranges) == 5
+
+    px = decode_video_frames(mp4)
+    assert px.shape == (5, 24, 32, 3)
+    for i in range(5):
+        err = np.abs(px[i].astype(int) - frames[i].astype(int)).mean()
+        assert err < 12, (i, err)
+
+    sel = decode_video_frames(mp4, indices=[0, 4])
+    assert np.array_equal(sel[0], px[0]) and np.array_equal(sel[1], px[4])
+
+    # an H.264 sample entry must raise naming the codec, not mis-decode
+    h264 = mp4.replace(b"jpeg", b"avc1", 1)
+    with pytest.raises(CodecError, match="avc1"):
+        decode_video_frames(h264)

@@ -2218,3 +2218,56 @@ def test_grouped_agg_exchange_modes_equal(ray_session):
             .sort_values("k", ignore_index=True)
         )
         pd.testing.assert_frame_equal(got[want.columns], want)
+
+
+def test_video_frame_sampler_real_and_fake(ray_session):
+    """Actor-pool frame sampling with REAL MJPEG pixels: one output row
+    per sampled frame, frame_md5 = content address of decoded pixels
+    (two MP4s with identical frames share addresses)."""
+    from wprdc_etl_ray.functions.codecs import (
+        CodecError,
+        decode_video_frames,
+        encode_mp4_mjpeg,
+    )
+    from wprdc_etl_ray.functions.multimodal import VideoFrameSampler
+
+    rng = np.random.default_rng(8)
+    frames = [
+        (rng.integers(0, 2, (16, 16, 3)) * 255).astype(np.uint8) for _ in range(6)
+    ]
+    mp4_a = encode_mp4_mjpeg(frames, fps=5)
+    mp4_b = encode_mp4_mjpeg(frames, fps=10)  # same frames, new container
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "payload": pa.array([mp4_a, mp4_b, None], pa.binary()),
+        }
+    )
+    out = VideoFrameSampler(mode="real", max_frames=3)(t)
+    df = out.to_pandas()
+    assert set(df["doc_id"]) == {1, 2}  # null payload contributes nothing
+    a = df[df.doc_id == 1].sort_values("frame_idx")
+    b = df[df.doc_id == 2].sort_values("frame_idx")
+    assert len(a) == 3 and a["width"].tolist() == [16] * 3
+    # same decoded pixels -> same content addresses across containers
+    assert a["frame_md5"].tolist() == b["frame_md5"].tolist()
+    # and they match a direct decode of the same sampled indices
+    px = decode_video_frames(mp4_a, indices=a["frame_idx"].tolist())
+    import hashlib as _hl
+
+    assert a["frame_md5"].tolist() == [
+        _hl.md5(px[i].tobytes()).hexdigest() for i in range(3)
+    ]
+
+    fake = VideoFrameSampler(mode="fake", max_frames=3)(t)
+    assert fake.schema.names == out.schema.names  # schema contract holds
+
+    bad = pa.table(
+        {
+            "doc_id": pa.array([9], pa.int64()),
+            "payload": pa.array([mp4_a.replace(b"jpeg", b"avc1", 1)], pa.binary()),
+        }
+    )
+    with pytest.raises(CodecError, match="doc_id=9"):
+        VideoFrameSampler(mode="real")(bad)

@@ -468,37 +468,42 @@ def image_dimensions(data: bytes) -> tuple[int, int]:
     raise CodecError("unrecognized image format (PNG/BMP/GIF/JPEG supported)")
 
 
+def _bmff_boxes(buf: memoryview, start: int, end: int):
+    """Walk ISO-BMFF boxes in [start, end): yields (type, payload_start,
+    box_end); handles 64-bit (size==1) and to-end (size==0) boxes."""
+    pos = start
+    while pos + 8 <= end:
+        (size,) = struct.unpack(">I", buf[pos : pos + 4])
+        btype = bytes(buf[pos + 4 : pos + 8])
+        hdr = 8
+        if size == 1:
+            (size,) = struct.unpack(">Q", buf[pos + 8 : pos + 16])
+            hdr = 16
+        elif size == 0:
+            size = end - pos
+        if size < hdr:
+            raise CodecError(f"bad box size at {pos}")
+        yield btype, pos + hdr, pos + size
+        pos += size
+
+
+def _bmff_find(buf: memoryview, start: int, end: int, name: bytes):
+    for btype, s, e in _bmff_boxes(buf, start, end):
+        if btype == name:
+            return s, e
+    return None
+
+
 def parse_mp4_meta(data: bytes) -> dict:
     """ISO BMFF (MP4/MOV) METADATA without any video codec: walk the
     big-endian box tree for the first video track — `tkhd` width/height
     (16.16 fixed point), `mdhd` timescale/duration, and the REAL frame
     count from `stts` (sum of sample counts). Frame pixel extraction
-    needs H.264/H.265 and stays honestly out of scope; this makes the
-    frame-sample PLAN exact (n_frames, duration) instead of
-    byte-derived."""
-
-    def boxes(buf: memoryview, start: int, end: int):
-        pos = start
-        while pos + 8 <= end:
-            (size,) = struct.unpack(">I", buf[pos : pos + 4])
-            btype = bytes(buf[pos + 4 : pos + 8])
-            hdr = 8
-            if size == 1:
-                (size,) = struct.unpack(">Q", buf[pos + 8 : pos + 16])
-                hdr = 16
-            elif size == 0:
-                size = end - pos
-            if size < hdr:
-                raise CodecError(f"bad box size at {pos}")
-            yield btype, pos + hdr, pos + size
-            pos += size
-
-    def find(buf, start, end, name: bytes):
-        for btype, s, e in boxes(buf, start, end):
-            if btype == name:
-                return s, e
-        return None
-
+    needs a per-codec decoder — MJPEG tracks have one
+    (:func:`decode_video_frames`); H.264/H.265 stay honestly out of
+    scope. This makes the frame-sample PLAN exact (n_frames, duration)
+    instead of byte-derived."""
+    boxes, find = _bmff_boxes, _bmff_find
     mv = memoryview(data)
     if find(mv, 0, len(data), b"ftyp") is None:
         raise CodecError("not an ISO-BMFF file (no ftyp)")
@@ -545,6 +550,218 @@ def parse_mp4_meta(data: bytes) -> dict:
             "n_frames": int(n_frames),
         }
     raise CodecError("no video track found")
+
+
+def extract_mp4_samples(data: bytes) -> tuple[str, list[tuple[int, int]]]:
+    """Sample-table walk for the first VIDEO track: stsd fourcc +
+    per-sample (absolute_offset, size) ranges from stsz (sizes),
+    stsc (sample→chunk runs) and stco/co64 (chunk offsets) — the full
+    general mapping, not a single-chunk shortcut. Returns
+    (codec_fourcc, [(offset, size), ...])."""
+    mv = memoryview(data)
+    find = _bmff_find
+    if find(mv, 0, len(data), b"ftyp") is None:
+        raise CodecError("not an ISO-BMFF file (no ftyp)")
+    moov = find(mv, 0, len(data), b"moov")
+    if moov is None:
+        raise CodecError("no moov box")
+    for btype, ts, te in _bmff_boxes(mv, *moov):
+        if btype != b"trak":
+            continue
+        tk = find(mv, ts, te, b"tkhd")
+        if tk is None:
+            continue
+        w_fx, h_fx = struct.unpack(">II", mv[tk[1] - 8 : tk[1]])
+        if (w_fx >> 16) == 0 or (h_fx >> 16) == 0:
+            continue  # audio/hint track
+        mdia = find(mv, ts, te, b"mdia")
+        minf = find(mv, *mdia, name=b"minf") if mdia else None
+        stbl = find(mv, *minf, name=b"stbl") if minf else None
+        if stbl is None:
+            continue
+        stsd = find(mv, *stbl, name=b"stsd")
+        if stsd is None:
+            raise CodecError("video track without stsd")
+        fourcc = bytes(mv[stsd[0] + 12 : stsd[0] + 16]).decode("latin1")
+
+        stsz = find(mv, *stbl, name=b"stsz")
+        if stsz is None:
+            raise CodecError("video track without stsz")
+        uniform, n_samples = struct.unpack(">II", mv[stsz[0] + 4 : stsz[0] + 12])
+        if uniform:
+            sizes = [uniform] * n_samples
+        else:
+            sizes = list(
+                np.frombuffer(
+                    mv[stsz[0] + 12 : stsz[0] + 12 + 4 * n_samples], ">u4"
+                ).astype(np.int64)
+            )
+
+        stco = find(mv, *stbl, name=b"stco")
+        if stco is not None:
+            (n_chunks,) = struct.unpack(">I", mv[stco[0] + 4 : stco[0] + 8])
+            offs = np.frombuffer(
+                mv[stco[0] + 8 : stco[0] + 8 + 4 * n_chunks], ">u4"
+            ).astype(np.int64)
+        else:
+            co64 = find(mv, *stbl, name=b"co64")
+            if co64 is None:
+                raise CodecError("video track without stco/co64")
+            (n_chunks,) = struct.unpack(">I", mv[co64[0] + 4 : co64[0] + 8])
+            offs = np.frombuffer(
+                mv[co64[0] + 8 : co64[0] + 8 + 8 * n_chunks], ">u8"
+            ).astype(np.int64)
+
+        stsc = find(mv, *stbl, name=b"stsc")
+        if stsc is None:
+            raise CodecError("video track without stsc")
+        (n_runs,) = struct.unpack(">I", mv[stsc[0] + 4 : stsc[0] + 8])
+        runs = [
+            struct.unpack(">III", mv[stsc[0] + 8 + 12 * i : stsc[0] + 20 + 12 * i])
+            for i in range(n_runs)
+        ]  # (first_chunk 1-based, samples_per_chunk, sample_desc_idx)
+
+        ranges: list[tuple[int, int]] = []
+        si = 0
+        for ri, (first, per_chunk, _sd) in enumerate(runs):
+            last = runs[ri + 1][0] - 1 if ri + 1 < n_runs else n_chunks
+            for chunk in range(first - 1, last):
+                pos = int(offs[chunk])
+                for _ in range(per_chunk):
+                    if si >= n_samples:
+                        break
+                    ranges.append((pos, int(sizes[si])))
+                    pos += int(sizes[si])
+                    si += 1
+        if si < n_samples:
+            raise CodecError(
+                f"sample table short: {si} of {n_samples} samples mapped"
+            )
+        return fourcc, ranges
+    raise CodecError("no video track found")
+
+
+def decode_video_frames(
+    data: bytes, indices: list[int] | None = None
+) -> np.ndarray:
+    """REAL video frame pixels for codecs this engine can decode from
+    scratch: MJPEG tracks ('jpeg'/'mjpa' sample entries — every sample
+    is a baseline JPEG) decode through :mod:`codecs_jpeg`. H.264/H.265
+    ('avc1'/'hvc1'/'hev1') raise a CodecError naming the codec — those
+    need a native decoder and stay an honest plug-point. ``indices``
+    selects frames (default: all); returns (n, H, W, 3) uint8."""
+    from .codecs_jpeg import decode_jpeg
+
+    fourcc, ranges = extract_mp4_samples(data)
+    if fourcc not in ("jpeg", "mjpa", "MJPG", "mjpg"):
+        raise CodecError(
+            f"video codec {fourcc!r} needs a native decoder "
+            "(only MJPEG tracks decode from scratch)"
+        )
+    idx = list(range(len(ranges))) if indices is None else list(indices)
+    frames = []
+    for i in idx:
+        if not 0 <= i < len(ranges):
+            raise CodecError(f"frame index {i} out of range 0..{len(ranges) - 1}")
+        off, size = ranges[i]
+        px = decode_jpeg(data[off : off + size])
+        if px.ndim == 2:
+            px = np.repeat(px[:, :, None], 3, axis=2)
+        frames.append(px)
+    if not frames:
+        raise CodecError("no frames selected")
+    return np.stack(frames)
+
+
+def encode_mp4_mjpeg(
+    frames: list[np.ndarray], fps: int = 25, q: int = 4
+) -> bytes:
+    """Minimal valid MP4 wrapper around baseline-JPEG samples (the
+    test/reference side of :func:`decode_video_frames`): ftyp + mdat
+    (concatenated JPEG samples) + moov with a full sample table (stsd
+    'jpeg', stts, stsc, stsz, stco). One chunk holds all samples."""
+    from .codecs_jpeg import encode_jpeg
+
+    if not frames:
+        raise CodecError("need at least one frame")
+    h, w = frames[0].shape[:2]
+    samples = [encode_jpeg(f, q=q) for f in frames]
+    n = len(samples)
+
+    def box(btype: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2")
+    mdat_payload = b"".join(samples)
+    mdat = box(b"mdat", mdat_payload)
+    data_start = len(ftyp) + 8  # first sample's absolute offset
+
+    timescale = 1000
+    duration = n * timescale // fps
+
+    tkhd = box(
+        b"tkhd",
+        struct.pack(">B3x", 0)
+        + struct.pack(">IIII", 0, 0, 1, 0)  # ctime mtime track_id reserved
+        + struct.pack(">I", duration)
+        + b"\x00" * 8  # reserved
+        + struct.pack(">hhhh", 0, 0, 0, 0)  # layer alt volume reserved
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", w << 16, h << 16),
+    )
+    mdhd = box(
+        b"mdhd",
+        struct.pack(">B3x", 0)
+        + struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">HH", 0x55C4, 0),  # language 'und'
+    )
+    # VisualSampleEntry 'jpeg': 6 reserved + data_ref_index, then the
+    # 70-byte visual fields (pre_defined/reserved/w/h/res/frame_count/
+    # compressorname/depth/pre_defined)
+    entry = (
+        b"\x00" * 6
+        + struct.pack(">H", 1)
+        + struct.pack(">HH", 0, 0)
+        + b"\x00" * 12
+        + struct.pack(">HH", w, h)
+        + struct.pack(">II", 0x480000, 0x480000)  # 72 dpi
+        + struct.pack(">I", 0)
+        + struct.pack(">H", 1)  # frame_count
+        + b"\x00" * 32  # compressorname
+        + struct.pack(">Hh", 24, -1)
+    )
+    stsd = box(
+        b"stsd", struct.pack(">B3xI", 0, 1) + box(b"jpeg", entry)
+    )
+    stts = box(
+        b"stts",
+        struct.pack(">B3xI", 0, 1) + struct.pack(">II", n, timescale // fps),
+    )
+    stsc = box(
+        b"stsc", struct.pack(">B3xI", 0, 1) + struct.pack(">III", 1, n, 1)
+    )
+    stsz = box(
+        b"stsz",
+        struct.pack(">B3xII", 0, 0, n)
+        + b"".join(struct.pack(">I", len(s)) for s in samples),
+    )
+    stco = box(b"stco", struct.pack(">B3xI", 0, 1) + struct.pack(">I", data_start))
+    stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = box(b"minf", stbl)
+    mdia = box(b"mdia", mdhd + minf)
+    trak = box(b"trak", tkhd + mdia)
+    mvhd = box(
+        b"mvhd",
+        struct.pack(">B3x", 0)
+        + struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">IH2x", 0x10000, 0x100)
+        + b"\x00" * 8
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24
+        + struct.pack(">I", 2),
+    )
+    moov = box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
 
 
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:

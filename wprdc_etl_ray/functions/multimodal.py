@@ -4,8 +4,10 @@ metadata, processed by actor-pool ``map_batches`` stages.
 The container has no PIL/ffmpeg, so ``mode='fake'`` (the oracle-checked
 default) emits deterministic byte-derived features — but ``mode='real'``
 is now WIRED for the formats the engine can decode with pure
-stdlib+numpy (functions/codecs.py): PNG (full scanline decoder, all
-five filter types) and PCM WAV (stdlib ``wave``). Real mode on an
+stdlib+numpy (functions/codecs.py): PNG/BMP/GIF/baseline-JPEG images,
+PCM WAV audio, and MJPEG-in-MP4 video (real sampled-frame pixels via
+the ISO-BMFF sample table + the from-scratch JPEG decoder). Real mode
+on an
 undecodable payload raises ``CodecError`` naming the row, exactly as a
 libpng-backed stage would. The Ray-side plumbing is shared: binary
 columns stay in ``batch_format="pyarrow"`` end-to-end (pandas
@@ -272,8 +274,10 @@ class VideoMetaStub:
     dimensions + REAL frame count/duration. ``mode='real'`` parses the
     ISO-BMFF box tree (codecs.parse_mp4_meta — tkhd/mdhd/stts, no video
     codec needed), making the frame-sample plan exact; pixel-level
-    frame extraction would need H.264 and stays an honest plug-point.
-    ``mode='fake'`` derives the same columns from the bytes."""
+    frame extraction is real for MJPEG tracks (VideoFrameSampler /
+    codecs.decode_video_frames) while H.264/H.265 stay an honest
+    plug-point. ``mode='fake'`` derives the same columns from the
+    bytes."""
 
     def __init__(self, mode: str = "fake", every: int = 16, max_frames: int = 4):
         if mode not in ("fake", "real"):
@@ -317,6 +321,86 @@ class VideoMetaStub:
                 "n_frames": pa.array(nf, pa.int64()),
                 "duration_ms": pa.array(dur, pa.int64()),
                 "sampled_frames": pa.array(sampled, pa.int64()),
+            }
+        )
+
+
+class VideoFrameSampler:
+    """Frame-SAMPLING stage with real pixels (actor pool): payload →
+    one row per sampled frame (doc_id, frame_idx, width, height,
+    frame_md5 content address of the DECODED pixel buffer).
+
+    ``mode='real'`` extracts the sampled samples' bytes via the full
+    ISO-BMFF sample table (stsd/stsz/stsc/stco) and decodes MJPEG
+    frames through the from-scratch JPEG decoder
+    (codecs.decode_video_frames) — only the SAMPLED frames' byte
+    ranges are touched, the classic stride-sample access pattern.
+    H.264/H.265 tracks raise a CodecError naming the codec and doc_id
+    (native-decoder plug-point). ``mode='fake'`` derives the same
+    schema deterministically from the bytes so pipelines are testable
+    without fixtures. Sampling: ``max_frames`` frames evenly strided
+    across the track."""
+
+    def __init__(self, mode: str = "fake", max_frames: int = 4):
+        if mode not in ("fake", "real"):
+            raise ValueError(mode)
+        self.mode = mode
+        self.max_frames = max_frames
+
+    def _indices(self, n_frames: int) -> list[int]:
+        k = min(self.max_frames, n_frames)
+        if k == 0:
+            return []
+        stride = n_frames / k
+        return sorted({int(i * stride) for i in range(k)})
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = batch.column("doc_id")
+        payload = batch.column("payload")
+        arr = (
+            payload.combine_chunks() if isinstance(payload, pa.ChunkedArray) else payload
+        )
+        out_id, out_fi, out_w, out_h, out_md5 = [], [], [], [], []
+        for i, v in enumerate(arr):
+            if not v.is_valid:
+                continue  # null payloads contribute no frames
+            data = v.as_py()
+            doc = ids[i].as_py()
+            if self.mode == "real":
+                from .codecs import CodecError, decode_video_frames, parse_mp4_meta
+
+                try:
+                    meta = parse_mp4_meta(data)
+                    idx = self._indices(meta["n_frames"])
+                    px = decode_video_frames(data, indices=idx)
+                except CodecError as e:
+                    raise CodecError(f"doc_id={doc!r}: {e}") from e
+                for j, fi in enumerate(idx):
+                    out_id.append(doc)
+                    out_fi.append(fi)
+                    out_w.append(px.shape[2])
+                    out_h.append(px.shape[1])
+                    out_md5.append(hashlib.md5(px[j].tobytes()).hexdigest())
+            else:
+                first = data[0] if data else 0
+                n_frames = 1 + len(data) // 16
+                for fi in self._indices(n_frames):
+                    out_id.append(doc)
+                    out_fi.append(fi)
+                    out_w.append(16 + first % 240)
+                    out_h.append(16 + len(data) % 240)
+                    out_md5.append(
+                        hashlib.md5(data + fi.to_bytes(4, "big")).hexdigest()
+                    )
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "frame_idx": pa.array(out_fi, pa.int64()),
+                "width": pa.array(out_w, pa.int64()),
+                "height": pa.array(out_h, pa.int64()),
+                "frame_md5": pa.array(out_md5, pa.string()),
             }
         )
 
