@@ -348,11 +348,12 @@ class VideoFrameSampler:
         self.max_frames = max_frames
 
     def _indices(self, n_frames: int) -> list[int]:
+        # integer stride math ((i·n)//k) — exact, and reproducible in a
+        # SQL oracle without float-rounding hazards
         k = min(self.max_frames, n_frames)
         if k == 0:
             return []
-        stride = n_frames / k
-        return sorted({int(i * stride) for i in range(k)})
+        return sorted({(i * n_frames) // k for i in range(k)})
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import numpy as np
@@ -392,7 +393,7 @@ class VideoFrameSampler:
                     out_w.append(16 + first % 240)
                     out_h.append(16 + len(data) % 240)
                     out_md5.append(
-                        hashlib.md5(data + fi.to_bytes(4, "big")).hexdigest()
+                        hashlib.md5(data + str(fi).encode()).hexdigest()
                     )
         return pa.table(
             {

@@ -2764,6 +2764,51 @@ def q_multimodal_pipeline(sf_dir: str):
     return multimodal_pipeline(ds)
 
 
+def q_video_frames(sf_dir: str):
+    """Frame-SAMPLING over video-like payloads: one output row per
+    sampled frame (max 4, integer-strided across the track) with a
+    per-frame content hash — VideoFrameSampler in its deterministic
+    fake mode (byte-derived), so the whole exploded-row stage is
+    oracle-checkable; mode='real' decodes actual MJPEG-in-MP4 pixels
+    through the same actor signature (pytest-verified)."""
+    from ..functions.multimodal import VideoFrameSampler, attach_payload
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(attach_payload, batch_format="pyarrow").map_batches(
+        VideoFrameSampler,
+        fn_constructor_kwargs={"mode": "fake", "max_frames": 4},
+        batch_format="pyarrow",
+        concurrency=4,
+        batch_size=512,
+    )
+
+
+SQL_VIDEO_FRAMES = """
+WITH b AS (
+  SELECT doc_id, text,
+         octet_length(encode(text)) AS n,
+         CASE WHEN octet_length(encode(text)) = 0 THEN 0
+              ELSE ('0x' || substr(hex(encode(text)), 1, 2))::INT END AS first_byte
+  FROM documents WHERE text IS NOT NULL),
+f AS (
+  SELECT doc_id, text, n, first_byte,
+         1 + n // 16 AS n_frames,
+         LEAST(4, 1 + n // 16) AS k
+  FROM b),
+idx AS (
+  SELECT DISTINCT doc_id, text, n, first_byte, n_frames,
+         (g.i * n_frames) // k AS frame_idx
+  FROM f CROSS JOIN (SELECT unnest(range(0, 4)) AS i) g
+  WHERE g.i < f.k)
+SELECT doc_id,
+       CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST(16 + (first_byte % 240) AS BIGINT) AS width,
+       CAST(16 + (n % 240) AS BIGINT) AS height,
+       md5(text || CAST(frame_idx AS VARCHAR)) AS frame_md5
+FROM idx
+"""
+
+
 SQL_MULTIMODAL_PIPELINE = """
 WITH b AS (
   SELECT doc_id,
@@ -4402,6 +4447,7 @@ def queries():
         "embed_stats": q_embed_stats,
         "multimodal_features": q_multimodal_features,
         "multimodal_pipeline": q_multimodal_pipeline,
+        "video_frames": q_video_frames,
         "knn_all": q_knn_all,
         "cosine_topk": q_cosine_topk,
         "lang_id": q_lang_id,
@@ -4495,6 +4541,7 @@ def oracle_sql():
         "embed_stats": SQL_EMBED_STATS,
         "multimodal_features": SQL_MULTIMODAL,
         "multimodal_pipeline": SQL_MULTIMODAL_PIPELINE,
+        "video_frames": SQL_VIDEO_FRAMES,
         "knn_all": SQL_KNN_ALL,
         "cosine_topk": SQL_COSINE_TOPK,
         "event_rank": SQL_EVENT_RANK,
