@@ -1916,10 +1916,12 @@ def rank_per_key(
     OVER (PARTITION BY key ORDER BY order). ``method="row_number"`` needs
     ``order_col`` unique within a key (ties are engine-nondeterministic,
     same contract as ntile_per_key); the others are tie-stable.
-    ``cume_dist`` emits float64 ``rank_max/n`` — one integer division in
-    IEEE double, bit-identical across engines. One bucketed exchange,
-    one in-bucket sort + C kernel."""
-    if method not in ("row_number", "rank", "dense", "cume_dist"):
+    ``cume_dist`` emits float64 ``rank_max/n``, ``percent_rank``
+    ``(rank_min − 1)/(n − 1)`` (0.0 for a 1-row partition, the SQL
+    convention) — each one integer division in IEEE double,
+    bit-identical across engines. One bucketed exchange, one in-bucket
+    sort + C kernel."""
+    if method not in ("row_number", "rank", "dense", "cume_dist", "percent_rank"):
         raise ValueError(f"unknown rank method {method!r}")
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -1932,6 +1934,13 @@ def rank_per_key(
             rmax = grp.rank(method="max").to_numpy()
             n = grp.transform("size").to_numpy()
             out[out_col] = rmax / n
+        elif method == "percent_rank":
+            grp = g.groupby(key_col, sort=False)[order_col]
+            rmin = grp.rank(method="min").to_numpy()
+            n = grp.transform("size").to_numpy()
+            import numpy as _np
+
+            out[out_col] = _np.where(n > 1, (rmin - 1) / _np.maximum(n - 1, 1), 0.0)
         else:
             out[out_col] = (
                 g.groupby(key_col, sort=False)[order_col]

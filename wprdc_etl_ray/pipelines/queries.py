@@ -4337,6 +4337,52 @@ FROM events
 """
 
 
+def q_event_percent_rank(sf_dir: str):
+    """PERCENT_RANK of each event's value cents within its type —
+    (rank−1)/(n−1), the normalized-rank window; ties collapse to one
+    (value, pr) row like the CUME_DIST twin."""
+    from ..functions.relational import rank_per_key
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+    ds = ds.map_batches(_to_cents_cols(["value"]), batch_format="pyarrow")
+
+    def keyed(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": b["event_type"],
+                "value": b["value"].astype("int64"),
+            }
+        )
+
+    out = rank_per_key(
+        ds.map_batches(keyed, batch_format="pandas"),
+        "event_type",
+        "value",
+        out_col="pr",
+        method="percent_rank",
+    )
+
+    def cast(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": b["event_type"].astype(str),
+                "value": b["value"].astype("int64"),
+                "pr": b["pr"].astype("float64"),
+            }
+        ).drop_duplicates()
+
+    return out.map_batches(cast, batch_format="pandas")
+
+
+SQL_EVENT_PERCENT_RANK = """
+SELECT DISTINCT event_type,
+       CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS value,
+       PERCENT_RANK() OVER (PARTITION BY event_type
+                            ORDER BY CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS pr
+FROM events
+"""
+
+
 # --- registry ----------------------------------------------------------------
 
 
@@ -4394,6 +4440,7 @@ def queries():
         "streaming_sessions": q_streaming_sessions,
         "value_mode_by_type": q_value_mode_by_type,
         "event_cume_dist": q_event_cume_dist,
+        "event_percent_rank": q_event_percent_rank,
         "cdc_flagship": q_cdc_flagship,
         "cdc_turn_counts": q_cdc_turn_counts,
         "cdc_mor": q_cdc_mor,
@@ -4562,6 +4609,7 @@ def oracle_sql():
         "streaming_sessions": SQL_STREAMING_SESSIONS,
         "value_mode_by_type": SQL_VALUE_MODE,
         "event_cume_dist": SQL_EVENT_CUME,
+        "event_percent_rank": SQL_EVENT_PERCENT_RANK,
         "lang_id": _sql_lang_id(),
         "simhash": _sql_simhash(),
         "simhash_pairs": _sql_simhash_pairs(),
