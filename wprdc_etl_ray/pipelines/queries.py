@@ -4383,6 +4383,105 @@ FROM events
 """
 
 
+def q_shipping_priority(sf_dir: str):
+    """TPC-H Q3 shape (shipping priority): BUILDING-segment customers ⋈
+    orders before a date ⋈ lineitems shipped after it → revenue per
+    order → global top-10. Semi-filter the orders by the small customer
+    key set (broadcast — customers are the dimension side), pre-combine
+    lineitem revenue per order map-side, ONE partitioned join, top-k by
+    (revenue, orderkey) with the local-combiner topk kernel."""
+    import pyarrow.parquet as _pq
+
+    from ..functions.relational import (
+        grouped_agg,
+        hash_join,
+        local_combine,
+        semi_join,
+        topk_per_key,
+    )
+
+    CUT = pa.scalar(pd.Timestamp("1998-01-01"), pa.timestamp("us"))
+    cust = _pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    keys = (
+        cust.filter(pc.equal(cust.column("c_mktsegment"), "BUILDING"))
+        .column("c_custkey")
+        .to_numpy(zero_copy_only=False)
+    )
+    orders = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+    orders = filter_batches(
+        orders, lambda t: pc.less(t.column("o_orderdate"), CUT)
+    )
+    orders = semi_join(orders, keys, "o_custkey")
+
+    li = read_table(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    )
+    li = filter_batches(
+        li, lambda t: pc.greater(t.column("l_shipdate"), CUT)
+    )
+
+    def rev(t: pa.Table) -> pa.Table:
+        p = t.column("l_extendedprice").cast(pa.float64())
+        d = t.column("l_discount").cast(pa.float64())
+        r = pc.floor(
+            pc.add(pc.multiply(pc.multiply(p, pc.subtract(pa.scalar(1.0), d)), 10000.0), 0.5)
+        ).cast(pa.int64())
+        return pa.table({"l_orderkey": t.column("l_orderkey"), "rev": r})
+
+    li = li.map_batches(rev, batch_format="pyarrow")
+    pre = local_combine(li, ["l_orderkey"], [("rev", "sum", "rev")])
+    j = hash_join(pre, orders, on="l_orderkey", right_on="o_orderkey", num_partitions=8)
+    per_order = grouped_agg(
+        j, ["l_orderkey", "o_orderdate"], [("rev", "sum", "revenue")]
+    )
+
+    def one_key(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["_g"] = 0
+        b["o_orderdate"] = b["o_orderdate"].astype("datetime64[us]")
+        return b
+
+    top = topk_per_key(
+        per_order.map_batches(one_key, batch_format="pandas"),
+        ["_g"],
+        ["revenue", "l_orderkey"],
+        k=10,
+        descending=[True, False],
+    )
+
+    def cast(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderkey": b["l_orderkey"].astype("int64"),
+                "revenue": b["revenue"].astype("int64"),
+                "o_orderdate": b["o_orderdate"].astype("datetime64[us]"),
+            }
+        )
+
+    return top.map_batches(cast, batch_format="pandas")
+
+
+SQL_SHIPPING_PRIORITY = """
+SELECT l_orderkey AS o_orderkey,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+                AS BIGINT)) AS BIGINT) AS revenue,
+       o_orderdate
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < DATE '1998-01-01'
+  AND l_shipdate  > DATE '1998-01-01'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
 # --- registry ----------------------------------------------------------------
 
 
@@ -4441,6 +4540,7 @@ def queries():
         "value_mode_by_type": q_value_mode_by_type,
         "event_cume_dist": q_event_cume_dist,
         "event_percent_rank": q_event_percent_rank,
+        "shipping_priority": q_shipping_priority,
         "cdc_flagship": q_cdc_flagship,
         "cdc_turn_counts": q_cdc_turn_counts,
         "cdc_mor": q_cdc_mor,
@@ -4610,6 +4710,7 @@ def oracle_sql():
         "value_mode_by_type": SQL_VALUE_MODE,
         "event_cume_dist": SQL_EVENT_CUME,
         "event_percent_rank": SQL_EVENT_PERCENT_RANK,
+        "shipping_priority": SQL_SHIPPING_PRIORITY,
         "lang_id": _sql_lang_id(),
         "simhash": _sql_simhash(),
         "simhash_pairs": _sql_simhash_pairs(),
