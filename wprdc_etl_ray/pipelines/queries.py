@@ -4491,6 +4491,9 @@ def queries():
     rounds 1-4 lead the dict; the 65 already driver-green entries
     follow. Name->callable mapping is unchanged."""
     return {
+        "video_frames": q_video_frames,
+        "event_percent_rank": q_event_percent_rank,
+        "shipping_priority": q_shipping_priority,
         "rolling_user_value": q_rolling_user_value,
         "event_ntile": q_event_ntile,
         "event_gaps": q_event_gaps,
@@ -4539,8 +4542,6 @@ def queries():
         "streaming_sessions": q_streaming_sessions,
         "value_mode_by_type": q_value_mode_by_type,
         "event_cume_dist": q_event_cume_dist,
-        "event_percent_rank": q_event_percent_rank,
-        "shipping_priority": q_shipping_priority,
         "cdc_flagship": q_cdc_flagship,
         "cdc_turn_counts": q_cdc_turn_counts,
         "cdc_mor": q_cdc_mor,
@@ -4594,7 +4595,6 @@ def queries():
         "embed_stats": q_embed_stats,
         "multimodal_features": q_multimodal_features,
         "multimodal_pipeline": q_multimodal_pipeline,
-        "video_frames": q_video_frames,
         "knn_all": q_knn_all,
         "cosine_topk": q_cosine_topk,
         "lang_id": q_lang_id,
