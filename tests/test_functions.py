@@ -2271,3 +2271,12 @@ def test_video_frame_sampler_real_and_fake(ray_session):
     )
     with pytest.raises(CodecError, match="doc_id=9"):
         VideoFrameSampler(mode="real")(bad)
+
+
+def test_anti_join_keys_empty_key_side(ray_session):
+    from wprdc_etl_ray.functions.relational import anti_join_keys
+
+    big = rd.from_pandas(pd.DataFrame({"k": np.arange(100, dtype="int64")}))
+    empty = rd.from_pandas(pd.DataFrame({"kk": pd.Series([], dtype="int64")}))
+    out = anti_join_keys(big, empty, "k").to_pandas()
+    assert len(out) == 100  # empty drop list keeps everything

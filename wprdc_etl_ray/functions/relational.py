@@ -255,6 +255,8 @@ def anti_join_keys(
 
     keys = keys.materialize()  # counted AND consumed: avoid lazy re-exec
     n_keys = keys.count()
+    if n_keys == 0:
+        return big  # nothing to drop (schema probing on empties is moot)
     kcol = keys.schema().names[0]
     if n_keys <= broadcast_cap:
         arr = keys.to_pandas()[kcol].to_numpy()
