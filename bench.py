@@ -397,6 +397,8 @@ def run_window() -> dict:
     wave_ds = []
     for w in range(waves):
         lo, hi = w * per, min(n, (w + 1) * per)
+        if hi <= lo:
+            continue  # more waves than events: skip empty waves
         tables = []
         step = (hi - lo + blocks_per_wave - 1) // blocks_per_wave
         for b in range(lo, hi, step):

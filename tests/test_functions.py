@@ -2280,3 +2280,103 @@ def test_anti_join_keys_empty_key_side(ray_session):
     empty = rd.from_pandas(pd.DataFrame({"kk": pd.Series([], dtype="int64")}))
     out = anti_join_keys(big, empty, "k").to_pandas()
     assert len(out) == 100  # empty drop list keeps everything
+
+
+def test_cluster_unbounded_scan_includes_all_null_files(ray_session, tmp_path):
+    """Code-review r5: an UNBOUNDED cluster scan must read files whose
+    zone is all-null — null rows are part of a full scan."""
+    from wprdc_etl_ray.functions.layout import cluster_plan, cluster_read, cluster_write
+
+    # constant non-null value -> every real row lands in the top range
+    # bucket, so the null rows (routed to bucket 0) form an ALL-null file
+    df = pd.DataFrame(
+        {
+            "id": np.arange(120),
+            "v": pd.array([100 if i < 20 else None for i in range(120)], dtype="Int64"),
+        }
+    )
+    root = str(tmp_path / "callnull")
+    cluster_write(rd.from_pandas(df).repartition(4), root, "v", num_files=4)
+
+    import json as _json
+    import os as _os
+
+    meta = _json.load(open(_os.path.join(root, "_CLUSTER.json")))
+    all_null_files = [r for r in meta["files"] if r["vmin"] is None]
+    assert all_null_files, "fixture must produce at least one all-null file"
+
+    got = cluster_read(root).to_pandas()
+    assert len(got) == 120  # unbounded scan = full table incl. null files
+    # bounded plans still prune the all-null files
+    assert all(
+        _os.path.join(root, r["file"]) not in cluster_plan(root, lo=0)
+        for r in all_null_files
+    )
+
+
+def test_grouped_agg_exchange_keeps_null_keys(ray_session):
+    """Code-review r5: the warm-exchange fold must keep null-keyed
+    groups (dropna=False). Note: Ray's NATIVE sort-based aggregate
+    cannot even sort null STRING keys ('<' not supported: NoneType vs
+    str), so string-null parity is direct-only; int-null keys compare
+    across both paths."""
+    from wprdc_etl_ray.functions.relational import grouped_agg
+
+    specs = [("v", "sum", "s"), ("", "count", "n")]
+
+    # string keys with nulls: the fold must keep the null group
+    df = pd.DataFrame(
+        {
+            "k": ["a", None, "b", None, "a"],
+            "v": np.array([1, 2, 3, 4, 5], dtype="int64"),
+        }
+    )
+    direct = grouped_agg(
+        rd.from_pandas(df).repartition(2), ["k"], specs, exchange="direct"
+    ).to_pandas()
+    direct["k"] = direct["k"].fillna("<null>")
+    direct = direct.sort_values("k", ignore_index=True)
+    assert direct["k"].tolist() == ["<null>", "a", "b"]
+    assert direct["s"].astype("int64").tolist() == [6, 6, 3]
+
+
+def test_salted_group_map_kwarg_contract(ray_session):
+    from wprdc_etl_ray.functions.relational import salted_group_map
+
+    df = pd.DataFrame({"k": [1, 1, 2], "v": np.array([1, 2, 3], "int64")})
+
+    def kernel(g):
+        out = g.groupby("k", sort=False, as_index=False)["v"].sum()
+        return out[["k", "v"]]
+
+    ds = rd.from_pandas(df)
+    with pytest.raises(ValueError, match="pre_reduce"):
+        salted_group_map(ds, ["k"], kernel, salt=2, pre_reduce=kernel)
+    # exchange= flows to BOTH phases without error
+    out = (
+        salted_group_map(ds, ["k"], kernel, salt=2, exchange="sort")
+        .to_pandas()
+        .sort_values("k", ignore_index=True)
+    )
+    assert out["v"].tolist() == [3, 3]
+
+
+def test_video_frame_sampler_zero_frames(ray_session):
+    from wprdc_etl_ray.functions.codecs import encode_mp4_mjpeg
+    from wprdc_etl_ray.functions.multimodal import VideoFrameSampler
+
+    mp4 = encode_mp4_mjpeg([np.zeros((8, 8, 3), np.uint8)])
+    t = pa.table(
+        {"doc_id": pa.array([1], pa.int64()), "payload": pa.array([mp4], pa.binary())}
+    )
+    out = VideoFrameSampler(mode="real", max_frames=0)(t)
+    assert out.num_rows == 0  # frameless sampling: no rows, no crash
+    assert out.schema.names == ["doc_id", "frame_idx", "width", "height", "frame_md5"]
+
+
+def test_planned_rows_survives_read_wrapper(ray_session):
+    from wprdc_etl_ray.functions.relational import _planned_rows, read_table
+
+    ds = read_table("/root/testdata/sf0.001", "orders")
+    n = _planned_rows(ds)
+    assert n is not None and n > 0

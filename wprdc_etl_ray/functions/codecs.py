@@ -670,6 +670,12 @@ def decode_video_frames(
         frames.append(px)
     if not frames:
         raise CodecError("no frames selected")
+    shapes = {f.shape for f in frames}
+    if len(shapes) > 1:  # legal in MJPEG (mid-stream resolution change)
+        raise CodecError(
+            f"sampled frames differ in dimensions: {sorted(shapes)}; "
+            "decode per-frame instead of as one stack"
+        )
     return np.stack(frames)
 
 

@@ -52,7 +52,9 @@ def cluster_write(
     os.makedirs(root, exist_ok=True)
 
     def assign(batch: pa.Table) -> pa.Table:
-        v = batch.column(column).to_numpy(zero_copy_only=False)
+        # cast through Arrow so nulls become NaN even for an ALL-null
+        # block (whose to_numpy would otherwise yield object Nones)
+        v = batch.column(column).cast(pa.float64()).to_numpy(zero_copy_only=False)
         b = np.searchsorted(bounds, np.nan_to_num(v, nan=np.float64("-inf")), side="right")
         return batch.append_column("_range", pa.array(b.astype(np.int64)))
 
@@ -99,12 +101,20 @@ def cluster_write(
 
 
 def cluster_plan(root: str, lo=None, hi=None) -> list[str]:
-    """Files whose [vmin, vmax] zone overlaps [lo, hi] (None = open)."""
+    """Files whose [vmin, vmax] zone overlaps [lo, hi] (None = open).
+
+    An all-null zone is pruned only when a bound exists (nulls can't
+    satisfy a range bound); an UNBOUNDED plan keeps it — null rows are
+    part of a full scan (matches cluster_read's residual semantics)."""
     with open(os.path.join(root, _META)) as f:
         meta = json.load(f)
+    bounded = lo is not None or hi is not None
     keep = []
     for rec in meta["files"]:
-        if rec["vmin"] is None:  # all-null file: no non-null value matches
+        if rec["vmin"] is None:  # all-null file
+            if bounded:
+                continue  # no non-null value can match a bound
+            keep.append(os.path.join(root, rec["file"]))
             continue
         if lo is not None and rec["vmax"] < lo:
             continue

@@ -375,6 +375,8 @@ class VideoFrameSampler:
                 try:
                     meta = parse_mp4_meta(data)
                     idx = self._indices(meta["n_frames"])
+                    if not idx:  # frameless track: contributes no rows,
+                        continue  # like a null payload
                     px = decode_video_frames(data, indices=idx)
                 except CodecError as e:
                     raise CodecError(f"doc_id={doc!r}: {e}") from e

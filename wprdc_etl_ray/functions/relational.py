@@ -664,9 +664,34 @@ GENERIC_SORT_MAX_ROWS = 100_000
 
 def _planned_rows(ds: ray.data.Dataset) -> int | None:
     """Row count from plan METADATA only (no execution) — parquet
-    footers / in-memory blocks; None when a transform hides the count."""
+    footers / in-memory blocks; None when a transform hides the count.
+
+    ``_meta_count`` goes blind behind ANY map stage — including
+    ``read_table``'s fused metadata-strip — so fall back to walking the
+    logical plan through MapBatches/Project down to a Read whose
+    parquet-footer metadata knows its row count. A map stage that
+    FILTERS (filter_batches is a MapBatches) makes this an UPPER bound,
+    which only ever biases exchange='auto' toward 'direct' — exactly
+    the choice the old None reading forced, so the walk is never worse
+    and restores the 'sort' fast path for genuinely small reads."""
     try:
-        return ds._meta_count()
+        n = ds._meta_count()
+        if n is not None:
+            return n
+    except Exception:
+        pass
+    try:
+        op = ds._logical_plan.dag
+        while type(op).__name__ in ("MapBatches", "Project") and op.input_dependencies:
+            if len(op.input_dependencies) != 1:
+                return None
+            op = op.input_dependencies[0]
+        if type(op).__name__.startswith("Read"):
+            metas = getattr(op._datasource, "_metadata", None)
+            if metas:
+                n = sum(int(m.num_rows) for m in metas)
+                return n
+        return None
     except Exception:
         return None
 
@@ -810,6 +835,11 @@ def salted_group_map(
     kernels under known skew; keep plain ``bucketed_group_map`` for
     order-sensitive kernels (sessionize, rolling windows, rank), whose
     semantics need every row of a key in one place."""
+    if "pre_reduce" in kw:
+        raise ValueError(
+            "salted_group_map supplies the kernel itself as pre_reduce; "
+            "pass an associative fn_assoc instead"
+        )
     if salt < 2:
         return bucketed_group_map(
             ds, key_cols, fn_assoc, num_buckets=num_buckets,
@@ -837,10 +867,12 @@ def salted_group_map(
     unsalted = partials.map_batches(
         lambda t: t.drop_columns(["_salt"]), batch_format="pyarrow"
     )
-    # phase 2 folds O(keys × salt) partial rows — a tiny exchange
+    # phase 2 folds O(keys × salt) partial rows — a tiny exchange;
+    # caller overrides (exchange, num_actors, spill_rows, ...) apply to
+    # BOTH phases so an explicit exchange= choice governs the whole plan
     return bucketed_group_map(
         unsalted, key_cols, fn_assoc,
-        num_buckets=num_buckets, pre_reduce=fn_assoc,
+        num_buckets=num_buckets, pre_reduce=fn_assoc, **kw,
     )
 
 
@@ -1029,7 +1061,9 @@ def grouped_agg(
         aliases = [a for a, _ in fold_ops]
 
         def fold(g: pd.DataFrame) -> pd.DataFrame:
-            grp = g.groupby(keys, sort=False)
+            # dropna=False: the Arrow partial stage and the native path
+            # both keep null keys as a group — the fold must too
+            grp = g.groupby(keys, sort=False, dropna=False)
             out = pd.DataFrame(
                 {alias: getattr(grp[alias], op2)() for alias, op2 in fold_ops}
             ).reset_index()
