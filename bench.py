@@ -84,6 +84,11 @@ def prepare_wal(sf: float) -> tuple[str, int]:
 def run_bench() -> dict:
     import ray
 
+    # pre-init control: the end-of-run reading (host_memcopy_gbps)
+    # competes with the live raylet, so it reads low even in healthy
+    # hours (r4 harness note); the pair brackets the window honestly
+    control_pre = _host_memcopy_gbps()
+
     ray.init(
         address="local",
         num_cpus=NUM_CPUS,
@@ -174,6 +179,7 @@ def run_bench() -> dict:
             "events": n_events,
             "events_per_sec": round(n_events / cdc_sec, 1),
             "host_memcopy_gbps": _host_memcopy_gbps(),
+            "host_memcopy_gbps_pre": control_pre,
         }
         ray.shutdown()
         return result
@@ -200,6 +206,7 @@ def run_bench() -> dict:
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "cdc_ingest_plus_operator_suite",
+        "host_memcopy_gbps_pre": control_pre,
         "value": total,
         "unit": "sec",
         "queries": timings,
