@@ -2380,3 +2380,29 @@ def test_planned_rows_survives_read_wrapper(ray_session):
     ds = read_table("/root/testdata/sf0.001", "orders")
     n = _planned_rows(ds)
     assert n is not None and n > 0
+
+
+def test_approx_quantiles_rank_bound(ray_session):
+    """approx_quantiles: one-level mergeable summary — the returned
+    value's TRUE rank must be within q*N +/- N/k for ANY partitioning
+    (the documented bound; no compaction chain, errors add once)."""
+    from wprdc_etl_ray.functions.pack import approx_quantiles
+
+    rng = np.random.default_rng(17)
+    n = 50_000
+    vals = rng.normal(0, 1000, n)  # continuous: distinct ~ N, the niche
+    s = np.sort(vals)
+    k = 128
+    qs = [0.1, 0.25, 0.5, 0.9, 1.0]
+    for parts in (4, 16, 64):
+        ds = rd.from_pandas(pd.DataFrame({"x": vals})).repartition(parts)
+        out = approx_quantiles(ds, "x", qs, k_per_block=k).to_pandas()
+        assert out["q"].tolist() == qs
+        for q, v in zip(out["q"], out["value"]):
+            true_rank = np.searchsorted(s, v, side="right")
+            assert abs(true_rank - q * n) <= n / k + 1, (parts, q, true_rank)
+
+    # k >= block size degenerates to (near-)exact
+    small = rd.from_pandas(pd.DataFrame({"x": np.arange(1000, dtype="float64")}))
+    out = approx_quantiles(small, "x", [0.5], k_per_block=100_000).to_pandas()
+    assert abs(out["value"][0] - 499.5) <= 1.0

@@ -361,6 +361,100 @@ def exact_quantiles(
     )
 
 
+def approx_quantiles(
+    ds: ray.data.Dataset,
+    col: str,
+    qs: list[float],
+    k_per_block: int = 256,
+    num_ranges: int = 64,
+) -> pa.Table:
+    """Approximate quantiles with a ONE-LEVEL mergeable summary and a
+    provable rank bound — the regime :func:`exact_quantiles` cannot
+    cover: continuous/near-unique value domains where distinct ≈ N
+    makes its O(distinct) exchange O(N).
+
+    Each block reduces to ≤ ``k_per_block`` weighted points — its own
+    exact strided quantiles at run midpoints, each carrying weight
+    n_block/k — so a block's weighted CDF deviates from its true CDF by
+    at most n_block/(2k) ranks everywhere, and the UNION of summaries
+    (a flat merge, no compaction chain, so errors add once, never
+    compound) deviates by at most Σ n_i/(2k) = N/(2k). The value picked
+    for q therefore has true rank within q·N ± N/k (conservative; the
+    property test asserts this bound across partitionings). Data moved:
+    blocks·k rows; the fold reuses the distributed prefix-sum scan.
+
+    Returns ``pa.Table (q: float64, value: float64)`` sorted by q."""
+    import pyarrow.compute as _pc
+
+    def summarize(t: pa.Table) -> pa.Table:
+        arr = t.column(col)
+        arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+        arr = arr.drop_null().cast(pa.float64())
+        v = np.sort(arr.to_numpy(zero_copy_only=False))
+        n = len(v)
+        if n == 0:
+            return pa.table(
+                {"v": pa.array([], pa.float64()), "w": pa.array([], pa.float64())}
+            )
+        k = min(k_per_block, n)
+        idx = np.minimum(((np.arange(k) + 0.5) * n / k).astype(np.int64), n - 1)
+        return pa.table(
+            {
+                "v": pa.array(v[idx]),
+                "w": pa.array(np.full(k, n / k, np.float64)),
+            }
+        )
+
+    summary = ds.map_batches(summarize, batch_format="pyarrow")
+
+    # distinct-v weight fold (duplicate v across blocks merge here) so
+    # the prefix-sum scan sees a unique ascending key
+    def fold(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("v", as_index=False, sort=False)["w"].sum()
+
+    counts = bucketed_group_map(
+        summary, ["v"], fold, num_buckets=32, pre_reduce=fold
+    ).materialize()
+    total = float(counts.sum("w"))
+    if total == 0:
+        return pa.table({"q": pa.array([], pa.float64()), "value": pa.array([], pa.float64())})
+    targets = [(float(q), min(q * total, total)) for q in qs]
+
+    ps = ordered_prefix_sum(counts, "v", "w", num_ranges=num_ranges)
+
+    def pick(batch: pa.Table) -> pa.Table:
+        pre = batch.column("pre_sum").to_numpy(zero_copy_only=False)
+        w = batch.column("w").to_numpy(zero_copy_only=False)
+        vals = batch.column("v").to_numpy(zero_copy_only=False)
+        out_q, out_v = [], []
+        for q, t in targets:  # len(qs) is tiny
+            hit = np.flatnonzero((pre <= t) & (t < pre + w))
+            if hit.size:
+                out_q.append(q)
+                out_v.append(float(vals[hit[0]]))
+        return pa.table(
+            {
+                "q": pa.array(out_q, pa.float64()),
+                "value": pa.array(out_v, pa.float64()),
+            }
+        )
+
+    rows = ps.map_batches(pick, batch_format="pyarrow").take_all()
+    got = {r["q"]: r["value"] for r in rows}
+    # q=1.0 (t == total) falls past every half-open interval: it is the
+    # summary's max value by definition
+    for q, t in targets:
+        if q not in got and t >= total:
+            got[q] = float(counts.max("v"))
+    out = sorted(got.items())
+    return pa.table(
+        {
+            "q": pa.array([q for q, _ in out], pa.float64()),
+            "value": pa.array([v for _, v in out], pa.float64()),
+        }
+    )
+
+
 def chunk_docs(
     ds: ray.data.Dataset,
     max_tokens: int = 32,
